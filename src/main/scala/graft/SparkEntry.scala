@@ -1,13 +1,163 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tpch.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational analytics core
+    "q1_pricing" -> ((s, d) => Tpch.q1Pricing(s, d)),
+    "q3_shipping" -> ((s, d) => Tpch.q3Shipping(s, d)),
+    "q5_local_supplier" -> ((s, d) => Tpch.q5LocalSupplier(s, d)),
+    "q6_forecast" -> ((s, d) => Tpch.q6Forecast(s, d)),
+    "q10_returned" -> ((s, d) => Tpch.q10Returned(s, d)),
+    "q18_large_orders" -> ((s, d) => Tpch.q18LargeOrders(s, d)),
+    "q_revenue_by_month" -> ((s, d) => Tpch.qRevenueByMonth(s, d)),
+    // §2.1 SSE / event-stream surface (batch form)
+    "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
+    "sse_normalize" -> ((s, d) => Events.sseNormalize(s, d)),
+    "sse_route" -> ((s, d) => Events.sseRoute(s, d)),
+    "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
+    "ev_metrics" -> ((s, d) => Events.metrics(s, d)),
+    "ev_window_counts" -> ((s, d) => Events.windowCounts(s, d)),
+    "ev_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "ev_json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
+    "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
+    "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING'
+        | AND o_orderdate < TIMESTAMP '1996-03-15'
+        | AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN customer ON o_custkey=c_custkey AND s_nationkey=c_nationkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal, n_name, revenue
+        |FROM (
+        |  SELECT o_custkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  WHERE l_returnflag='R'
+        |   AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey) t
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        | round(o_totalprice,2) AS o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity),2) > 150) t
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_revenue_by_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        | round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sse_parse" ->
+      """SELECT event_type AS event, cast(event_id AS varchar) AS id, props AS data
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sse_normalize" ->
+      """SELECT coalesce(nullif(event_type,'error'),'unknown') AS event,
+        | cast(event_id AS varchar) AS id, coalesce(nullif(props,''),'') AS data
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sse_route" ->
+      """SELECT 'sse_'||event_type AS topic, cast(event_id % 32 AS int) AS "partition",
+        | count(*) AS n_events
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_type_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+        | cast(sum(length(props)) AS bigint) AS payload_bytes,
+        | round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_metrics" ->
+      """SELECT count(*) AS total_events,
+        | cast(sum(length(props)+length(event_type)) AS bigint) AS total_bytes,
+        | cast(floor(epoch(min(ts))) AS bigint) AS first_ts,
+        | cast(floor(epoch(max(ts))) AS bigint) AS last_ts,
+        | round(count(*) / cast(cast(floor(epoch(max(ts))) AS bigint)
+        |   - cast(floor(epoch(min(ts))) AS bigint) AS double), 6) AS events_per_sec
+        |FROM events""".stripMargin,
+    "ev_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    cast(floor(epoch(ts)) AS bigint) AS tsec,
+        |    lag(cast(floor(epoch(ts)) AS bigint))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tsec
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_tsec IS NULL OR tsec - prev_tsec > 1800
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, cast(session_id AS bigint) AS session_id,
+        |  count(*) AS n_events, round(sum(value),2) AS sum_value,
+        |  min(tsec) AS session_start, max(tsec) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT cast(regexp_extract(props,'[0-9]+') AS bigint) % 10 AS k_bucket,
+        | count(*) AS n_events, round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_topn_users" ->
+      """SELECT user_id, round(sum(value),2) AS total_value, count(*) AS n_purchases
+        |FROM events WHERE event_type='purchase'
+        |GROUP BY 1 ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "ev_dedup_latest" ->
+      """SELECT user_id, event_type, round(value,2) AS value,
+        | cast(floor(epoch(ts)) AS bigint) AS last_seen
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn=1 ORDER BY user_id""".stripMargin,
+  )
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver-generated testdata layout
+  * (TESTDATA.md). All operators read through here so column pruning and
+  * filter pushdown reach the parquet scans unimpeded.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless read
+    // as raw long. We truncate ns→µs ourselves, matching what DuckDB (and
+    // Spark for µs data) does on read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = apply(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch re-expression of the reference connector's event-stream surface.
+  *
+  * The reference (cjmatta/kafka-connect-sse) turns SSE frames into
+  * (event, id, data) records and routes them to a Kafka topic, keeping
+  * per-type counters and throughput metrics
+  * (ServerSentEventClient.java:87-102, ServerSentEventsSourceTask.java:108-135).
+  * Here the `events` table stands in for the stream
+  * (event_type↔event, event_id↔id, props↔data); the true streaming path is
+  * graft.sources.sse + graft.streaming.
+  *
+  * Everything is declarative (functions._ only — no UDFs), so the whole
+  * surface stays inside WholeStageCodegen and partial aggregation.
+  */
+object Events {
+
+  /** SSE wire-format frame for each event, then parse it back with the
+    * declarative field extractors. Round-trips events → SSE text → records,
+    * exercising the same field grammar the streaming source parses
+    * (WHATWG EventSource: `event:`/`id:`/`data:` lines, blank-line dispatch).
+    */
+  def sseParse(spark: SparkSession, d: String): DataFrame = {
+    val framed = Tables.events(spark, d).select(
+      concat(
+        lit("event: "), col("event_type"), lit("\n"),
+        lit("id: "), col("event_id").cast("string"), lit("\n"),
+        lit("data: "), col("props"), lit("\n\n")).as("frame"))
+    framed.select(
+      regexp_extract(col("frame"), "(?m)^event: (.*)$", 1).as("event"),
+      regexp_extract(col("frame"), "(?m)^id: (.*)$", 1).as("id"),
+      regexp_extract(col("frame"), "(?m)^data: (.*)$", 1).as("data"))
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** Reference null-handling: absent event name → "unknown", absent data →
+    * "" , id passes through (ServerSentEventsSourceTask.java:114-117).
+    * "error"-typed events stand in for frames with no event name. */
+  def sseNormalize(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d).select(
+      coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("event"),
+      col("event_id").cast("string").as("id"),
+      coalesce(nullif(col("props"), lit("")), lit("")).as("data"))
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** Topic routing: the connector sends everything to one configured topic;
+    * the Spark-native generalization routes per event class and assigns a
+    * deterministic partition (hash-by-key semantics of the Kafka producer,
+    * with a modulus stand-in so the oracle can reproduce it). */
+  def sseRoute(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(concat(lit("sse_"), col("event_type")).as("topic"),
+        pmod(col("event_id"), lit(32L)).cast("int").as("partition"))
+      .groupBy(col("topic"), col("partition"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("topic"), col("partition"))
+  }
+
+  /** Per-event-type counters — the eventTypeCounters metric map. */
+  def typeCounts(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(length(col("props"))).as("payload_bytes"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Stream-level metrics snapshot: totals, window, throughput — the batch
+    * analogue of getStatusSummary()/logMetrics(). */
+  def metrics(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(length(col("props")) + length(col("event_type"))).as("total_bytes"),
+        unix_timestamp(min(col("ts"))).as("first_ts"),
+        unix_timestamp(max(col("ts"))).as("last_ts"),
+        round(count(lit(1)) / (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).cast("double"), 6)
+          .as("events_per_sec"))
+  }
+
+  /** Tumbling 1-hour windowed counts per type (batch form of the watermarked
+    * streaming aggregation in graft.streaming). */
+  def windowCounts(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** 30-minute-gap sessionization per user. Two shuffles total: one to
+    * co-locate each user's events (window function), then the session agg
+    * reuses that partitioning. At 100 TB the window shuffle is per-user —
+    * bounded by the busiest user, with AQE skew handling. */
+  def sessionize(spark: SparkSession, d: String, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** JSON payload extraction from `data` + aggregation by extracted key —
+    * the "parse the Wikimedia JSON" use case of the reference. */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"), col("value"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10L)))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** Top-N users by purchase value (rank over aggregated totals). */
+  def topNUsers(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
+    Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(n)
+  }
+
+  /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
+  def dedupLatest(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, d)
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), round(col("value"), 2).as("value"),
+        unix_timestamp(col("ts")).as("last_seen"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics core — TPC-H-shaped headline queries adapted to the
+  * testdata's (reduced) column set.
+  *
+  * Scale notes (100 TB design):
+  *  - `region`/`nation`/`supplier`/`customer`/`part` are dimension tables that
+  *    stay small relative to the facts at any SF, so every dim join is an
+  *    explicit `broadcast()` — no shuffle of the fact side for them.
+  *  - fact↔fact joins (orders↔lineitem) shuffle on the join key; AQE handles
+  *    skew/coalescing at runtime.
+  *  - All aggregates are partial-aggregation friendly (sum/count/min/max), so
+  *    map-side combine bounds shuffle volume by |groups|, not |rows|.
+  *  - Filters are plain column predicates on scan output → Catalyst pushes
+  *    them into the parquet reader (verified in PlanSpec).
+  *
+  * Floating-point outputs are rounded (money → 2dp, ratios → 4dp) and every
+  * query ends in a total ORDER BY, so results are deterministic and
+  * hash-comparable against the DuckDB oracle.
+  */
+object Tpch {
+
+  /** TPC-H Q1: pricing summary report. Single scan + groupBy — the shuffle
+    * carries only 6 groups after partial agg. */
+  def q1Pricing(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3: shipping priority. customer is a broadcast dim; orders↔lineitem
+    * shuffle on orderkey. Top-k on rounded revenue with id tie-break. */
+  def q3Shipping(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, d).filter(col("o_orderdate") < lit("1996-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d).filter(col("l_shipdate") > lit("1996-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5: local supplier volume within a region. All dims broadcast;
+    * only orders↔lineitem shuffles. */
+  def q5LocalSupplier(spark: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, d)
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: forecast revenue change. Pure filter+sum — every predicate is
+    * parquet-pushable and the result is a single row. */
+  def q6Forecast(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10: returned-item report. nation broadcast; customer joins after
+    * the agg has reduced cardinality to |customers|. */
+  def q10Returned(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18: large-volume orders. The having-filter runs on the agg side
+    * BEFORE joining customer/orders detail — at scale this turns a fact↔fact
+    * join into a tiny-side join. */
+  def q18LargeOrders(spark: SparkSession, d: String, minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val ord = Tables.orders(spark, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Time-bucketed revenue rollup (streaming-style agg in batch form). */
+  def qRevenueByMonth(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+  }
+}
