@@ -31,6 +31,26 @@ object SparkEntry {
     "ev_json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
+    // §2.3 deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // §2.4 similarity search
+    "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // §2.5 text analysis
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "docs_by_source" -> ((s, d) => TextAnalysis.bySource(s, d)),
+    // §2.6 multimodal columns
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -159,5 +179,21 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_exact_norm" -> Dedup.exactNormOracle,
+    "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_embedding" -> Dedup.embeddingCosineOracle,
+    "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
+    "ann_lsh" -> Similarity.lshTopKOracle,
+    "knn_join" -> Similarity.knnJoinOracle,
+    "text_quality" -> TextAnalysis.qualityOracle,
+    "text_tokens" -> TextAnalysis.tokenCountsOracle,
+    "text_langid" -> TextAnalysis.langIdOracle,
+    "text_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "docs_by_source" -> TextAnalysis.bySourceOracle,
+    "mm_decode_meta" -> Multimodal.decodeMetaOracle,
+    "mm_frame_sample" -> Multimodal.frameSampleOracle,
   )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic kernels for the dedup / similarity operators.
+  *
+  * Every kernel is a pure `Column` composition over
+  * `org.apache.spark.sql.functions._` (codegen'd, no UDFs), and every hash is
+  * derived from md5 so the DuckDB oracle can reproduce it bit-for-bit with
+  * `cast('0x'||substr(md5(x),1,n) as bigint)`. The same constants below are
+  * injected into the generated oracle SQL — one source of truth.
+  */
+object Kernels {
+
+  /** Mersenne prime 2^31-1: modulus for the MinHash permutation universe.
+    * a*h+b stays < 2^62, so the arithmetic never overflows a signed long —
+    * in Spark, in DuckDB, and on any executor at any scale. */
+  val P = 2147483647L
+
+  val NumPerms = 32
+  val BandSize = 4
+  val NumBands: Int = NumPerms / BandSize // 8
+
+  /** LCG-derived permutation constants (deterministic, shared with oracle). */
+  def permA(i: Int): Long = { val a = (1103515245L * (i + 1) + 12345L) % P; if (a == 0) 1L else a }
+  def permB(i: Int): Long = (1103515245L * (i + 101) + 54321L) % P
+
+  val SimhashBits = 60 // 15 hex digits of md5 → sign-safe in an int64
+  val SimhashBands = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashBands // 15
+
+  /** Whitespace tokens. Single-space split, matching DuckDB string_split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 31-bit shingle hash: first 8 hex digits of md5, mod P. */
+  def hash31(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(P))
+
+  /** 60-bit token hash: first 15 hex digits of md5. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles of a token array (n=3). Empty for short docs. */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array())
+
+  /** MinHash signature (NumPerms values) of an array of 31-bit shingle
+    * hashes. Pure array expression — no shuffle, fully codegen-compatible;
+    * the only shuffle in the LSH pipeline is the band-bucket join. */
+  def minhashSig(hashes31: Column): Column = {
+    val as = typedlit((0 until NumPerms).map(permA))
+    val bs = typedlit((0 until NumPerms).map(permB))
+    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
+      array_min(transform(hashes31, h =>
+        pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
+  }
+
+  /** LSH band signatures: NumBands strings, '_'-joined minhash slices. */
+  def bandSigs(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      concat_ws("_", slice(sig, b * BandSize + 1, lit(BandSize))))
+
+  /** Float array → double array (exact), for stable accumulation. */
+  def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** L2 norm of a double-array column (left-to-right fold). */
+  def vecNorm(e: Column): Column =
+    sqrt(aggregate(e, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Dot product of two double-array columns (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float-array columns, computed in double with a
+    * left-to-right fold (same accumulation order as the oracle).
+    *
+    * For pair-wise workloads prefer projecting `vecDouble` + `vecNorm` once
+    * per vector and computing `dot(a,b) / (norm_a * norm_b)` — identical
+    * math, but the norms are O(n) instead of O(n²). */
+  def cosine(a: Column, b: Column): Column = {
+    val da = vecDouble(a); val db = vecDouble(b)
+    dot(da, db) / (vecNorm(da) * vecNorm(db))
+  }
+
+  /** Deterministic random-hyperplane weight for (plane p, dim j) — pure
+    * integer arithmetic so Spark and DuckDB agree exactly. */
+  def lshWeight(p: Column, j: Column): Column =
+    (pmod(p * lit(1000003L) + j * lit(7919L), lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
+
+  /** 16-bit random-hyperplane LSH bucket of a float-array column. */
+  def lshBucket(vec: Column, nPlanes: Int = 16): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(transform(vec, x => x.cast("double")), dims, (x, j) => x * lshWeight(p, j)),
+          lit(0.0), (acc, v) => acc + v)
+        // 2^p as a long (exact for p < 53; nPlanes is 16)
+        when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  // ---- Oracle SQL fragments (DuckDB), built from the same constants ----
+
+  /** DuckDB: 31-bit shingle hash of column expr `e`. */
+  def sqlHash31(e: String): String =
+    s"(cast(concat('0x', substr(md5($e), 1, 8)) AS bigint) % $P)"
+
+  /** DuckDB: 60-bit token hash of column expr `e`. */
+  def sqlHash60(e: String): String =
+    s"cast(concat('0x', substr(md5($e), 1, 15)) AS bigint)"
+
+  /** DuckDB VALUES list of the MinHash permutation constants. */
+  def sqlPermValues: String =
+    (0 until NumPerms).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
+}

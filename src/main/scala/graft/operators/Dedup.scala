@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Kernels._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline.
+  *
+  * The `documents` corpus has no natural duplicates, so each operator plants
+  * deterministic duplicates first (exact copies / normalized variants /
+  * near-dup perturbations), the SAME construction the oracle SQL performs —
+  * the dedup logic is then verified end-to-end on a corpus that actually
+  * contains what it must find.
+  *
+  * Scale notes:
+  *  - exact dedup groups by the 128-bit digest, never by the document body —
+  *    the shuffle carries 32-byte keys, not documents.
+  *  - MinHash-LSH: signatures are computed as pure array expressions
+  *    (no shuffle); the only shuffles are the (band, sig) bucket join and the
+  *    shingle-intersection confirm, which operates on candidate pairs only —
+  *    the global cross-product never materializes.
+  *  - All blocking (LSH bands / simhash chunks / lang×length / label) bounds
+  *    pair generation per block, the standard way to keep near-dup mining
+  *    sub-quadratic at 100 TB.
+  */
+object Dedup {
+
+  // ---- planted-duplicate corpora (mirrored exactly in oracle SQL CTEs) ----
+
+  /** Originals + an exact copy of every even-id doc (id+2000000). */
+  private def docsWithExactCopies(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+  private val sqlExactCopies =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+2000000, text FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
+  /** Originals + an uppercased, padded variant of every even-id doc —
+    * identical only after normalization. */
+  private def docsWithCaseVariants(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  ")).as("text")))
+  }
+  private val sqlCaseVariants =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+2000000, '  ' || upper(text) || '  ' FROM documents
+      |  WHERE doc_id % 2 = 0)""".stripMargin
+
+  /** Originals + a near-dup of every doc: two extra tokens appended
+    * (Jaccard vs original ≈ (n-2)/n on word-3-gram shingles). */
+  private def docsWithNearDups(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"), col("lang"))
+    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz yy")).as("text"), col("lang")))
+  }
+  private val sqlNearDups =
+    """docs AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+1000000, text || ' zz yy', lang FROM documents)""".stripMargin
+
+  private def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  private val sqlNormText = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---- §2.3 operators ----
+
+  /** Exact dedup: group by md5 digest, keep canonical (min) id. */
+  def exact(spark: SparkSession, d: String): DataFrame =
+    docsWithExactCopies(spark, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_md5"))
+
+  val exactOracle: String =
+    s"""WITH $sqlExactCopies
+       |SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+       |  count(*) AS n_copies
+       |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact dedup after normalization (lower / trim / collapse whitespace). */
+  def exactNorm(spark: SparkSession, d: String): DataFrame =
+    docsWithCaseVariants(spark, d)
+      .groupBy(md5(normText(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_md5"))
+
+  val exactNormOracle: String =
+    s"""WITH $sqlCaseVariants
+       |SELECT md5($sqlNormText) AS norm_md5, min(doc_id) AS canonical_id,
+       |  count(*) AS n_copies
+       |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
+
+  /** Candidate pairs → exact-Jaccard confirm ≥ minJac on shingle sets.
+    *
+    * Overlap counts come from the shingle inverted index (join on the
+    * shingle, then count per pair) rather than exploding candidate × shingle:
+    * the join cost is Σ df(s)² over shingle document-frequencies — bounded by
+    * how often a shingle repeats across the corpus, not by |candidates| ×
+    * |shingles|. The candidate set then just filters the overlap pairs. */
+  private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val overlaps = shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    val inter = overlaps.join(cand, Seq("doc_a", "doc_b"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SQL mirror of shingleRows + jaccardConfirm, parameterized on the
+    * candidate-pair CTE name. */
+  private def sqlJaccardTail(minJac: Double): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh p ON p.doc_id = c.doc_a
+       |  JOIN sh q ON q.doc_id = c.doc_b AND q.s = p.s
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) >= $minJac
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
+
+  /** MinHash + LSH near-dup pairs, Jaccard-confirmed. */
+  def minhashLsh(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
+    val docs = docsWithNearDups(spark, d)
+    val sh = shingleRows(docs)
+    // Signatures as a single hash-aggregate: explode shingle hashes, then 32
+    // min-aggregates (one per permutation). Everything stays in whole-stage
+    // codegen with map-side partial aggregation — the nested-array-lambda
+    // formulation evaluates interpreted and is ~100× slower per doc.
+    val h = sh.select(col("doc_id"), hash31(col("s")).as("h"))
+    val minAggs = (0 until NumPerms).map(i =>
+      min(pmod(col("h") * permA(i) + permB(i), lit(P))).as(s"m$i"))
+    val sigs = h.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*).as("band_sig")))
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("doc_id"), col("bc.band"), col("bc.band_sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardConfirm(cand, sh, minJac)
+  }
+
+  val minhashLshOracle: String =
+    s"""WITH $sqlNearDups,
+       |h AS (
+       |  SELECT DISTINCT doc_id, ${sqlHash31("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
+       |perms AS (SELECT * FROM (VALUES $sqlPermValues) p(i, a, b)),
+       |sig AS (
+       |  SELECT doc_id, p.i, min((p.a * h.h + p.b) % $P) AS mh
+       |  FROM h, perms p GROUP BY doc_id, p.i),
+       |bands AS (
+       |  SELECT doc_id, i // $BandSize AS band,
+       |    string_agg(cast(mh AS varchar), '_' ORDER BY i) AS band_sig
+       |  FROM sig GROUP BY doc_id, i // $BandSize),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+       |${sqlJaccardTail(0.5)}""".stripMargin
+
+  /** SimHash near-dup pairs: 60-bit signatures, 15-bit-chunk blocking,
+    * hamming ≤ maxHam. */
+  def simhash(spark: SparkSession, d: String, maxHam: Int = 6): DataFrame = {
+    val docs = docsWithNearDups(spark, d)
+    val th = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), hash60(col("t")).as("h"))
+    val bitAggs = (0 until SimhashBits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val bitSums = th.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = bitSums.select(col("doc_id"),
+      (0 until SimhashBits).map(b =>
+        when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map(c =>
+        struct(lit(c).as("c"), shiftright(col("simhash"), c * SimhashChunkBits)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk"))): _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.c"), col("bc.chunk"))
+    chunks.as("x").join(chunks.as("y"),
+      col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashOracle: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
+    val simExpr = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN cast(1 AS bigint) << $b ELSE 0 END)").mkString(" + ")
+    s"""WITH $sqlNearDups,
+       |th AS (
+       |  SELECT doc_id, ${sqlHash60("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c,
+       |    (simhash >> (c * $SimhashChunkBits)) & ${(1L << SimhashChunkBits) - 1} AS chunk
+       |  FROM sim, generate_series(0, ${SimhashBands - 1}) g(c))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  cast(bit_count(xor(x.simhash, y.simhash)) AS int) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Blocked exact n-gram Jaccard: candidates share (lang, length-bucket). */
+  def ngramJaccard(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
+    val docs = docsWithNearDups(spark, d)
+    val meta = docs.select(col("doc_id"), col("lang"),
+      floor(length(col("text")) / 100).as("lb"))
+    val cand = meta.as("x").join(meta.as("y"),
+      col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    jaccardConfirm(cand, shingleRows(docs), minJac)
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH $sqlNearDups,
+       |meta AS (SELECT doc_id, lang, length(text) // 100 AS lb FROM docs),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM meta x JOIN meta y
+       |    ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id),
+       |${sqlJaccardTail(0.5)}""".stripMargin
+
+  /** Embedding-cosine near-dup pairs within label blocks. Planted dups are
+    * scaled copies (×2) — cosine exactly 1 vs the original. */
+  def embeddingCosine(spark: SparkSession, d: String, minCos: Double = 0.999): DataFrame = {
+    val base = Tables.embeddings(spark, d)
+    val all = base.select(col("vec_id"), col("label"), col("embedding"))
+      .unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    // double-cast + norm once per vector; pairs then do a single dot fold
+    val v = all.select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("e"))
+      .withColumn("norm", vecNorm(col("e")))
+    v.as("x").join(v.as("y"),
+      col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(dot(col("x.e"), col("y.e")) / (col("x.norm") * col("y.norm")), 3).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingCosineOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id+1000000, label,
+      |    (list_transform(embedding, x -> x * 2))::DOUBLE[] FROM embeddings)
+      |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |  round(list_cosine_similarity(x.e, y.e), 3) AS cos
+      |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

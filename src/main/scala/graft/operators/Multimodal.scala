@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A record carrying an opaque media payload (the multimodal column). */
+case class MediaIn(doc_id: Long, media: Array[Byte])
+
+/** Typed metadata produced by decoding a media payload. */
+case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int, format: String)
+
+/** Stubbed media codec: the image/audio libraries are not in this
+  * environment, so `decode` derives metadata deterministically from the
+  * bytes. The Spark-side plumbing around it — binary column, typed Dataset,
+  * batched partition-wise decode — is the real, tested part; swapping this
+  * object for a JNI/image-lib decoder changes nothing upstream.
+  */
+object FakeCodec {
+  val BatchSize = 64
+  def decode(m: MediaIn): MediaMeta = {
+    val n = m.media.length
+    MediaMeta(m.doc_id, n, n % 640 + 16, (n * 7) % 480 + 16,
+      (n % 3: @unchecked) match { case 0 => "jpeg"; case 1 => "png"; case 2 => "webp" })
+  }
+}
+
+/** Multimodal-column operators: opaque binary payloads + typed metadata.
+  *
+  * Scale notes: payload bytes stay partition-local — the decode runs as a
+  * batched `mapPartitions` (the one deliberate codegen break in the library,
+  * mirroring how a real vectorized decoder consumes row batches) and only the
+  * small metadata columns flow onward to shuffles/aggregations. Nothing ever
+  * groups or joins on the payload itself.
+  */
+object Multimodal {
+
+  /** documents.text encoded as a binary media column (UTF-8 bytes stand in
+    * for image bytes in this environment). */
+  private def mediaTable(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+
+  /** Batched partition-wise "decode" of the media column → typed metadata. */
+  def decodeMeta(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, d).as[MediaIn]
+      .mapPartitions(_.grouped(FakeCodec.BatchSize).flatMap(_.map(FakeCodec.decode)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val decodeMetaOracle: String =
+    """SELECT doc_id,
+      |  cast(length(text) AS int) AS byte_len,
+      |  cast(length(text) % 640 + 16 AS int) AS width,
+      |  cast((length(text) * 7) % 480 + 16 AS int) AS height,
+      |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      |    ELSE 'webp' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame-offset sampling over a fake video payload: every `stride`-th
+    * frame index with its byte offset and timestamp. */
+  def frameSample(spark: SparkSession, d: String, frameBytes: Int = 100, stride: Int = 5): DataFrame = {
+    val nFrames = (length(col("media")) / frameBytes).cast("long")
+    mediaTable(spark, d)
+      .filter(length(col("media")) >= frameBytes)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_offset"),
+        round(col("frame_idx") / 25.0, 3).as("ts_sec"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val frameSampleOracle: String =
+    """SELECT doc_id, i AS frame_idx, i * 100 AS byte_offset,
+      |  round(i / 25.0, 3) AS ts_sec
+      |FROM (
+      |  SELECT doc_id, unnest(generate_series(0, length(text) // 100 - 1, 5)) AS i
+      |  FROM documents WHERE length(text) >= 100)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Kernels._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding corpus.
+  *
+  * Scale notes:
+  *  - Brute-force is the correctness baseline: the query side is tiny and
+  *    broadcast, so the scan side streams once with no shuffle — at 100 TB
+  *    this is a single pass, embarrassingly parallel.
+  *  - The LSH path buckets vectors by 16 random-hyperplane sign bits, so
+  *    candidate sets shrink ~2^16× before any distance math — that is the
+  *    100 TB path. Buckets are deterministic integer arithmetic (shared with
+  *    the oracle), not RNG state.
+  *  - knn-join is blocked by `label` (a stand-in for any coarse partitioner —
+  *    IVF centroid, shard key), keeping each block's pair count bounded.
+  */
+object Similarity {
+
+  /** Embeddings with the double-cast array + L2 norm projected once. */
+  private def normed(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("e"))
+      .withColumn("norm", vecNorm(col("e")))
+
+  /** Exact cosine top-k for query vectors (vec_id < nQueries). */
+  def bruteforceTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = normed(spark, d)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bruteforceTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, v.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+      |  FROM q, v WHERE v.vec_id != query_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, cos, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ANN via random-hyperplane LSH: candidates share the query's bucket. */
+  def lshTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val v = normed(spark, d)
+      .withColumn("bucket", lshBucket(col("e")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("bucket"))
+    val scored = v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val lshTopKOracle: String =
+    """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, e,
+      |    list_sum(list_transform(range(0, 16), p ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |        e[j+1] * ((((p*1000003 + j*7919) % 2001) - 1000) / 1000.0))) > 0
+      |      THEN cast(1 AS bigint) << p ELSE 0 END)) AS bucket
+      |  FROM v0),
+      |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, v.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+      |  FROM q JOIN v ON q.bucket = v.bucket AND v.vec_id != query_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** k-NN self-join within label blocks: each vector's k nearest peers. */
+  def knnJoin(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val v = normed(spark, d)
+    val scored = v.as("x").join(v.as("y"),
+      col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
+        round(dot(col("x.e"), col("y.e")) / (col("x.norm") * col("y.norm")), 4).as("cos"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byVec))
+      .filter(col("rank") <= k)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnJoinOracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (
+      |  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(x.e, y.e), 4) AS cos
+      |  FROM v x JOIN v y ON x.label = y.label AND x.vec_id != y.vec_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT vec_id, neighbor_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Kernels._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: quality scoring,
+  * token counting, language ID, fingerprinting, corpus stats.
+  *
+  * Everything is a pure column expression (codegen'd, partial-agg friendly);
+  * at 100 TB these run as a single map pass over the corpus with no shuffle
+  * except the final stats aggregations.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "ein"),
+    "fr" -> Seq("le", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "y", "una"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Per-doc quality metrics + composite score. */
+  def quality(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val nNoSpace = length(translate(col("text"), " ", ""))
+    val stopRatio = countIn(toks, Stopwords).cast("double") / nWords
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(col("text"))
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(nNoSpace.cast("double") / nWords, 4).as("avg_word_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0))
+        + lit(0.3) * (lit(1.0) - stopRatio)
+        + lit(0.3) * (lit(1.0) - punctRatio), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityOracle: String =
+    s"""SELECT doc_id,
+       |  cast(len(string_split(text, ' ')) AS int) AS n_words,
+       |  round(cast(length(replace(text, ' ', '')) AS double)
+       |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |  round(cast(${sqlCountIn(Stopwords)} AS double)
+       |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       |  round(cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS double)
+       |    / length(text), 4) AS punct_ratio,
+       |  round(0.4 * least(cast(len(string_split(text, ' ')) AS double) / 100.0, 1.0)
+       |    + 0.3 * (1.0 - cast(${sqlCountIn(Stopwords)} AS double)
+       |        / len(string_split(text, ' ')))
+       |    + 0.3 * (1.0 - cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS double)
+       |        / length(text)), 4) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCounts(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  cast(len(string_split(text, ' ')) AS int) AS ws_tokens,
+      |  cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS int) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Marker-word language ID: per-language hit counts + argmax with a fixed
+    * tie order (en > de > fr > es > unknown). */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    Tables.documents(spark, d).select(
+      (Seq(col("doc_id")) ++ scores.map { case (l, c) => c.as(s"s_$l") } :+
+        when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("unknown").as("predicted")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdOracle: String = {
+    val exprs = LangMarkers.map { case (l, ws) => s"cast(${sqlCountIn(ws)} AS int) AS s_$l" }
+    s"""WITH sc AS (
+       |  SELECT doc_id, ${exprs.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, s_en, s_de, s_fr, s_es,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |    WHEN s_es > 0 THEN 'es'
+       |    ELSE 'unknown' END AS predicted
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of normalized text + 60-bit integer digest. */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      md5(norm).as("md5_fp"),
+      hash60(norm).as("fp60"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintOracle: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""SELECT doc_id, md5($norm) AS md5_fp, ${sqlHash60(norm)} AS fp60
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus stats per source: volume, language spread, exact-dup rate. */
+  def bySource(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy(col("source"))
+
+  val bySourceOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |  cast(sum(length(text)) AS bigint) AS total_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT md5(text)) AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+}
