@@ -48,21 +48,9 @@ object Kernels {
         concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
       .otherwise(array())
 
-  /** MinHash signature (NumPerms values) of an array of 31-bit shingle
-    * hashes. Pure array expression — no shuffle, fully codegen-compatible;
-    * the only shuffle in the LSH pipeline is the band-bucket join. */
-  def minhashSig(hashes31: Column): Column = {
-    val as = typedlit((0 until NumPerms).map(permA))
-    val bs = typedlit((0 until NumPerms).map(permB))
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(hashes31, h =>
-        pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
-  }
-
-  /** LSH band signatures: NumBands strings, '_'-joined minhash slices. */
-  def bandSigs(sig: Column): Column =
-    transform(sequence(lit(0), lit(NumBands - 1)), b =>
-      concat_ws("_", slice(sig, b * BandSize + 1, lit(BandSize))))
+  // NOTE: MinHash signatures are computed in graft.operators.Dedup as a
+  // 32-way min-aggregate over exploded shingle hashes — higher-order array
+  // lambdas evaluate interpreted (outside codegen) and measured ~100× slower.
 
   /** Float array → double array (exact), for stable accumulation. */
   def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))

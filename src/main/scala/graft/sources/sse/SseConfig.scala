@@ -1,0 +1,82 @@
+package graft.sources.sse
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** Configuration surface of the SSE source, mirroring the reference
+  * connector's options (reference ServerSentEventsSourceConnectorConfig.java):
+  * endpoint, basic auth, custom headers, compression toggle, rate limits and
+  * retry/backoff policy — plus the Spark-native additions (`path` transport,
+  * `maxEventsPerTrigger` admission control).
+  *
+  * In this zero-egress environment the only live transport is the
+  * append-only frame-log file (`path`); the HTTP options are validated and
+  * carried so an HTTP transport can be dropped in behind the same seam.
+  */
+final case class SseConfig(
+    path: String,
+    sseUri: Option[String],
+    topic: Option[String],
+    httpBasicAuth: Boolean,
+    username: Option[String],
+    password: Option[String],
+    headers: Map[String, String],
+    compressionEnabled: Boolean,
+    rateLimitRequestsPerSecond: Option[Double],
+    rateLimitMaxConcurrent: Option[Int],
+    retryBackoffInitialMs: Long,
+    retryBackoffMaxMs: Long,
+    retryMaxAttempts: Int,
+    maxEventsPerTrigger: Option[Long]) {
+  require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
+  require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
+    "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
+  if (httpBasicAuth) require(username.isDefined && password.isDefined,
+    "http.basic.auth=true requires http.basic.auth.username and .password")
+}
+
+object SseConfig {
+  // defaults match the reference (ServerSentEventsSourceConnectorConfig.java)
+  val DefaultRetryBackoffInitialMs = 2000L
+  val DefaultRetryBackoffMaxMs = 30000L
+  val DefaultRetryMaxAttempts: Int = -1 // unlimited
+
+  def fromOptions(options: JMap[String, String]): SseConfig = {
+    val o = options.asScala.map { case (k, v) => (k.toLowerCase, v) }
+    def opt(k: String): Option[String] = o.get(k.toLowerCase).filter(_.nonEmpty)
+    SseConfig(
+      path = opt("path").getOrElse(""),
+      sseUri = opt("sse.uri"),
+      topic = opt("topic"),
+      httpBasicAuth = opt("http.basic.auth").exists(_.toBoolean),
+      username = opt("http.basic.auth.username"),
+      password = opt("http.basic.auth.password"),
+      headers = o.collect {
+        case (k, v) if k.startsWith("http.header.") => k.stripPrefix("http.header.") -> v
+      }.toMap,
+      compressionEnabled = opt("compression.enabled").forall(_.toBoolean),
+      rateLimitRequestsPerSecond = opt("rate.limit.requests.per.second").map(_.toDouble),
+      rateLimitMaxConcurrent = opt("rate.limit.max.concurrent").map(_.toInt),
+      retryBackoffInitialMs = opt("retry.backoff.initial.ms").map(_.toLong)
+        .getOrElse(DefaultRetryBackoffInitialMs),
+      retryBackoffMaxMs = opt("retry.backoff.max.ms").map(_.toLong)
+        .getOrElse(DefaultRetryBackoffMaxMs),
+      retryMaxAttempts = opt("retry.max.attempts").map(_.toInt)
+        .getOrElse(DefaultRetryMaxAttempts),
+      maxEventsPerTrigger = opt("maxeventspertrigger").map(_.toLong))
+  }
+}
+
+/** Exponential-backoff schedule matching the reference client's reconnect
+  * policy (reference ServerSentEventClient.java:140-143, 290): delay doubles
+  * from the initial value, capped at the max; attempts are unlimited when
+  * maxAttempts < 0. Pure arithmetic — shared by any transport. */
+final case class Backoff(initialMs: Long, maxMs: Long, maxAttempts: Int) {
+  /** Delay before retry `attempt` (0-based). */
+  def delayMs(attempt: Int): Long = {
+    val shift = math.min(attempt, 62)
+    val raw = BigInt(initialMs) << shift
+    if (raw > maxMs) maxMs else raw.toLong
+  }
+  def shouldRetry(attempt: Int): Boolean = maxAttempts < 0 || attempt < maxAttempts
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape assertions: the properties that matter at 100 TB — pushdown,
+  * broadcasting, codegen, and shuffle counts — must hold in the optimized
+  * physical plans, not just in intent. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def fmt(df: DataFrame): String = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def countShuffles(df: DataFrame): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: ShuffleExchangeExec => n += 1
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(df))
+    n
+  }
+
+  test("q6: filters push into the parquet scan; projection prunes columns") {
+    val s = fmt(Tpch.q6Forecast(spark, Sf))
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("l_shipdate"), "shipdate filter should reach the scan")
+    assert(!s.contains("l_orderkey"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q1: single shuffle (partial agg before exchange)") {
+    val df = Tpch.q1Pricing(spark, Sf)
+    assert(fmt(df).contains("HashAggregate"), "agg should be hash-based")
+    // one shuffle for the groupBy + one for the final orderBy
+    assert(countShuffles(df) <= 2, s"q1 should not shuffle more than twice")
+  }
+
+  test("q5: dimension joins broadcast; no cartesian products") {
+    val s = fmt(Tpch.q5LocalSupplier(spark, Sf))
+    assert(s.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!s.contains("CartesianProduct"), "no cartesian join allowed")
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    val df = Tpch.q1Pricing(spark, Sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    assert(physical(df).toString.contains("*("),
+      "executed plan should contain WholeStageCodegen stages")
+  }
+
+  test("dedup_exact shuffles digests, not documents") {
+    val s = fmt(Dedup.exact(spark, Sf))
+    assert(s.contains("md5"), "grouping key must be the digest")
+    assert(s.contains("HashAggregate"))
+  }
+
+  test("ann_bruteforce broadcasts the query side") {
+    val s = fmt(Similarity.bruteforceTopK(spark, Sf))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "query vectors must broadcast — the scan side must not shuffle")
+  }
+
+  test("every SparkEntry query produces a non-empty result at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

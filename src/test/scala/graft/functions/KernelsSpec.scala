@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.Kernels._
+import org.apache.spark.sql.functions._
+
+class KernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash31 is md5-prefix mod P, in range, deterministic") {
+    val rows = Seq("abc", "abc", "def").toDF("s")
+      .select(hash31(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(rows(0) == rows(1) && rows(0) != rows(2))
+    // md5("abc") = 900150983cd24fb0... → 0x90015098 % P
+    assert(rows(0) == 0x90015098L % P)
+    assert(rows.forall(h => h >= 0 && h < P))
+  }
+
+  test("hash60 uses 15 hex digits and stays positive") {
+    val h = Seq("abc").toDF("s").select(hash60(col("s"))).head().getLong(0)
+    assert(h == java.lang.Long.parseLong("900150983cd24fb", 16) && h > 0)
+  }
+
+  test("shingles3 builds word 3-grams; short docs yield none") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(shingles3(tokens(col("t"))).as("sh")).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d") && out(1).isEmpty)
+  }
+
+  test("cosine: identical and scaled vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(2.0f, 4.0f, 6.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val cs = df.select(round(cosine(col("a"), col("b")), 9)).collect().map(_.getDouble(0))
+    assert(cs(0) == 1.0 && cs(1) == 0.0)
+  }
+
+  test("dot/vecNorm factorization equals cosine") {
+    val df = Seq((Array(0.5f, -1.5f, 2.5f), Array(1.0f, 1.0f, -1.0f))).toDF("a", "b")
+    val both = df.select(
+      cosine(col("a"), col("b")).as("c1"),
+      (dot(vecDouble(col("a")), vecDouble(col("b"))) /
+        (vecNorm(vecDouble(col("a"))) * vecNorm(vecDouble(col("b"))))).as("c2"))
+      .head()
+    assert(both.getDouble(0) == both.getDouble(1))
+  }
+
+  test("lshBucket is a 16-bit bucket, deterministic, scale-invariant") {
+    val df = Seq(
+      ("a", Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
+      ("b", Array.tabulate(64)(i => ((i % 7 - 3) * 2).toFloat)), // same direction
+      ("c", Array.tabulate(64)(i => (3 - i % 7).toFloat))) // opposite
+      .toDF("k", "v")
+    val buckets = df.select(col("k"), lshBucket(col("v")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets("a") == buckets("b")) // scaling preserves all sign bits
+    assert(buckets("a") != buckets("c"))
+    assert(buckets.values.forall(b => b >= 0 && b < (1 << 16)))
+  }
+
+  test("minhash permutation constants are in range and distinct") {
+    val as = (0 until NumPerms).map(permA)
+    val bs = (0 until NumPerms).map(permB)
+    assert(as.forall(a => a > 0 && a < P) && bs.forall(b => b >= 0 && b < P))
+    assert(as.distinct.size == NumPerms && bs.distinct.size == NumPerms)
+  }
+}

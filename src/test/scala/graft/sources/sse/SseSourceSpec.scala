@@ -1,0 +1,92 @@
+package graft.sources.sse
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end micro-batch reads through format("sse"). */
+class SseSourceSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  private def frame(event: String, id: Long, data: String): String =
+    s"event: $event\nid: $id\ndata: $data\n\n"
+
+  /** Run one AvailableNow pass, appending results to a parquet sink (which,
+    * unlike the memory sink, supports checkpoint recovery across runs). */
+  private def runOnce(log: Path, dir: Path): Unit = {
+    val q = spark.readStream.format("sse").option("path", log.toString).load()
+      .writeStream.format("parquet")
+      .option("path", dir.resolve("out").toString)
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+  }
+
+  private def sinkRows(dir: Path): Seq[(String, String, String)] =
+    spark.read.parquet(dir.resolve("out").toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._1, Option(t._2).getOrElse(""), t._3))
+
+  test("reads frames, applies reference null-handling, resumes from checkpoint") {
+    val dir = tmpDir("sse-src")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, frame("edit", 1, "{\"a\":1}") + "data: no-name\n\n")
+
+    runOnce(log, dir)
+    // second frame has no event name -> "unknown" but inherits last id "1"
+    assert(sinkRows(dir) == Seq(("edit", "1", "{\"a\":1}"), ("unknown", "1", "no-name")))
+
+    // append two more frames; same checkpoint → only the new ones arrive
+    Files.writeString(log, frame("del", 2, "x") + frame("edit", 3, "y"),
+      StandardOpenOption.APPEND)
+    runOnce(log, dir)
+    assert(sinkRows(dir) == Seq(
+      ("del", "2", "x"), ("edit", "1", "{\"a\":1}"), ("edit", "3", "y"),
+      ("unknown", "1", "no-name")))
+  }
+
+  test("maxEventsPerTrigger bounds each micro-batch (admission control)") {
+    val dir = tmpDir("sse-rate")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, (1 to 10).map(i => frame("e", i, s"d$i")).mkString)
+
+    val q = spark.readStream.format("sse")
+      .option("path", log.toString).option("maxEventsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName("sse_rate")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM sse_rate").head().getLong(0) == 10)
+    val progress = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(progress.length >= 4 && progress.forall(_ <= 3),
+      s"expected >=4 batches of <=3 rows, got ${progress.mkString(",")}")
+  }
+
+  test("an unterminated trailing frame is left for the next batch") {
+    val dir = tmpDir("sse-partial")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, frame("a", 1, "full") + "event: b\ndata: partial")
+
+    runOnce(log, dir)
+    assert(sinkRows(dir).map(_._1) == Seq("a"))
+
+    Files.writeString(log, "\n\n", StandardOpenOption.APPEND) // complete it
+    runOnce(log, dir)
+    assert(sinkRows(dir).map(r => (r._1, r._3)) == Seq(("a", "full"), ("b", "partial")))
+  }
+
+  test("batch read sees the whole log") {
+    val dir = tmpDir("sse-batch")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, (1 to 5).map(i => frame("e", i, s"d$i")).mkString)
+    assert(spark.read.format("sse").option("path", log.toString).load().count() == 5)
+  }
+}
