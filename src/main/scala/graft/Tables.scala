@@ -10,6 +10,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every operator loads tables through here, so this is the one hook that
+    // guarantees graft's native SQL functions exist in the session (a no-op
+    // when attached via spark.sql.extensions=graft.plans.GraftExtensions)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     // events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless read
     // as raw long. We truncate ns→µs ourselves, matching what DuckDB (and
     // Spark for µs data) does on read.

@@ -52,16 +52,17 @@ object Kernels {
   // 32-way min-aggregate over exploded shingle hashes — higher-order array
   // lambdas evaluate interpreted (outside codegen) and measured ~100× slower.
 
-  /** Float array → double array (exact), for stable accumulation. */
-  def vecDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Float array → double array (exact element-wise widening cast). */
+  def vecDouble(c: Column): Column = c.cast("array<double>")
 
   /** L2 norm of a double-array column (left-to-right fold). */
-  def vecNorm(e: Column): Column =
-    sqrt(aggregate(e, lit(0.0), (acc, v) => acc + v * v))
+  def vecNorm(e: Column): Column = sqrt(dot(e, e))
 
-  /** Dot product of two double-array columns (left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double-array columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (same left-to-right fold as
+    * the HOF formulation and the oracle, ~10× faster). Requires
+    * [[GraftFunctions.ensureRegistered]] (done by graft.Tables). */
+  def dot(a: Column, b: Column): Column = call_function(GraftFunctions.DotName, a, b)
 
   /** Cosine similarity of two float-array columns, computed in double with a
     * left-to-right fold (same accumulation order as the oracle).
@@ -81,11 +82,12 @@ object Kernels {
 
   /** 16-bit random-hyperplane LSH bucket of a float-array column. */
   def lshBucket(vec: Column, nPlanes: Int = 16): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+    val dv = vecDouble(vec)
+    val dims = sequence(lit(0), size(dv) - 1)
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val proj = aggregate(
-          zip_with(transform(vec, x => x.cast("double")), dims, (x, j) => x * lshWeight(p, j)),
+          zip_with(dv, dims, (x, j) => x * lshWeight(p, j)),
           lit(0.0), (acc, v) => acc + v)
         // 2^p as a long (exact for p < 53; nPlanes is 16)
         when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))

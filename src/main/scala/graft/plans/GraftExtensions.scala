@@ -1,0 +1,19 @@
+package graft.plans
+
+import graft.functions.{DotProduct, GraftFunctions}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions for graft: registers the native SQL functions so
+  * `spark.sql.extensions=graft.plans.GraftExtensions` exposes them to every
+  * session (SQL and DataFrame API alike).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+  }
+}
