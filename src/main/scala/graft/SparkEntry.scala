@@ -20,6 +20,12 @@ object SparkEntry {
     "q10_returned" -> ((s, d) => Tpch.q10Returned(s, d)),
     "q18_large_orders" -> ((s, d) => Tpch.q18LargeOrders(s, d)),
     "q_revenue_by_month" -> ((s, d) => Tpch.qRevenueByMonth(s, d)),
+    "q7_nation_trade" -> ((s, d) => Tpch.q7NationTrade(s, d)),
+    "q9_profit" -> ((s, d) => Tpch.q9Profit(s, d)),
+    "q14_promo_share" -> ((s, d) => Tpch.q14PromoShare(s, d)),
+    "q16_part_suppliers" -> ((s, d) => Tpch.q16PartSuppliers(s, d)),
+    "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
+    "q22_idle_customers" -> ((s, d) => Tpch.q22IdleCustomers(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_normalize" -> ((s, d) => Events.sseNormalize(s, d)),
@@ -31,6 +37,7 @@ object SparkEntry {
     "ev_json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
+    "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -59,8 +66,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),6) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,
@@ -70,7 +77,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey=o_orderkey
         |JOIN customer ON o_custkey=c_custkey
@@ -80,7 +87,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey=o_orderkey
         |JOIN supplier ON l_suppkey=s_suppkey
@@ -92,14 +99,14 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_items
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS c_acctbal, n_name, revenue
         |FROM (
-        |  SELECT o_custkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  SELECT o_custkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         |  WHERE l_returnflag='R'
         |   AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -120,6 +127,64 @@ object SparkEntry {
       """SELECT date_trunc('month', o_orderdate) AS month,
         | round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | cast(year(o_orderdate) AS int) AS l_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation n1 ON s_nationkey=n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey=n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND n1.n_name != n2.n_name
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, cast(year(o_orderdate) AS int) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey=p_partkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        | round(sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END),4) AS promo_revenue,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS total_revenue,
+        | round(100.0*sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |   / sum(l_extendedprice*(1-l_discount)),4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey=p_partkey
+        |WHERE p_size >= 10 AND p_size <= 30 AND p_brand != 'Brand#1'
+        |GROUP BY 1,2,3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE (p_brand='Brand#12' AND p_size<=15 AND l_quantity>=1 AND l_quantity<=21)
+        | OR (p_brand='Brand#3' AND p_size<=20 AND l_quantity>=10 AND l_quantity<=30)
+        | OR (p_brand='Brand#24' AND p_size<=25 AND l_quantity>=20 AND l_quantity<=40)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_agg_salted" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
+        | round(sum(value)/count(*),4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "sse_parse" ->
       """SELECT event_type AS event, cast(event_id AS varchar) AS id, props AS data
         |FROM events ORDER BY event_id""".stripMargin,

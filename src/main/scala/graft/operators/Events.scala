@@ -137,6 +137,24 @@ object Events {
       .limit(n)
   }
 
+  /** Skew-resilient two-phase aggregation: pre-aggregate on (key, salt),
+    * then merge partials per key. Identical result to a direct groupBy, but
+    * no single reducer ever sees more than 1/nSalts of a hot key's rows —
+    * the standard defense when key cardinality is tiny (5 event types here)
+    * or one key dominates. The salt is deterministic (id mod nSalts) so the
+    * operator stays reproducible. */
+  def aggSalted(spark: SparkSession, d: String, nSalts: Int = 16): DataFrame = {
+    val partial = Tables.events(spark, d)
+      .withColumn("salt", pmod(col("event_id"), lit(nSalts.toLong)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")), 2).as("sum_value"),
+        round(sum(col("psum")) / sum(col("pn")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

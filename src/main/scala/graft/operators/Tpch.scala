@@ -33,8 +33,8 @@ object Tpch {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -54,7 +54,7 @@ object Tpch {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -78,7 +78,7 @@ object Tpch {
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -88,7 +88,7 @@ object Tpch {
     Tables.lineitem(spark, d)
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -104,7 +104,7 @@ object Tpch {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"),
@@ -138,5 +138,112 @@ object Tpch {
       .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("month"))
+  }
+
+  /** TPC-H Q7: trade volume between supplier and customer nations, by year.
+    * Both nation dims broadcast; one fact↔fact shuffle. */
+  def q7NationTrade(spark: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(spark, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q9 (adapted — no partsupp cost column): revenue by supplier
+    * nation and order year for parts whose name contains a token. */
+  def q9Profit(spark: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(spark, d).filter(col("p_name").contains("a")).select("p_partkey")
+    val supp = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, d).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(col("nation"), col("o_year"), col("revenue"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q14: promo revenue share per month (conditional aggregation). */
+  def q14PromoShare(spark: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(spark, d).select(col("p_partkey"), col("p_type"))
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 4).as("promo_revenue"),
+        round(sum(rev), 4).as("total_revenue"),
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
+          .as("promo_pct"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q16 (adapted — supplier pairs come from lineitem, no partsupp):
+    * distinct suppliers per (brand, type, size) for mid-size parts. */
+  def q16PartSuppliers(spark: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(spark, d)
+      .filter(col("p_size") >= 10 && col("p_size") <= 30 && col("p_brand") =!= "Brand#1")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, d).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19: disjunctive brand/size/quantity predicates (pushdown of an
+    * OR-of-ANDs filter through a broadcast join). */
+  def q19Disjunct(spark: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(spark, d).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size") <= 15 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 21) ||
+        (col("p_brand") === "Brand#3" && col("p_size") <= 20 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#24" && col("p_size") <= 25 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 40))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 (adapted): customers with above-average positive balance and
+    * no orders in 1997+ (scalar subquery + anti join), by market segment. */
+  def q22IdleCustomers(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("a"))
+    val recent = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey").distinct()
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
   }
 }
