@@ -55,6 +55,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "docs_by_source" -> ((s, d) => TextAnalysis.bySource(s, d)),
+    "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdOracle,
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "docs_by_source" -> TextAnalysis.bySourceOracle,
+    "text_top_terms" -> TextAnalysis.topTermsOracle,
     "mm_decode_meta" -> Multimodal.decodeMetaOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
   )

@@ -28,21 +28,37 @@ object TextAnalysis {
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
-  /** Per-doc quality metrics + composite score. */
+  /** Per-doc quality metrics + composite score.
+    *
+    * Computed over exploded tokens with a per-doc hash-aggregate (count /
+    * count-if / sum are codegen'd with map-side combine) instead of
+    * per-row array-lambda filters, which evaluate interpreted — the same
+    * explode-then-aggregate shape every other corpus operator uses, and the
+    * one that scales: shuffle volume is |docs|, not |tokens|. */
   def quality(spark: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nWords = size(toks)
-    val nNoSpace = length(translate(col("text"), " ", ""))
-    val stopRatio = countIn(toks, Stopwords).cast("double") / nWords
-    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-    val punctRatio = punct.cast("double") / length(col("text"))
-    Tables.documents(spark, d).select(
+    // Doc-level char metrics in their own branch: if they ride through the
+    // Generate, Catalyst re-projects them above it and the regex runs once
+    // per TOKEN row instead of once per doc (measured 8.5s vs 1.5s at sf0.1).
+    val chars = Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        length(translate(col("text"), " ", "")).as("n_nospace"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"))
+    val tokAgg = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(when(col("t").isInCollection(Stopwords), 1L).otherwise(0L)).as("nstop"))
+    val agg = tokAgg.join(chars, "doc_id")
+    val nWords = col("nw").cast("int")
+    val stopRatio = col("nstop").cast("double") / col("nw")
+    val punctRatio = col("n_punct").cast("double") / col("n_chars")
+    agg.select(
       col("doc_id"),
       nWords.as("n_words"),
-      round(nNoSpace.cast("double") / nWords, 4).as("avg_word_len"),
+      round(col("n_nospace").cast("double") / col("nw"), 4).as("avg_word_len"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
-      round(lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0))
+      round(lit(0.4) * least(col("nw").cast("double") / 100.0, lit(1.0))
         + lit(0.3) * (lit(1.0) - stopRatio)
         + lit(0.3) * (lit(1.0) - punctRatio), 4).as("quality_score"))
       .orderBy(col("doc_id"))
@@ -124,6 +140,23 @@ object TextAnalysis {
     s"""SELECT doc_id, md5($norm) AS md5_fp, ${sqlHash60(norm)} AS fp60
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Corpus vocabulary: top-k tokens by occurrence (tf + document
+    * frequency) — the inverted-index / BPE-vocabulary precursor. Partial
+    * aggregation bounds the shuffle by |vocabulary|, not corpus size. */
+  def topTerms(spark: SparkSession, d: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
+  val topTermsOracle: String =
+    """SELECT t AS token, count(*) AS n_occurrences,
+      | count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin
 
   /** Corpus stats per source: volume, language spread, exact-dup rate. */
   def bySource(spark: SparkSession, d: String): DataFrame =

@@ -48,6 +48,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(sessions.contains((1L, 2L, 3.0)), s"got ${sessions.mkString(",")}")
   }
 
+  test("end-to-end: sse source → JSON decode → watermarked windowed agg") {
+    val dir = java.nio.file.Files.createTempDirectory("sse-e2e")
+    val log = dir.resolve("stream.log")
+    def frame(typ: String, t: String, v: Double) =
+      s"""event: change\ndata: {"event_type":"$typ","ts":"$t","value":$v}\n\n"""
+    java.nio.file.Files.writeString(log,
+      frame("edit", "2024-01-01 10:05:00", 1.0) +
+        frame("edit", "2024-01-01 10:40:00", 2.0) +
+        frame("log", "2024-01-01 11:10:00", 4.0))
+    val events = spark.readStream.format("sse").option("path", log.toString).load()
+      .select(
+        get_json_object(col("data"), "$.event_type").as("event_type"),
+        get_json_object(col("data"), "$.ts").cast("timestamp").as("ts"),
+        get_json_object(col("data"), "$.value").cast("double").as("value"))
+    val q = StreamOps.windowedCounts(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("sse_e2e").outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT date_format(window.start,'HH:mm') AS w, event_type, n_events, sum_value FROM sse_e2e ORDER BY w, event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("10:00", "edit", 2L, 3.0), ("11:00", "log", 1L, 4.0)))
+  }
+
   test("dedupById drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
