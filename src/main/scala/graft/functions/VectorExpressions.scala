@@ -65,6 +65,49 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 31-bit polynomial rolling hash over a string's code points:
+  * acc = (acc * 131 + codepoint) mod (2^31 - 1), seed 0.
+  *
+  * A document-fingerprint kernel the DuckDB oracle reproduces exactly with
+  * list_reduce over ord(); native + codegen'd here so fingerprinting a
+  * 100 TB corpus stays a single tight map pass.
+  */
+case class RollingHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val P = 2147483647L
+  final val B = 131L
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * B + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 /** Registration of graft's native SQL functions.
   *
   * Deployments attach them via
@@ -74,14 +117,19 @@ case class DotProduct(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotName = "graft_dot"
-
-  private val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, DotName)
+  val RollingHashName = "graft_rolling_hash"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(DotName))) {
-      registry.registerFunction(FunctionIdentifier(DotName), dotInfo,
+      registry.registerFunction(FunctionIdentifier(DotName),
+        new ExpressionInfo(classOf[DotProduct].getName, DotName),
         (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+    }
+    if (!registry.functionExists(FunctionIdentifier(RollingHashName))) {
+      registry.registerFunction(FunctionIdentifier(RollingHashName),
+        new ExpressionInfo(classOf[RollingHash].getName, RollingHashName),
+        (exprs: Seq[Expression]) => RollingHash(exprs.head))
     }
   }
 }

@@ -120,13 +120,25 @@ object Dedup {
     * the join cost is Σ df(s)² over shingle document-frequencies — bounded by
     * how often a shingle repeats across the corpus, not by |candidates| ×
     * |shingles|. The candidate set then just filters the overlap pairs. */
-  private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
+  private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double,
+      candDriven: Boolean = false): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val overlaps = shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    val inter = overlaps.join(cand, Seq("doc_a", "doc_b"))
+    // Two shapes for the intersection counts, picked by candidate volume:
+    //  - candDriven (LSH: few candidates): expand candidates by doc_a's
+    //    shingles, then match doc_b's — cost |cand| × shingles-per-doc.
+    //  - index-driven (blocked cross: many candidates): join the shingle
+    //    inverted index with itself — cost Σ df(s)², independent of |cand|.
+    val inter =
+      if (candDriven) {
+        cand.join(shA, "doc_a").join(shB, Seq("doc_b", "s"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      } else {
+        shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+          .join(cand, Seq("doc_a", "doc_b"))
+      }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -181,7 +193,7 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardConfirm(cand, sh, minJac)
+    jaccardConfirm(cand, sh, minJac, candDriven = true)
   }
 
   val minhashLshOracle: String =

@@ -125,19 +125,26 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
-  /** Document fingerprints: md5 of normalized text + 60-bit integer digest. */
+  /** Document fingerprints: md5 of normalized text, 60-bit md5-prefix
+    * digest, and the native codegen'd polynomial rolling hash
+    * ([[graft.functions.RollingHash]]). */
   def fingerprint(spark: SparkSession, d: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     Tables.documents(spark, d).select(
       col("doc_id"),
       md5(norm).as("md5_fp"),
-      hash60(norm).as("fp60"))
+      hash60(norm).as("fp60"),
+      call_function(graft.functions.GraftFunctions.RollingHashName, norm).as("fp_roll"))
       .orderBy(col("doc_id"))
   }
 
   val fingerprintOracle: String = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    s"""SELECT doc_id, md5($norm) AS md5_fp, ${sqlHash60(norm)} AS fp60
+    s"""SELECT doc_id, md5($norm) AS md5_fp, ${sqlHash60(norm)} AS fp60,
+       | list_reduce(list_prepend(cast(0 AS bigint),
+       |   list_transform(range(1, len($norm)+1),
+       |     i -> cast(ord(substr($norm, cast(i AS int), 1)) AS bigint))),
+       |   (a, c) -> (a * 131 + c) % 2147483647) AS fp_roll
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

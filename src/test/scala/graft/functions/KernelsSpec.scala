@@ -58,6 +58,15 @@ class KernelsSpec extends SparkSpec {
     assert(buckets.values.forall(b => b >= 0 && b < (1 << 16)))
   }
 
+  test("rolling hash: known answers, codegen path matches static compute") {
+    assert(RollingHash.compute("") == 0L)
+    assert(RollingHash.compute("ab") == 97L * 131 + 98) // 12805, matches oracle
+    val viaSql = Seq("ab", "the quick brown fox", "")
+      .toDF("s").select(call_function(GraftFunctions.RollingHashName, col("s")))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == Seq("ab", "the quick brown fox", "").map(RollingHash.compute))
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)
