@@ -52,33 +52,46 @@ object TextAnalysis {
     val nWords = col("nw").cast("int")
     val stopRatio = col("nstop").cast("double") / col("nw")
     val punctRatio = col("n_punct").cast("double") / col("n_chars")
+    // The composite score is computed in EXACT integer arithmetic (milli
+    // units, common denominator nw·n_chars) rather than a double sum: the
+    // weighted-sum-of-rationals frequently lands exactly on round()'s .xxx5
+    // boundaries, where a 1-ulp engine difference flips the digit. Integer
+    // div is bit-identical everywhere.
+    //   score = 0.4·min(nw,100)/100 + 0.3·(1−nstop/nw) + 0.3·(1−np/nc)
+    val scoreNum = lit(4L) * least(col("nw"), lit(100L)) * col("nw") * col("n_chars") +
+      lit(300L) * (col("nw") - col("nstop")) * col("n_chars") +
+      lit(300L) * (col("n_chars") - col("n_punct")) * col("nw")
+    // integer division via exact-multiple subtraction: num − (num mod den)
+    // is an exact multiple of den, so the double division is exact too
+    val den = col("nw") * col("n_chars")
+    val scoreMilli = (scoreNum - pmod(scoreNum, den)) / den
     agg.select(
       col("doc_id"),
       nWords.as("n_words"),
       round(col("n_nospace").cast("double") / col("nw"), 4).as("avg_word_len"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
-      round(lit(0.4) * least(col("nw").cast("double") / 100.0, lit(1.0))
-        + lit(0.3) * (lit(1.0) - stopRatio)
-        + lit(0.3) * (lit(1.0) - punctRatio), 4).as("quality_score"))
+      scoreMilli.cast("long").as("score_milli"))
       .orderBy(col("doc_id"))
   }
 
   val qualityOracle: String =
-    s"""SELECT doc_id,
-       |  cast(len(string_split(text, ' ')) AS int) AS n_words,
-       |  round(cast(length(replace(text, ' ', '')) AS double)
-       |    / len(string_split(text, ' ')), 4) AS avg_word_len,
-       |  round(cast(${sqlCountIn(Stopwords)} AS double)
-       |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
-       |  round(cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS double)
-       |    / length(text), 4) AS punct_ratio,
-       |  round(0.4 * least(cast(len(string_split(text, ' ')) AS double) / 100.0, 1.0)
-       |    + 0.3 * (1.0 - cast(${sqlCountIn(Stopwords)} AS double)
-       |        / len(string_split(text, ' ')))
-       |    + 0.3 * (1.0 - cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS double)
-       |        / length(text)), 4) AS quality_score
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    cast(len(string_split(text, ' ')) AS bigint) AS nw,
+       |    cast(${sqlCountIn(Stopwords)} AS bigint) AS nstop,
+       |    cast(length(text) AS bigint) AS nc,
+       |    cast(length(replace(text, ' ', '')) AS bigint) AS nns,
+       |    cast(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS bigint) AS np
+       |  FROM documents)
+       |SELECT doc_id,
+       |  cast(nw AS int) AS n_words,
+       |  round(cast(nns AS double) / nw, 4) AS avg_word_len,
+       |  round(cast(nstop AS double) / nw, 4) AS stopword_ratio,
+       |  round(cast(np AS double) / nc, 4) AS punct_ratio,
+       |  (4 * least(nw, 100) * nw * nc + 300 * (nw - nstop) * nc
+       |    + 300 * (nc - np) * nw) // (nw * nc) AS score_milli
+       |FROM m ORDER BY doc_id""".stripMargin
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   def tokenCounts(spark: SparkSession, d: String): DataFrame =

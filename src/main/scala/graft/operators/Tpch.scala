@@ -34,7 +34,11 @@ object Tpch {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        // charge is exactly 6-decimal, but at large SF the accumulation noise
+        // exceeds a 1e-6 half-step; round 2 instead — a 6-decimal value sits
+        // on a .xx5000 boundary with probability 1e-4, vs certainty of noise
+        // flips at round 6 (see SURVEY §6 rounding rule)
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
