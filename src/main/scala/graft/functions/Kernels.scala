@@ -80,20 +80,11 @@ object Kernels {
   def lshWeight(p: Column, j: Column): Column =
     (pmod(p * lit(1000003L) + j * lit(7919L), lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
 
-  /** 16-bit random-hyperplane LSH bucket of a float-array column. */
-  def lshBucket(vec: Column, nPlanes: Int = 16): Column = {
-    val dv = vecDouble(vec)
-    val dims = sequence(lit(0), size(dv) - 1)
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(dv, dims, (x, j) => x * lshWeight(p, j)),
-          lit(0.0), (acc, v) => acc + v)
-        // 2^p as a long (exact for p < 53; nPlanes is 16)
-        when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc + v)
-  }
+  /** 16-bit random-hyperplane LSH bucket of a (float or double) array
+    * column — the native codegen'd [[graft.functions.LshBucket]] expression
+    * (same per-plane left-to-right fold as the oracle SQL). */
+  def lshBucket(vec: Column): Column =
+    call_function(GraftFunctions.LshBucketName, vecDouble(vec))
 
   // ---- Oracle SQL fragments (DuckDB), built from the same constants ----
 

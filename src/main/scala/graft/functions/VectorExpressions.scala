@@ -65,6 +65,56 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket of an `array<double>` vector: bit p of the
+  * result is the sign of the projection onto deterministic hyperplane p,
+  * with weight(p, j) = ((p·1000003 + j·7919) mod 2001 − 1000)/1000 — pure
+  * integer arithmetic shared bit-for-bit with the DuckDB oracle
+  * (graft.functions.Kernels.lshWeight). Native + codegen'd so bucketing a
+  * vector is one tight loop instead of nested interpreted lambdas.
+  */
+case class LshBucket(child: Expression, nPlanes: Int = 16)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucket.compute(input.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBucket.compute($c, $nPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Left-to-right fold per plane — same accumulation as the oracle SQL. */
+  def compute(vec: ArrayData, nPlanes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val w = ((p * 1000003L + j * 7919L) % 2001L - 1000L) / 1000.0
+        proj += vec.getDouble(j) * w
+        j += 1
+      }
+      if (proj > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** 31-bit polynomial rolling hash over a string's code points:
   * acc = (acc * 131 + codepoint) mod (2^31 - 1), seed 0.
   *
@@ -118,6 +168,7 @@ object RollingHash {
 object GraftFunctions {
   val DotName = "graft_dot"
   val RollingHashName = "graft_rolling_hash"
+  val LshBucketName = "graft_lsh_bucket"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -130,6 +181,11 @@ object GraftFunctions {
       registry.registerFunction(FunctionIdentifier(RollingHashName),
         new ExpressionInfo(classOf[RollingHash].getName, RollingHashName),
         (exprs: Seq[Expression]) => RollingHash(exprs.head))
+    }
+    if (!registry.functionExists(FunctionIdentifier(LshBucketName))) {
+      registry.registerFunction(FunctionIdentifier(LshBucketName),
+        new ExpressionInfo(classOf[LshBucket].getName, LshBucketName),
+        (exprs: Seq[Expression]) => LshBucket(exprs.head))
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, RollingHash}
+import graft.functions.{DotProduct, GraftFunctions, LshBucket, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHash].getName, GraftFunctions.RollingHashName),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LshBucketName),
+      new ExpressionInfo(classOf[LshBucket].getName, GraftFunctions.LshBucketName),
+      (exprs: Seq[Expression]) => LshBucket(exprs.head)))
   }
 }
