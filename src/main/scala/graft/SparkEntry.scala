@@ -38,6 +38,8 @@ object SparkEntry {
     "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
+    "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
+    "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -245,6 +247,8 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
+    "ev_asof_join" -> Joins.asofJoinOracle,
+    "ev_range_join" -> Joins.rangeJoinOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators over the event stream — capabilities Spark SQL
+  * lacks as built-ins, composed from existing operators per the preference
+  * order in SURVEY §4 (compose > custom expression > custom plan): both
+  * shapes below need no custom physical operator to be shuffle-optimal.
+  */
+object Joins {
+
+  /** As-of join: for every purchase, the same user's latest click at or
+    * before it.
+    *
+    * Implemented as the union + running-last window composition: tag both
+    * sides, sort each user's timeline once, and carry the last click forward.
+    * One shuffle (by user), no range predicate, no per-row probe — at 100 TB
+    * this is strictly better than a join with an inequality condition, which
+    * Spark would execute as a broadcast/nested-loop probe. Ties (click and
+    * purchase in the same second) order the click first, so a same-second
+    * click counts as "before".
+    */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("c_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(timeline))
+      .withColumn("c_tsec", last(when(col("kind") === 0, col("tsec")), ignoreNulls = true).over(timeline))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("p_id"), col("user_id"), col("tsec").as("p_tsec"),
+        col("c_id"), col("c_tsec"), (col("tsec") - col("c_tsec")).as("gap_sec"))
+      .orderBy(col("p_id"))
+  }
+
+  val asofJoinOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS tsec, event_id,
+      |    CASE WHEN event_type='click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN kind=0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, kind, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS c_id,
+      |    last_value(CASE WHEN kind=0 THEN tsec END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, kind, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS c_tsec
+      |  FROM tagged)
+      |SELECT event_id AS p_id, user_id, tsec AS p_tsec, c_id, c_tsec,
+      |  tsec - c_tsec AS gap_sec
+      |FROM w WHERE kind=1 ORDER BY p_id""".stripMargin
+
+  /** Bucketed range join: errors within `windowSec` after each purchase.
+    *
+    * The range predicate is turned into an equi-join on a time bucket of
+    * width `windowSec`: each purchase probes its own bucket and the next
+    * one (explode of 2 keys), then the exact range filter runs on the
+    * matched pairs. Shuffle keys are (user, bucket), so the work is
+    * proportional to events-per-bucket — the standard way to keep an
+    * interval join from degenerating into a per-user cross product.
+    */
+  def rangeJoin(spark: SparkSession, d: String, windowSec: Long = 86400L): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_timestamp(col("ts")).as("p_tsec"))
+      .withColumn("pb", floor(col("p_tsec") / windowSec).cast("long"))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") + 1)))
+      .drop("pb")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("e_tsec"))
+      .withColumn("bucket", floor(col("e_tsec") / windowSec).cast("long"))
+    purchases.join(errors, Seq("user_id", "bucket"))
+      .filter(col("e_tsec") > col("p_tsec") && col("e_tsec") <= col("p_tsec") + windowSec)
+      .groupBy(col("p_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_errors"),
+        min(col("e_tsec") - col("p_tsec")).as("first_gap_sec"))
+      .orderBy(col("p_id"))
+  }
+
+  val rangeJoinOracle: String =
+    """SELECT p.event_id AS p_id, p.user_id, count(*) AS n_errors,
+      |  min(e.tsec - p.tsec) AS first_gap_sec
+      |FROM (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS tsec
+      |      FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS tsec
+      |      FROM events WHERE event_type='error') e
+      |  ON e.user_id = p.user_id AND e.tsec > p.tsec AND e.tsec <= p.tsec + 86400
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+}
