@@ -66,53 +66,100 @@ class SseScan(config: SseConfig) extends Scan {
     new SseMicroBatchStream(config)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(SseInputPartition(config.path, 0L, new java.io.File(config.path).length()))
+      SseFrameLog.listLogs(config.path)
+        .map(f => SseInputPartition(f, 0L, new java.io.File(f).length()))
+        .toArray
     override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   }
 }
 
-/** Byte offset into the frame log (frame-aligned). */
-case class SseOffset(pos: Long) extends Offset {
-  override def json(): String = pos.toString
+/** Frame-aligned byte offset per log file. `path` may be one file or a
+  * directory of logs (one per upstream partition); each file advances
+  * independently, so a batch is planned as one input partition per log and
+  * scales with the number of logs. */
+case class SseOffset(positions: Map[String, Long]) extends Offset {
+  override def json(): String = SseOffset.toJson(positions)
+}
+
+object SseOffset {
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  def toJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":$v""" }
+      .mkString("{", ",", "}")
+  /** Minimal parser for the flat {"path":pos,...} shape written above. */
+  def fromJson(s: String): SseOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) return SseOffset(Map.empty)
+    val entries = scala.collection.mutable.Map.empty[String, Long]
+    var i = 0
+    while (i < body.length) {
+      assert(body.charAt(i) == '"', s"bad offset json: $s")
+      val key = new StringBuilder
+      i += 1
+      while (body.charAt(i) != '"') {
+        if (body.charAt(i) == '\\') i += 1
+        key.append(body.charAt(i)); i += 1
+      }
+      i += 2 // closing quote + colon
+      val num = new StringBuilder
+      while (i < body.length && body.charAt(i) != ',') { num.append(body.charAt(i)); i += 1 }
+      i += 1 // comma
+      entries(key.toString) = num.toString.toLong
+    }
+    SseOffset(entries.toMap)
+  }
 }
 
 class SseMicroBatchStream(config: SseConfig)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** End-of-data snapshot for Trigger.AvailableNow (frame-aligned). */
-  @volatile private var availableNowEnd: Option[Long] = None
+  @volatile private var availableNowEnd: Option[Map[String, Long]] = None
 
-  override def initialOffset(): Offset = SseOffset(0L)
-  override def deserializeOffset(json: String): Offset = SseOffset(json.toLong)
+  override def initialOffset(): Offset = SseOffset(Map.empty)
+  override def deserializeOffset(json: String): Offset = SseOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     config.maxEventsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
+  private def scanAll(from: Map[String, Long], capPerLog: Long): Map[String, Long] =
+    SseFrameLog.listLogs(config.path)
+      .map(f => f -> SseFrameLog.boundaryAfter(f, from.getOrElse(f, 0L), capPerLog))
+      .toMap
+
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(SseFrameLog.boundaryAfter(config.path, 0L, Long.MaxValue))
+    availableNowEnd = Some(scanAll(Map.empty, Long.MaxValue))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  /** Admission control: advance to the frame boundary after at most
-    * `maxRows` dispatched events past `start` (and never past the
-    * AvailableNow snapshot). */
+  /** Admission control: each log advances to the frame boundary after at
+    * most `maxRows` dispatched events past its own offset (and never past
+    * the AvailableNow snapshot). New logs appearing mid-stream are picked
+    * up at position 0. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[SseOffset].pos
+    val from = start.asInstanceOf[SseOffset].positions
     val cap = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    val end = SseFrameLog.boundaryAfter(config.path, from, cap)
-    SseOffset(availableNowEnd.fold(end)(math.min(end, _)))
+    val scanned = scanAll(from, cap)
+    SseOffset(availableNowEnd.fold(scanned) { snap =>
+      scanned.map { case (f, p) => f -> math.min(p, snap.getOrElse(f, 0L)) }
+    })
   }
 
-  override def reportLatestOffset(): Offset =
-    SseOffset(SseFrameLog.boundaryAfter(config.path, 0L, Long.MaxValue))
+  override def reportLatestOffset(): Offset = SseOffset(scanAll(Map.empty, Long.MaxValue))
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(SseInputPartition(config.path,
-      start.asInstanceOf[SseOffset].pos, end.asInstanceOf[SseOffset].pos))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SseOffset].positions
+    val to = end.asInstanceOf[SseOffset].positions
+    to.toSeq.sortBy(_._1).flatMap { case (f, endPos) =>
+      val startPos = from.getOrElse(f, 0L)
+      if (endPos > startPos) Some(SseInputPartition(f, startPos, endPos)) else None
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   override def commit(end: Offset): Unit = ()
@@ -141,6 +188,17 @@ object SseReaderFactory extends PartitionReaderFactory {
 
 /** Byte-level access to the append-only frame log. */
 object SseFrameLog {
+
+  /** The log files behind a source path: the file itself, or every regular
+    * file in a directory (sorted for deterministic planning). */
+  def listLogs(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.getPath).sorted.toSeq
+    } else if (f.exists()) Seq(path)
+    else Seq.empty
+  }
 
   /** Read [start, end) as UTF-8 text. Boundaries are always at newline
     * bytes (frame-aligned), so slices are valid UTF-8. */

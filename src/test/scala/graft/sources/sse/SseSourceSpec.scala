@@ -83,6 +83,37 @@ class SseSourceSpec extends SparkSpec {
     assert(sinkRows(dir).map(r => (r._1, r._3)) == Seq(("a", "full"), ("b", "partial")))
   }
 
+  test("directory of logs → one partition per log, independent offsets") {
+    val dir = tmpDir("sse-multi")
+    val logs = dir.resolve("logs")
+    Files.createDirectories(logs)
+    Files.writeString(logs.resolve("p0.log"), frame("a", 1, "x") + frame("a", 2, "y"))
+    Files.writeString(logs.resolve("p1.log"), frame("b", 10, "z"))
+
+    // batch: parallelism = number of logs
+    val batch = spark.read.format("sse").option("path", logs.toString).load()
+    assert(batch.rdd.getNumPartitions == 2)
+    assert(batch.count() == 3)
+
+    // streaming: both logs read; appending to one + adding a NEW log resumes
+    val sink = dir.resolve("out")
+    def run(): Unit = {
+      val q = spark.readStream.format("sse").option("path", logs.toString).load()
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(sink.toString).count() == 3)
+    Files.writeString(logs.resolve("p1.log"), frame("b", 11, "w"), StandardOpenOption.APPEND)
+    Files.writeString(logs.resolve("p2.log"), frame("c", 20, "new-partition"))
+    run()
+    val all = spark.read.parquet(sink.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(all == Seq(("a", "1"), ("a", "2"), ("b", "10"), ("b", "11"), ("c", "20")))
+  }
+
   test("batch read sees the whole log") {
     val dir = tmpDir("sse-batch")
     val log = dir.resolve("stream.log")
