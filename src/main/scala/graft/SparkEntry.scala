@@ -40,6 +40,8 @@ object SparkEntry {
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
+    "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "ev_retention" -> ((s, d) => Events.retention(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -50,6 +52,8 @@ object SparkEntry {
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.5 text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -58,6 +62,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "docs_by_source" -> ((s, d) => TextAnalysis.bySource(s, d)),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -249,6 +254,11 @@ object SparkEntry {
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
+    "ev_funnel" -> Events.funnelOracle,
+    "ev_retention" -> Events.retentionOracle,
+    "ann_ivf" -> Similarity.ivfTopKOracle,
+    "vec_centroids" -> Similarity.centroidsOracle,
+    "text_tfidf" -> TextAnalysis.tfidfOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -137,6 +137,71 @@ object Events {
       .limit(n)
   }
 
+  /** Funnel analysis: per user, the first signup, the first click after it,
+    * and the first purchase after that. Three conditional-min aggregations
+    * joined on user — each pass is a partial-agg-friendly shuffle by user,
+    * never a sequence scan holding per-user state. */
+  def funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+    val su = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("tsec"))).as("t_signup"))
+      .filter(col("t_signup").isNotNull)
+    val cu = ev.join(su, "user_id")
+      .filter(col("event_type") === "click" && col("tsec") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("tsec")).as("t_click"))
+    val pu = ev.join(cu, "user_id")
+      .filter(col("event_type") === "purchase" && col("tsec") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tsec")).as("t_purchase"))
+    su.join(cu, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    cast(floor(epoch(ts)) AS bigint) AS tsec FROM events),
+      |su AS (
+      |  SELECT user_id, min(CASE WHEN event_type='signup' THEN tsec END) AS t_signup
+      |  FROM ev GROUP BY 1 HAVING t_signup IS NOT NULL),
+      |cu AS (
+      |  SELECT ev.user_id, min(tsec) AS t_click
+      |  FROM ev JOIN su ON ev.user_id = su.user_id
+      |  WHERE event_type='click' AND tsec > t_signup GROUP BY 1),
+      |pu AS (
+      |  SELECT ev.user_id, min(tsec) AS t_purchase
+      |  FROM ev JOIN cu ON ev.user_id = cu.user_id
+      |  WHERE event_type='purchase' AND tsec > t_click GROUP BY 1)
+      |SELECT su.user_id, t_signup, t_click, t_purchase
+      |FROM su LEFT JOIN cu ON su.user_id = cu.user_id
+      |LEFT JOIN pu ON su.user_id = pu.user_id
+      |ORDER BY su.user_id""".stripMargin
+
+  /** Cohort retention: users per (first-active week, week offset). Weeks
+    * are epoch-seconds div 604800 — pure integer arithmetic. */
+  def retention(spark: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(spark, d)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("week")).as("w0"))
+    weekly.join(cohort, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("week") - col("w0")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionOracle: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    cast(floor(epoch(ts)) AS bigint) // 604800 AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS w0 FROM weekly GROUP BY 1)
+      |SELECT w0 AS cohort_week, week - w0 AS week_offset,
+      |  count(DISTINCT weekly.user_id) AS n_users
+      |FROM weekly JOIN cohort ON weekly.user_id = cohort.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Skew-resilient two-phase aggregation: pre-aggregate on (key, salt),
     * then merge partials per key. Identical result to a direct groupBy, but
     * no single reducer ever sees more than 1/nSalts of a hot key's rows —

@@ -93,6 +93,99 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rank FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Per-cell centroids in long format (cell = label, dim, component).
+    * posexplode + hash-agg: shuffle volume is |cells|·dims, not vectors. */
+  def centroids(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("label"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .orderBy(col("label"), col("dim"))
+
+  val centroidsOracle: String =
+    """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT label, e, unnest(generate_series(1, len(e))) AS j FROM v)
+      |SELECT label, cast(j - 1 AS int) AS dim, round(avg(e[j]), 6) AS c
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** IVF-style ANN: build centroids (one cell per label), assign every
+    * vector to its nearest centroid by cosine, then answer queries inside
+    * their cell only — the inverted-file scale path where each probe
+    * touches |corpus|/|cells| candidates. Assignment is computed from the
+    * data (not the label column), so cells are a genuine coarse quantizer.
+    */
+  def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val cents = centroids(spark, d)
+      .select(col("label").as("cell"), col("dim"), col("c"))
+    val centNorms = cents.groupBy(col("cell"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
+    val comps = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+    // dot(vec, centroid) per (vec, cell) via the long-format join
+    val dots = comps.join(broadcast(cents), "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("v") * col("c")).as("dot"))
+    val assigned = dots
+      .join(broadcast(centNorms), "cell")
+      .join(normed(spark, d).select(col("vec_id"), col("norm")), "vec_id")
+      .withColumn("ccos", round(col("dot") / (col("norm") * col("cnorm")), 6))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cell"))
+    val members = normed(spark, d).join(assigned, "vec_id")
+    val q = members.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), col("cell"))
+    val scored = members.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT label AS cell, j, round(avg(e2[j]), 6) AS c
+      |  FROM (SELECT label, e AS e2, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings))
+      |  GROUP BY 1, 2),
+      |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |dots AS (
+      |  SELECT comp.vec_id, cents.cell, sum(val * c) AS dot
+      |  FROM comp JOIN cents ON comp.j = cents.j
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+      |    FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |members AS (
+      |  SELECT v.vec_id, v.e, vn.norm, a.cell
+      |  FROM v JOIN vnorms vn ON v.vec_id = vn.vec_id
+      |  JOIN assigned a ON v.vec_id = a.vec_id),
+      |q AS (SELECT vec_id AS query_id, e AS qe, norm AS qnorm, cell
+      |      FROM members WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, m.vec_id AS neighbor_id,
+      |    round(list_dot_product(qe, m.e) / (qnorm * m.norm), 4) AS cos
+      |  FROM q JOIN members m ON q.cell = m.cell AND m.vec_id != query_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** k-NN self-join within label blocks: each vector's k nearest peers. */
   def knnJoin(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     val v = normed(spark, d)

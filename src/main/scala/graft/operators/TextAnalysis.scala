@@ -178,6 +178,43 @@ object TextAnalysis {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin
 
+  /** TF-IDF: top-5 terms per doc by tf·ln(N/df). Two aggregations over the
+    * exploded token stream (tf per doc-term, df per term) + a broadcast of
+    * the term-df side; idf is a generic real so round(…,6) compares safely. */
+  def tfidf(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token").join(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.token, tf,
+      |    round(tf * ln(cast(n AS double) / df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.token = df.token, n),
+      |r AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, token) AS int) AS rank FROM scored)
+      |SELECT doc_id, token, tf, tfidf, rank FROM r
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** Corpus stats per source: volume, language spread, exact-dup rate. */
   def bySource(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
