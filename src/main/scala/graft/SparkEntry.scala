@@ -28,6 +28,7 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, d) => Tpch.q22IdleCustomers(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
+    "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
     "sse_normalize" -> ((s, d) => Events.sseNormalize(s, d)),
     "sse_route" -> ((s, d) => Events.sseRoute(s, d)),
     "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
@@ -66,6 +67,8 @@ object SparkEntry {
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
+    "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -196,6 +199,9 @@ object SparkEntry {
     "sse_parse" ->
       """SELECT event_type AS event, cast(event_id AS varchar) AS id, props AS data
         |FROM events ORDER BY event_id""".stripMargin,
+    "sse_parse_full" ->
+      """SELECT event_type AS event, cast(event_id AS varchar) AS id, props AS data
+        |FROM events ORDER BY event_id""".stripMargin,
     "sse_normalize" ->
       """SELECT coalesce(nullif(event_type,'error'),'unknown') AS event,
         | cast(event_id AS varchar) AS id, coalesce(nullif(props,''),'') AS data
@@ -276,5 +282,7 @@ object SparkEntry {
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "mm_decode_meta" -> Multimodal.decodeMetaOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
+    "mm_audio_meta" -> Multimodal.audioMetaOracle,
+    "mm_features" -> Multimodal.featuresOracle,
   )
 }

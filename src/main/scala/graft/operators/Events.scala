@@ -38,6 +38,28 @@ object Events {
       .orderBy(col("id").cast("long"))
   }
 
+  /** Same round-trip as [[sseParse]], but through the actual incremental
+    * WHATWG parser ([[graft.sources.sse.SseParser]]) running partition-wise
+    * over concatenated frame text — the exact code path the streaming
+    * source executes, validated against the relational oracle. */
+  def sseParseFull(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d).select(
+      concat(
+        lit("event: "), col("event_type"), lit("\n"),
+        lit("id: "), col("event_id").cast("string"), lit("\n"),
+        lit("data: "), col("props"), lit("\n\n")).as("frame"))
+      .as[String]
+      .mapPartitions { frames =>
+        frames.flatMap(f => graft.sources.sse.SseParser.parseAll(f).map { e =>
+          val (ev, id, data) = graft.sources.sse.SseParser.normalize(e)
+          (ev, id.orNull, data)
+        })
+      }
+      .toDF("event", "id", "data")
+      .orderBy(col("id").cast("long"))
+  }
+
   /** Reference null-handling: absent event name → "unknown", absent data →
     * "" , id passes through (ServerSentEventsSourceTask.java:114-117).
     * "error"-typed events stand in for frames with no event name. */

@@ -59,6 +59,54 @@ object Multimodal {
       |    ELSE 'webp' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Audio-style metadata over the fake payload: sample count, rate,
+    * duration — derived deterministically from the bytes (decode stub),
+    * with the Spark-side plumbing (binary column → typed metadata) real. */
+  def audioMeta(spark: SparkSession, d: String): DataFrame =
+    mediaTable(spark, d)
+      .select(col("doc_id"),
+        (length(col("media")) * 4).as("n_samples"),
+        (pmod(length(col("media")), lit(3)) * 8000 + lit(16000)).cast("int").as("sample_rate"))
+      .withColumn("duration_ms",
+        (col("n_samples") * 1000L / col("sample_rate")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val audioMetaOracle: String =
+    """SELECT doc_id,
+      |  cast(length(text) * 4 AS int) AS n_samples,
+      |  cast((length(text) % 3) * 8000 + 16000 AS int) AS sample_rate,
+      |  (cast(length(text) * 4 AS bigint) * 1000)
+      |    // ((length(text) % 3) * 8000 + 16000) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Feature extraction from the media payload: a deterministic numeric
+    * feature vector in long format (doc_id, feature, value) — the stand-in
+    * for an embedding model over decoded media, with real partition-wise
+    * batch plumbing downstream systems would join on. */
+  def features(spark: SparkSession, d: String): DataFrame = {
+    val text = col("text")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), array(
+        length(text).cast("double"),
+        size(split(text, " ")).cast("double"),
+        length(regexp_replace(text, "[^aeiou]", "")).cast("double"),
+        length(regexp_replace(text, "[^a-m]", "")).cast("double")).as("f"))
+      .select(col("doc_id"), posexplode(col("f")).as(Seq("feature", "value")))
+      .orderBy(col("doc_id"), col("feature"))
+  }
+
+  val featuresOracle: String =
+    """SELECT doc_id, cast(i - 1 AS int) AS feature, f[i] AS value
+      |FROM (
+      |  SELECT doc_id,
+      |    [cast(length(text) AS double),
+      |     cast(len(string_split(text, ' ')) AS double),
+      |     cast(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS double),
+      |     cast(length(regexp_replace(text, '[^a-m]', '', 'g')) AS double)] AS f,
+      |    unnest(generate_series(1, 4)) AS i
+      |  FROM documents)
+      |ORDER BY doc_id, feature""".stripMargin
+
   /** Frame-offset sampling over a fake video payload: every `stride`-th
     * frame index with its byte offset and timestamp. */
   def frameSample(spark: SparkSession, d: String, frameBytes: Int = 100, stride: Int = 5): DataFrame = {
