@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -271,6 +272,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
+    "dedup_clusters" -> Dedup.clustersOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,

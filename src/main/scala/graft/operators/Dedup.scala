@@ -290,6 +290,59 @@ object Dedup {
        |    ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id),
        |${sqlJaccardTail(0.5)}""".stripMargin
 
+  /** Near-dup clusters: connected components over the MinHash-confirmed
+    * pair graph, labeled by component-minimum doc id.
+    *
+    * Distributed min-label propagation to fixpoint: each superstep is a
+    * join + min-aggregate (both shuffle-bounded by |edges|), the driver only
+    * coordinates supersteps and checks convergence — the standard BSP shape
+    * for graph algorithms on Spark. Lineage is truncated per superstep with
+    * localCheckpoint so plans stay flat. Converges in O(component diameter)
+    * steps (near-dup components are tiny in practice). */
+  def clusters(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = docsWithNearDups(spark, d)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("pid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("cluster_id"))
+  }
+
+  val clustersOracle: String = {
+    val pairsSql = minhashLshOracle.replace("ORDER BY i.doc_a, i.doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u)
+       |SELECT label AS cluster_id, count(*) AS n_members, max(u) AS max_doc
+       |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs within label blocks. Planted dups are
     * scaled copies (×2) — cosine exactly 1 vs the original. */
   def embeddingCosine(spark: SparkSession, d: String, minCos: Double = 0.999): DataFrame = {

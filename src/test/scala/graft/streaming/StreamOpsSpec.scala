@@ -72,6 +72,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("10:00", "edit", 2L, 3.0), ("11:00", "log", 1L, 4.0)))
   }
 
+  test("topic-routed streaming sink: events land partitioned by topic") {
+    val dir = java.nio.file.Files.createTempDirectory("sse-route")
+    val log = dir.resolve("stream.log")
+    java.nio.file.Files.writeString(log,
+      "event: click\nid: 1\ndata: a\n\nevent: view\nid: 2\ndata: b\n\nevent: click\nid: 3\ndata: c\n\n")
+    val out = dir.resolve("topics")
+    // the reference routes every event to a configured topic; the Spark-
+    // native form routes per event class via a partitioned sink
+    val q = spark.readStream.format("sse").option("path", log.toString).load()
+      .withColumn("topic", concat(lit("sse_"), col("event")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("topic").parquet(out.toString)
+      }
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val dirs = new java.io.File(out.toString).listFiles().map(_.getName)
+      .filter(_.startsWith("topic=")).sorted.toSeq
+    assert(dirs == Seq("topic=sse_click", "topic=sse_view"))
+    assert(spark.read.parquet(out.toString + "/topic=sse_click").count() == 2)
+  }
+
   test("dedupById drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
