@@ -67,6 +67,36 @@ class KernelsSpec extends SparkSpec {
     assert(viaSql.toSeq == Seq("ab", "the quick brown fox", "").map(RollingHash.compute))
   }
 
+  test("native LshBucket matches the declarative lshWeight formulation") {
+    val df = Seq(
+      Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat),
+      Array.tabulate(64)(i => (i % 11 - 5).toFloat)).toDF("v")
+    // independent HOF reconstruction from the shared weight formula
+    val dv = vecDouble(col("v"))
+    val dims = sequence(lit(0), size(dv) - 1)
+    val hof = aggregate(
+      transform(sequence(lit(0), lit(15)), p => {
+        val proj = aggregate(zip_with(dv, dims, (x, j) => x * lshWeight(p, j)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc + v)
+    val rows = df.select(lshBucket(col("v")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SQL surface: tables + native functions usable from spark.sql") {
+    graft.GraftCatalog.registerViews(spark, Sf)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    val cos = spark.sql(
+      """SELECT graft_dot(cast(a.embedding AS array<double>),
+        |                 cast(b.embedding AS array<double>)) AS d
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 0
+        |""".stripMargin).head().getDouble(0)
+    assert(cos > 0.0) // self dot product is positive
+    assert(spark.sql("SELECT graft_rolling_hash('ab')").head().getLong(0) == 12805L)
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)
