@@ -43,6 +43,7 @@ object SparkEntry {
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
+    "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -263,6 +264,7 @@ object SparkEntry {
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_funnel" -> Events.funnelOracle,
     "ev_retention" -> Events.retentionOracle,
+    "ev_anomalies" -> Events.anomaliesOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,

@@ -242,6 +242,38 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Statistical anomaly detection: per-type value z-scores, emitting the
+    * top-20 outliers. Two passes: per-type moments (partial-agg friendly),
+    * then a broadcast join back — no window over the raw stream. */
+  def anomalies(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean"), stddev_samp(col("value")).as("sd"))
+    val scored = ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+    scored
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(abs(col("z")).desc, col("event_id"))))
+      .filter(col("rank") <= k)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val anomaliesOracle: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mean, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT event_id, e.event_type, round(value, 2) AS value,
+      |    round((value - mean) / sd, 4) AS z
+      |  FROM events e JOIN stats s ON e.event_type = s.event_type),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (ORDER BY abs(z) DESC, event_id) AS int) AS rank FROM scored)
+      |SELECT event_id, event_type, value, z, rank FROM r
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
