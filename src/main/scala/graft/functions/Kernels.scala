@@ -86,6 +86,12 @@ object Kernels {
   def lshBucket(vec: Column): Column =
     call_function(GraftFunctions.LshBucketName, vecDouble(vec))
 
+  /** LSH bucket with an explicit plane count: 2^nPlanes buckets. The plane
+    * count is THE blocking knob — at 100 TB pick b so n/2^b vectors fit a
+    * block; on the test corpus small b keeps blocks populated. */
+  def lshBucketN(vec: Column, nPlanes: Int): Column =
+    call_function(GraftFunctions.LshBucketName, vecDouble(vec), lit(nPlanes))
+
   // ---- Oracle SQL fragments (DuckDB), built from the same constants ----
 
   /** DuckDB: 31-bit shingle hash of column expr `e`. */
@@ -99,4 +105,13 @@ object Kernels {
   /** DuckDB VALUES list of the MinHash permutation constants. */
   def sqlPermValues: String =
     (0 until NumPerms).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
+
+  /** DuckDB: random-hyperplane LSH bucket of double-array expr `e` with
+    * nPlanes planes — same integer weights + left-to-right folds as
+    * [[lshBucketN]] / graft.functions.LshBucket.compute. */
+  def sqlLshBucket(e: String, nPlanes: Int): String =
+    s"""list_sum(list_transform(range(0, $nPlanes), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+       |        $e[j+1] * ((((p*1000003 + j*7919) % 2001) - 1000) / 1000.0))) > 0
+       |      THEN cast(1 AS bigint) << p ELSE 0 END))""".stripMargin
 }

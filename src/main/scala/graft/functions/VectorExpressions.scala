@@ -170,22 +170,36 @@ object GraftFunctions {
   val RollingHashName = "graft_rolling_hash"
   val LshBucketName = "graft_lsh_bucket"
 
+  /** One builder per function, shared by BOTH registration paths
+    * (GraftExtensions injection and ensureRegistered) — a divergent builder
+    * in one path silently drops arguments for every caller of that session. */
+  val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs.head, exprs(1))
+  val rollingHashBuilder: Seq[Expression] => Expression =
+    exprs => RollingHash(exprs.head)
+  /** Optional 2nd arg: plane count (foldable int literal); bucket count
+    * 2^planes is the blocking parameter tuned to corpus size. */
+  val lshBucketBuilder: Seq[Expression] => Expression =
+    exprs =>
+      if (exprs.size >= 2)
+        LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      else LshBucket(exprs.head)
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(DotName))) {
       registry.registerFunction(FunctionIdentifier(DotName),
-        new ExpressionInfo(classOf[DotProduct].getName, DotName),
-        (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+        new ExpressionInfo(classOf[DotProduct].getName, DotName), dotBuilder)
     }
     if (!registry.functionExists(FunctionIdentifier(RollingHashName))) {
       registry.registerFunction(FunctionIdentifier(RollingHashName),
         new ExpressionInfo(classOf[RollingHash].getName, RollingHashName),
-        (exprs: Seq[Expression]) => RollingHash(exprs.head))
+        rollingHashBuilder)
     }
     if (!registry.functionExists(FunctionIdentifier(LshBucketName))) {
       registry.registerFunction(FunctionIdentifier(LshBucketName),
         new ExpressionInfo(classOf[LshBucket].getName, LshBucketName),
-        (exprs: Seq[Expression]) => LshBucket(exprs.head))
+        lshBucketBuilder)
     }
   }
 }

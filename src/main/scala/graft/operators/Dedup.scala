@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    (no shuffle); the only shuffles are the (band, sig) bucket join and the
   *    shingle-intersection confirm, which operates on candidate pairs only —
   *    the global cross-product never materializes.
-  *  - All blocking (LSH bands / simhash chunks / lang×length / label) bounds
-  *    pair generation per block, the standard way to keep near-dup mining
-  *    sub-quadratic at 100 TB.
+  *  - All blocking (LSH bands / simhash chunks / lang×length / hyperplane
+  *    buckets) bounds pair generation per block, the standard way to keep
+  *    near-dup mining sub-quadratic at 100 TB. Block counts scale with the
+  *    corpus (bands, hash chunks, 2^planes) — never a fixed vocabulary.
   */
 object Dedup {
 
@@ -312,13 +313,16 @@ object Dedup {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("pid"))
         .agg(min(col("label")).as("nlabel"))
+      // carry a changed flag through the propagation join so convergence is
+      // read off the materialized superstep — no second join per superstep
       val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      // scans the just-checkpointed partitions (no shuffle, no recompute)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     labels.groupBy(col("label").as("cluster_id"))
@@ -343,18 +347,29 @@ object Dedup {
        |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs within label blocks. Planted dups are
-    * scaled copies (×2) — cosine exactly 1 vs the original. */
-  def embeddingCosine(spark: SparkSession, d: String, minCos: Double = 0.999): DataFrame = {
+  /** Embedding-cosine near-dup pairs within random-hyperplane LSH buckets.
+    * Planted dups are scaled copies (×2) — cosine exactly 1 vs the original,
+    * and scaling preserves projection signs, so a copy ALWAYS lands in its
+    * original's bucket (power-of-two scaling is exact in FP, so each plane's
+    * projection is exactly doubled — same sign, same bucket).
+    *
+    * Blocking on the LSH bucket (2^planes cells, plane count tuned to corpus
+    * size) keeps pair generation O((n/2^b)²) per block — unlike blocking on a
+    * fixed label vocabulary, which degenerates to O(n²/L) with constant L at
+    * 100 TB. Same bucketing as [[Similarity.lshTopK]]
+    * (graft.functions.LshBucket, native codegen). */
+  def embeddingCosine(spark: SparkSession, d: String, minCos: Double = 0.999,
+      nPlanes: Int = 16): DataFrame = {
     val base = Tables.embeddings(spark, d)
-    val all = base.select(col("vec_id"), col("label"), col("embedding"))
-      .unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+    val all = base.select(col("vec_id"), col("embedding"))
+      .unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-    // double-cast + norm once per vector; pairs then do a single dot fold
-    val v = all.select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("e"))
+    // double-cast + norm + bucket once per vector; pairs do a single dot fold
+    val v = all.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
       .withColumn("norm", vecNorm(col("e")))
+      .withColumn("bucket", lshBucketN(col("e"), nPlanes))
     v.as("x").join(v.as("y"),
-      col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(dot(col("x.e"), col("y.e")) / (col("x.norm") * col("y.norm")), 3).as("cos"))
       .filter(col("cos") >= minCos)
@@ -362,14 +377,17 @@ object Dedup {
   }
 
   val embeddingCosineOracle: String =
-    """WITH v AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id+1000000, label,
-      |    (list_transform(embedding, x -> x * 2))::DOUBLE[] FROM embeddings)
-      |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-      |  round(list_cosine_similarity(x.e, y.e), 3) AS cos
-      |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
-      |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
-      |ORDER BY vec_a, vec_b""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id+1000000,
+       |    (list_transform(embedding, x -> x * 2))::DOUBLE[] FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e, ${sqlLshBucket("e", 16)} AS bucket
+       |  FROM v0)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  round(list_cosine_similarity(x.e, y.e), 3) AS cos
+       |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
+       |ORDER BY vec_a, vec_b""".stripMargin
 }

@@ -244,7 +244,13 @@ object Events {
 
   /** Statistical anomaly detection: per-type value z-scores, emitting the
     * top-20 outliers. Two passes: per-type moments (partial-agg friendly),
-    * then a broadcast join back — no window over the raw stream. */
+    * then a broadcast join back — no window over the raw stream.
+    *
+    * Top-k runs as orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * (per-partition partial top-k merged once) — every partition keeps at
+    * most k rows, so the full stream never lands on one reducer. Rank is
+    * then derived from the ≤k surviving rows with sort_array+posexplode;
+    * no global window anywhere in the plan (PlanSpec asserts this). */
   def anomalies(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     val ev = Tables.events(spark, d)
     val stats = ev.groupBy(col("event_type"))
@@ -252,12 +258,16 @@ object Events {
     val scored = ev.join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
         round((col("value") - col("mean")) / col("sd"), 4).as("z"))
-    scored
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(abs(col("z")).desc, col("event_id"))))
-      .filter(col("rank") <= k)
-      .select(col("event_id"), col("event_type"), col("value"), col("z"),
-        col("rank").cast("int").as("rank"))
+    val topk = scored.orderBy(abs(col("z")).desc, col("event_id")).limit(k)
+    topk
+      .agg(sort_array(collect_list(struct(
+        (-abs(col("z"))).as("neg_abs_z"), col("event_id").as("event_id"),
+        col("event_type").as("event_type"), col("value").as("value"),
+        col("z").as("z")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "r")))
+      .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"), col("r.z").as("z"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("rank"))
   }
 

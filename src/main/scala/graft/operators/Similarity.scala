@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    candidate sets shrink ~2^16× before any distance math — that is the
   *    100 TB path. Buckets are deterministic integer arithmetic (shared with
   *    the oracle), not RNG state.
-  *  - knn-join is blocked by `label` (a stand-in for any coarse partitioner —
-  *    IVF centroid, shard key), keeping each block's pair count bounded.
+  *  - knn-join is blocked by the LSH bucket with a parameterized plane
+  *    count, and IVF cells come from a parameterized coarse quantizer — both
+  *    block counts scale with the corpus, so per-block pair counts stay
+  *    bounded at 100 TB (never a fixed attribute vocabulary).
   */
 object Similarity {
 
@@ -108,19 +110,24 @@ object Similarity {
       |SELECT label, cast(j - 1 AS int) AS dim, round(avg(e[j]), 6) AS c
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** IVF-style ANN: build centroids (one cell per label), assign every
-    * vector to its nearest centroid by cosine, then answer queries inside
-    * their cell only — the inverted-file scale path where each probe
-    * touches |corpus|/|cells| candidates. Assignment is computed from the
-    * data (not the label column), so cells are a genuine coarse quantizer.
+  /** IVF-style ANN: build nCells centroids from deterministic seed groups
+    * (vec_id mod nCells — one k-means init step), assign every vector to its
+    * nearest centroid by cosine, then answer queries inside their cell only —
+    * the inverted-file scale path where each probe touches |corpus|/|cells|
+    * candidates. The cell count is a free parameter (√n-ish at 100 TB), not
+    * tied to any attribute vocabulary; assignment is computed from the data,
+    * so cells are a genuine coarse quantizer.
     */
-  def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val cents = centroids(spark, d)
-      .select(col("label").as("cell"), col("dim"), col("c"))
-    val centNorms = cents.groupBy(col("cell"))
-      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
+  def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      nCells: Int = 16): DataFrame = {
     val comps = Tables.embeddings(spark, d)
       .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+    val cents = comps
+      .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("c"))
+    val centNorms = cents.groupBy(col("cell"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
     // dot(vec, centroid) per (vec, cell) via the long-format join
     val dots = comps.join(broadcast(cents), "dim")
       .groupBy(col("vec_id"), col("cell"))
@@ -152,9 +159,9 @@ object Similarity {
       |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
       |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
       |cents AS (
-      |  SELECT label AS cell, j, round(avg(e2[j]), 6) AS c
-      |  FROM (SELECT label, e AS e2, unnest(generate_series(1, len(e))) AS j
-      |        FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings))
+      |  SELECT vec_id % 16 AS cell, j, round(avg(e2[j]), 6) AS c
+      |  FROM (SELECT vec_id, e AS e2, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
       |  GROUP BY 1, 2),
       |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
       |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
@@ -186,11 +193,17 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rank FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** k-NN self-join within label blocks: each vector's k nearest peers. */
-  def knnJoin(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+  /** k-NN self-join within LSH buckets: each vector's k nearest bucket
+    * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a
+    * parameter tuned to corpus size (6 planes → 64 cells here; ~√n-many at
+    * 100 TB) — so per-block pair counts stay O((n/2^b)²). Blocking on a
+    * fixed attribute vocabulary (label) would be O(n²/L) with constant L. */
+  def knnJoin(spark: SparkSession, d: String, k: Int = 3, nPlanes: Int = 6): DataFrame = {
     val v = normed(spark, d)
+      .select(col("vec_id"), col("e"), col("norm"))
+      .withColumn("bucket", lshBucketN(col("e"), nPlanes))
     val scored = v.as("x").join(v.as("y"),
-      col("x.label") === col("y.label") && col("x.vec_id") =!= col("y.vec_id"))
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
         round(dot(col("x.e"), col("y.e")) / (col("x.norm") * col("y.norm")), 4).as("cos"))
     val byVec = Window.partitionBy(col("vec_id"))
@@ -201,14 +214,17 @@ object Similarity {
   }
 
   val knnJoinOracle: String =
-    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-      |s AS (
-      |  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
-      |    round(list_cosine_similarity(x.e, y.e), 4) AS cos
-      |  FROM v x JOIN v y ON x.label = y.label AND x.vec_id != y.vec_id),
-      |r AS (SELECT *, cast(row_number() OVER
-      |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
-      |  FROM s)
-      |SELECT vec_id, neighbor_id, cos, rank FROM r
-      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e, ${sqlLshBucket("e", 6)} AS bucket
+       |  FROM v0),
+       |s AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(x.e, y.e), 4) AS cos
+       |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id != y.vec_id),
+       |r AS (SELECT *, cast(row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+       |  FROM s)
+       |SELECT vec_id, neighbor_id, cos, rank FROM r
+       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 }

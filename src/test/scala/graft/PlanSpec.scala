@@ -69,6 +69,29 @@ class PlanSpec extends SparkSpec {
       "query vectors must broadcast — the scan side must not shuffle")
   }
 
+  test("no SparkEntry query plans an unpartitioned window (single-reducer killer)") {
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    SparkEntry.queries.foreach { case (name, fn) =>
+      var bad = List.empty[String]
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case w: WindowExecBase if w.partitionSpec.isEmpty =>
+            bad ::= s"$name: ${w.nodeName} with empty partitionSpec"
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(physical(fn(spark, Sf)))
+      assert(bad.isEmpty, bad.mkString("; "))
+    }
+  }
+
+  test("ev_anomalies top-k plans as TakeOrderedAndProject (distributed partial top-k)") {
+    val s = physical(Events.anomalies(spark, Sf)).toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
   test("every SparkEntry query produces a non-empty result at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf).count()
