@@ -9,9 +9,14 @@ import scala.jdk.CollectionConverters._
   * retry/backoff policy — plus the Spark-native additions (`path` transport,
   * `maxEventsPerTrigger` admission control).
   *
-  * In this zero-egress environment the only live transport is the
-  * append-only frame-log file (`path`); the HTTP options are validated and
-  * carried so an HTTP transport can be dropped in behind the same seam.
+  * Two transports sit behind the source:
+  *  - `transport=log` (default): replay an append-only frame-log file/dir.
+  *  - `transport=live`: an [[SseClient]] drives an [[SseEndpoint]]
+  *    (`endpoint.ref` into [[SseEndpoints]]) with the full connection
+  *    machinery — lifecycle states, backoff, rate limiting, health checks —
+  *    spooling frames to `path` for replayable offsets. In this zero-egress
+  *    environment endpoints are in-process loopbacks; an HTTP endpoint drops
+  *    in behind the same seam.
   */
 final case class SseConfig(
     path: String,
@@ -27,19 +32,33 @@ final case class SseConfig(
     retryBackoffInitialMs: Long,
     retryBackoffMaxMs: Long,
     retryMaxAttempts: Int,
-    maxEventsPerTrigger: Option[Long]) {
+    maxEventsPerTrigger: Option[Long],
+    transport: String = "log",
+    endpointRef: Option[String] = None,
+    idleTimeoutMs: Long = SseConfig.DefaultIdleTimeoutMs,
+    connectionCheckIntervalMs: Long = SseConfig.DefaultConnectionCheckIntervalMs) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
   if (httpBasicAuth) require(username.isDefined && password.isDefined,
     "http.basic.auth=true requires http.basic.auth.username and .password")
+  require(transport == "log" || transport == "live",
+    s"transport must be 'log' or 'live', got '$transport'")
+  if (transport == "live") require(endpointRef.isDefined,
+    "transport=live requires an 'endpoint.ref' option")
+  // reference setIdleTimeout/setConnectionCheckInterval (:460-479)
+  require(idleTimeoutMs > 0, "idle.timeout.ms must be positive")
+  require(connectionCheckIntervalMs > 0, "connection.check.interval.ms must be positive")
 }
 
 object SseConfig {
-  // defaults match the reference (ServerSentEventsSourceConnectorConfig.java)
+  // defaults match the reference (ServerSentEventsSourceConnectorConfig.java;
+  // health-check defaults at ServerSentEventClient.java:414-415)
   val DefaultRetryBackoffInitialMs = 2000L
   val DefaultRetryBackoffMaxMs = 30000L
   val DefaultRetryMaxAttempts: Int = -1 // unlimited
+  val DefaultIdleTimeoutMs = 60000L
+  val DefaultConnectionCheckIntervalMs = 30000L
 
   def fromOptions(options: JMap[String, String]): SseConfig = {
     val o = options.asScala.map { case (k, v) => (k.toLowerCase, v) }
@@ -63,7 +82,13 @@ object SseConfig {
         .getOrElse(DefaultRetryBackoffMaxMs),
       retryMaxAttempts = opt("retry.max.attempts").map(_.toInt)
         .getOrElse(DefaultRetryMaxAttempts),
-      maxEventsPerTrigger = opt("maxeventspertrigger").map(_.toLong))
+      maxEventsPerTrigger = opt("maxeventspertrigger").map(_.toLong),
+      transport = opt("transport").getOrElse("log"),
+      endpointRef = opt("endpoint.ref"),
+      idleTimeoutMs = opt("idle.timeout.ms").map(_.toLong)
+        .getOrElse(DefaultIdleTimeoutMs),
+      connectionCheckIntervalMs = opt("connection.check.interval.ms").map(_.toLong)
+        .getOrElse(DefaultConnectionCheckIntervalMs))
   }
 }
 

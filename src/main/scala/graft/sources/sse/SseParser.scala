@@ -55,6 +55,23 @@ final class SseParser {
     * dispatched; this just reports whether data was discarded. */
   def atEof: Boolean = lineBuf.isEmpty && dataBuf.isEmpty
 
+  /** The WHATWG last-event-id buffer — persists across events (and, seeded
+    * via [[seed]], across micro-batches and reconnects). */
+  def lastEventId: Option[String] = lastId
+
+  /** The server-requested reconnection delay (`retry:` field), if any —
+    * honored by [[SseClient]] the way the reference's jax-rs source honors
+    * it (reference ServerSentEventClient.java:290-294). */
+  def serverRetryMs: Option[Long] = retryMs
+
+  /** Seed parser state carried over from a previous batch of the same
+    * stream, so an id-less frame at the start of a batch inherits the last
+    * id-bearing frame's id (WHATWG last-event-id semantics across the
+    * micro-batch boundary). */
+  def seed(id: Option[String], retry: Option[Long]): this.type = {
+    lastId = id; retryMs = retry; this
+  }
+
   private def processLine(line: String, out: mutable.ArrayBuffer[SseEvent]): Unit = {
     if (line.isEmpty) { // dispatch
       if (dataBuf.nonEmpty) {

@@ -18,19 +18,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference connector (cjmatta/kafka-connect-sse), re-expressed as a
   * Structured Streaming micro-batch source.
   *
-  * Transport: an append-only SSE frame-log file (the HTTP endpoint of the
-  * reference, with the network replaced by a file seam for this zero-egress
-  * environment). Offsets are byte positions in the log, always aligned to
-  * frame boundaries (the blank line that dispatches an event), so:
-  *  - a batch [start, end) parses to exactly the events dispatched in it;
-  *  - restart-from-checkpoint resumes mid-stream with no loss or dup —
-  *    the Spark-native upgrade of the reference's last-event-id resume;
-  *  - `maxEventsPerTrigger` bounds admission per micro-batch (the
-  *    reference's rate limiting, applied at the batch boundary).
+  * Transports:
+  *  - `log` (default): replay an append-only SSE frame-log file or directory
+  *    of logs. Offsets are frame-aligned byte cursors per log.
+  *  - `live`: an [[SseClient]] (lifecycle, backoff, rate limiting, health
+  *    checks) pumps an [[SseEndpoint]] and spools raw frames into `path`;
+  *    the same cursor mechanics then give replayable, checkpointable offsets
+  *    over a non-replayable upstream — the durable-buffer role the
+  *    reference's BlockingQueue plays (ServerSentEventClient.java:160).
+  *
+  * Offsets carry, per log: the byte position (always frame-aligned, so a
+  * batch [start, end) parses to exactly the events dispatched in it), plus
+  * the WHATWG parser carry-state at that position — last-event-id and
+  * server `retry:` — so an id-less frame at the start of batch N+1 inherits
+  * the id from the last id-bearing frame of batch N, exactly as a continuous
+  * parse would (reference holds one connection and inherits ids across
+  * events, ServerSentEventClient.java:538).
   *
   * At scale the frame log is a partitioned topic (one log per partition);
-  * this source models one partition — the unit the reference's single
-  * connector task handles.
+  * each log is one input partition with an independent cursor.
   */
 class SseDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sse"
@@ -67,45 +73,94 @@ class SseScan(config: SseConfig) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       SseFrameLog.listLogs(config.path)
-        .map(f => SseInputPartition(f, 0L, new java.io.File(f).length()))
+        .map(f => SseInputPartition(f, 0L, new java.io.File(f).length(), None, None))
         .toArray
     override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   }
 }
 
-/** Frame-aligned byte offset per log file. `path` may be one file or a
-  * directory of logs (one per upstream partition); each file advances
+/** Per-log stream cursor: frame-aligned byte position plus the WHATWG
+  * parser carry-state (last-event-id, server retry) at that position. */
+case class LogCursor(pos: Long, lastId: Option[String], retryMs: Option[Long])
+
+object LogCursor {
+  val Zero: LogCursor = LogCursor(0L, None, None)
+}
+
+/** Offset = one [[LogCursor]] per log file. `path` may be one file or a
+  * directory of logs (one per upstream partition); each advances
   * independently, so a batch is planned as one input partition per log and
   * scales with the number of logs. */
-case class SseOffset(positions: Map[String, Long]) extends Offset {
-  override def json(): String = SseOffset.toJson(positions)
+case class SseOffset(cursors: Map[String, LogCursor]) extends Offset {
+  override def json(): String = SseOffset.toJson(cursors)
 }
 
 object SseOffset {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
-  def toJson(m: Map[String, Long]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":$v""" }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) i += 1
+      b.append(s.charAt(i)); i += 1
+    }
+    b.toString
+  }
+
+  /** Cursor value encoding inside the JSON string: `pos|retry|idTag` where
+    * retry is empty for None and idTag is `-` (no id) or `i` + id. The id
+    * goes last because it may itself contain `|`. */
+  private def encode(c: LogCursor): String =
+    s"${c.pos}|${c.retryMs.map(_.toString).getOrElse("")}|${c.lastId.map("i" + _).getOrElse("-")}"
+  private def decode(v: String): LogCursor = {
+    val p1 = v.indexOf('|')
+    if (p1 < 0) return LogCursor(v.toLong, None, None) // pre-cursor numeric form
+    val p2 = v.indexOf('|', p1 + 1)
+    val pos = v.substring(0, p1).toLong
+    val retry = v.substring(p1 + 1, p2) match { case "" => None; case r => Some(r.toLong) }
+    val id = v.substring(p2 + 1) match {
+      case "-" => None
+      case tagged => Some(tagged.substring(1))
+    }
+    LogCursor(pos, id, retry)
+  }
+
+  def toJson(m: Map[String, LogCursor]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(encode(v))}"""" }
       .mkString("{", ",", "}")
-  /** Minimal parser for the flat {"path":pos,...} shape written above. */
+
+  /** Minimal parser for the flat {"path":"cursor",...} shape above (also
+    * accepts the round-1 numeric positions for old checkpoints). */
   def fromJson(s: String): SseOffset = {
     val body = s.trim.stripPrefix("{").stripSuffix("}")
     if (body.isEmpty) return SseOffset(Map.empty)
-    val entries = scala.collection.mutable.Map.empty[String, Long]
+    val entries = scala.collection.mutable.Map.empty[String, LogCursor]
     var i = 0
-    while (i < body.length) {
+    def readString(): String = {
       assert(body.charAt(i) == '"', s"bad offset json: $s")
-      val key = new StringBuilder
+      val b = new StringBuilder
       i += 1
       while (body.charAt(i) != '"') {
-        if (body.charAt(i) == '\\') i += 1
-        key.append(body.charAt(i)); i += 1
+        if (body.charAt(i) == '\\') { b.append(body.charAt(i)); i += 1 }
+        b.append(body.charAt(i)); i += 1
       }
-      i += 2 // closing quote + colon
-      val num = new StringBuilder
-      while (i < body.length && body.charAt(i) != ',') { num.append(body.charAt(i)); i += 1 }
-      i += 1 // comma
-      entries(key.toString) = num.toString.toLong
+      i += 1 // closing quote
+      unesc(b.toString)
+    }
+    while (i < body.length) {
+      val key = readString()
+      i += 1 // colon
+      val cursor =
+        if (body.charAt(i) == '"') decode(readString())
+        else { // legacy numeric position
+          val num = new StringBuilder
+          while (i < body.length && body.charAt(i) != ',') { num.append(body.charAt(i)); i += 1 }
+          LogCursor(num.toString.toLong, None, None)
+        }
+      if (i < body.length && body.charAt(i) == ',') i += 1
+      entries(key) = cursor
     }
     SseOffset(entries.toMap)
   }
@@ -114,22 +169,34 @@ object SseOffset {
 class SseMicroBatchStream(config: SseConfig)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  /** End-of-data snapshot for Trigger.AvailableNow (frame-aligned). */
-  @volatile private var availableNowEnd: Option[Map[String, Long]] = None
+  /** Driver-side live ingest, started on first use when transport=live. */
+  private lazy val liveIngest: Option[SseLiveIngest] =
+    if (config.transport == "live") Some(SseLiveIngest.start(config)) else None
 
-  override def initialOffset(): Offset = SseOffset(Map.empty)
+  /** End-of-data snapshot for Trigger.AvailableNow (frame-aligned). */
+  @volatile private var availableNowEnd: Option[Map[String, LogCursor]] = None
+
+  override def initialOffset(): Offset = { liveIngest; SseOffset(Map.empty) }
   override def deserializeOffset(json: String): Offset = SseOffset.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     config.maxEventsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
-  private def scanAll(from: Map[String, Long], capPerLog: Long): Map[String, Long] =
-    SseFrameLog.listLogs(config.path)
-      .map(f => f -> SseFrameLog.boundaryAfter(f, from.getOrElse(f, 0L), capPerLog))
-      .toMap
+  private def scanAll(from: Map[String, LogCursor], capPerLog: Long,
+      maxPos: Map[String, Long]): Map[String, LogCursor] =
+    SseFrameLog.listLogs(config.path).map { f =>
+      val start = from.getOrElse(f, LogCursor.Zero)
+      val r = SseFrameLog.scan(f, start.pos, capPerLog,
+        maxPos.getOrElse(f, Long.MaxValue))
+      // parser carry-state: whatever this batch saw, else inherited
+      f -> LogCursor(r.boundary,
+        r.lastId.orElse(start.lastId), r.retryMs.orElse(start.retryMs))
+    }.toMap
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(scanAll(Map.empty, Long.MaxValue))
+  override def prepareForTriggerAvailableNow(): Unit = {
+    liveIngest
+    availableNowEnd = Some(scanAll(Map.empty, Long.MaxValue, Map.empty))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
@@ -139,40 +206,48 @@ class SseMicroBatchStream(config: SseConfig)
     * the AvailableNow snapshot). New logs appearing mid-stream are picked
     * up at position 0. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[SseOffset].positions
+    liveIngest
+    val from = start.asInstanceOf[SseOffset].cursors
     val cap = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    val scanned = scanAll(from, cap)
-    SseOffset(availableNowEnd.fold(scanned) { snap =>
-      scanned.map { case (f, p) => f -> math.min(p, snap.getOrElse(f, 0L)) }
+    val ceiling = availableNowEnd.fold(Map.empty[String, Long])(_.map {
+      case (f, c) => f -> c.pos
     })
+    SseOffset(scanAll(from, cap, ceiling))
   }
 
-  override def reportLatestOffset(): Offset = SseOffset(scanAll(Map.empty, Long.MaxValue))
+  override def reportLatestOffset(): Offset =
+    SseOffset(scanAll(Map.empty, Long.MaxValue, Map.empty))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[SseOffset].positions
-    val to = end.asInstanceOf[SseOffset].positions
-    to.toSeq.sortBy(_._1).flatMap { case (f, endPos) =>
-      val startPos = from.getOrElse(f, 0L)
-      if (endPos > startPos) Some(SseInputPartition(f, startPos, endPos)) else None
+    val from = start.asInstanceOf[SseOffset].cursors
+    val to = end.asInstanceOf[SseOffset].cursors
+    to.toSeq.sortBy(_._1).flatMap { case (f, endCur) =>
+      val startCur = from.getOrElse(f, LogCursor.Zero)
+      if (endCur.pos > startCur.pos)
+        Some(SseInputPartition(f, startCur.pos, endCur.pos,
+          startCur.lastId, startCur.retryMs))
+      else None
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = liveIngest.foreach(_.stop())
 }
 
-case class SseInputPartition(path: String, start: Long, end: Long) extends InputPartition
+/** A batch slice of one log, plus the parser carry-state at `start`. */
+case class SseInputPartition(path: String, start: Long, end: Long,
+    seedId: Option[String], seedRetry: Option[Long]) extends InputPartition
 
 object SseReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SseInputPartition]
     new PartitionReader[InternalRow] {
-      private val events = SseParser.parseAll(SseFrameLog.read(p.path, p.start, p.end)).iterator
+      private val events = new SseParser().seed(p.seedId, p.seedRetry)
+        .feed(SseFrameLog.read(p.path, p.start, p.end)).iterator
       private var current: SseEvent = _
       override def next(): Boolean = { val has = events.hasNext; if (has) current = events.next(); has }
       override def get(): InternalRow = {
@@ -183,6 +258,33 @@ object SseReaderFactory extends PartitionReaderFactory {
       }
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Driver-side live ingest: an [[SseClient]] pumping the endpoint in a
+  * background thread and spooling raw stream text to an append-only log in
+  * `config.path`, which the cursor/partition mechanics treat exactly like
+  * any other frame log — the durable-buffer pattern for a non-replayable
+  * upstream. */
+final class SseLiveIngest(val client: SseClient, writer: java.io.Writer) {
+  def stop(): Unit = {
+    client.stopBackground()
+    writer.close()
+  }
+}
+
+object SseLiveIngest {
+  def start(config: SseConfig): SseLiveIngest = {
+    val dir = new java.io.File(config.path)
+    dir.mkdirs()
+    val spool = new java.io.File(dir, "live.sselog")
+    val writer = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(spool, true), StandardCharsets.UTF_8)
+    val endpoint = SseEndpoints.lookup(config.endpointRef.get)
+    val client = new SseClient(endpoint, config,
+      onChunk = chunk => writer.synchronized { writer.write(chunk); writer.flush() })
+    client.startBackground()
+    new SseLiveIngest(client, writer)
   }
 }
 
@@ -215,18 +317,32 @@ object SseFrameLog {
     } finally raf.close()
   }
 
-  /** Scan forward from `start`, returning the byte position just after the
-    * blank line terminating the `maxEvents`-th dispatched frame (a frame
-    * counts if its block contains a `data` line), or after the last complete
-    * frame in the file if fewer are available. Never splits a frame. */
-  def boundaryAfter(path: String, start: Long, maxEvents: Long): Long = {
+  /** Result of a forward scan: the frame-aligned byte boundary, and the
+    * last `id:` / `retry:` values seen in the committed region (None when
+    * the region contains none — caller inherits the prior cursor's). */
+  case class ScanResult(boundary: Long, lastId: Option[String], retryMs: Option[Long])
+
+  /** Scan forward from `start`, stopping at the frame boundary after at
+    * most `maxEvents` dispatched events (a frame counts if its block
+    * contains a `data` line) and never past byte `maxPos` or the last
+    * complete frame. Field handling matches [[SseParser.feed]] exactly, so
+    * the returned id/retry equal the incremental parser's state at the
+    * boundary. Never splits a frame. */
+  def scan(path: String, start: Long, maxEvents: Long,
+      maxPos: Long = Long.MaxValue): ScanResult = {
     val f = new java.io.File(path)
-    if (!f.exists()) return start
-    val text = read(path, start, f.length())
+    if (!f.exists()) return ScanResult(start, None, None)
+    val text = read(path, start, math.min(f.length(), maxPos))
     var events = 0L
     var lineStart = 0
     var blockHasData = false
     var boundary = 0 // chars consumed up to last complete frame end
+    // running field state (current, possibly uncommitted frame) vs the
+    // state at the last committed boundary
+    var curId: Option[String] = None
+    var curRetry: Option[Long] = None
+    var committedId: Option[String] = None
+    var committedRetry: Option[Long] = None
     var i = 0
     // walk lines; CRLF/CR/LF all end lines
     while (i <= text.length && events < maxEvents) {
@@ -242,12 +358,33 @@ object SseFrameLog {
           if (blockHasData) events += 1
           blockHasData = false
           boundary = nextI
-        } else if (line.startsWith("data:") || line == "data") {
-          blockHasData = true
+          committedId = curId
+          committedRetry = curRetry
+        } else if (line.nonEmpty && line.charAt(0) != ':') {
+          // field split per WHATWG (same as SseParser.processLine)
+          val colon = line.indexOf(':')
+          val (field, value) =
+            if (colon < 0) (line, "")
+            else {
+              val v = line.substring(colon + 1)
+              (line.substring(0, colon), if (v.startsWith(" ")) v.substring(1) else v)
+            }
+          field match {
+            case "data" => blockHasData = true
+            case "id" => if (!value.contains('\u0000')) curId = Some(value)
+            case "retry" =>
+              if (value.nonEmpty && value.forall(_.isDigit)) curRetry = Some(value.toLong)
+            case _ => ()
+          }
         }
         if (atEnd) i = text.length + 1 else { i = nextI; lineStart = nextI }
       }
     }
-    start + text.substring(0, boundary).getBytes(StandardCharsets.UTF_8).length
+    val boundaryBytes = text.substring(0, boundary).getBytes(StandardCharsets.UTF_8).length
+    ScanResult(start + boundaryBytes, committedId, committedRetry)
   }
+
+  /** Round-1 compatibility shim for callers that only need the boundary. */
+  def boundaryAfter(path: String, start: Long, maxEvents: Long): Long =
+    scan(path, start, maxEvents).boundary
 }

@@ -1,0 +1,62 @@
+package graft.sources.sse
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end: format("sse") with transport=live — the [[SseClient]]
+  * (lifecycle + backoff + health machinery) pumps a loopback endpoint,
+  * spools frames, and the streaming query reads them through the cursor
+  * mechanics. A mid-stream drop must reconnect with the WHATWG resume id
+  * and lose nothing. */
+class SseLiveSourceSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  private def frame(event: String, id: Long, data: String): String =
+    s"event: $event\nid: $id\ndata: $data\n\n"
+
+  test("live transport: drop → backoff reconnect → resume; no loss through the spool") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    val s2 = ep.scriptAccept()
+    SseEndpoints.register("live-e2e", ep)
+    // session 1 delivers two events then drops; session 2 delivers two more
+    s1.push(frame("edit", 1, "a"))
+    s1.push(frame("edit", 2, "b"))
+    s1.pushEof()
+    s2.push(frame("edit", 3, "c"))
+    s2.push(frame("del", 4, "d"))
+
+    val dir = tmpDir("sse-live")
+    val q = spark.readStream.format("sse")
+      .option("path", dir.resolve("spool").toString)
+      .option("transport", "live")
+      .option("endpoint.ref", "live-e2e")
+      .option("retry.backoff.initial.ms", "10")
+      .option("retry.backoff.max.ms", "50")
+      .load()
+      .writeStream.format("memory").queryName("sse_live")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Long = spark.sql("SELECT count(*) FROM sse_live").head().getLong(0)
+      while (count() < 4 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(count() == 4, s"expected 4 events, got ${count()}")
+    } finally q.stop()
+
+    // the drop forced a reconnect that resumed from the last seen id
+    assert(ep.connectAttempts.get == 2, s"attempts=${ep.connectAttempts.get}")
+    assert(ep.seenLastEventIds == List(None, Some("2")))
+    val rows = spark.sql("SELECT event, id, data FROM sse_live ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("edit", "1", "a"), ("edit", "2", "b"),
+      ("edit", "3", "c"), ("del", "4", "d")))
+  }
+}

@@ -114,6 +114,67 @@ class SseSourceSpec extends SparkSpec {
     assert(all == Seq(("a", "1"), ("a", "2"), ("b", "10"), ("b", "11"), ("c", "20")))
   }
 
+  test("last-event-id crosses micro-batch boundaries (WHATWG continuous-parse semantics)") {
+    val dir = tmpDir("sse-xbatch")
+    val log = dir.resolve("stream.log")
+    // id-bearing frame, then an id-less frame: with maxEventsPerTrigger=1
+    // they land in different micro-batches, and the second must still
+    // inherit id "7" from the first (carried in the offset cursor)
+    Files.writeString(log, "event: a\nid: 7\ndata: x\n\n" + "data: later\n\n")
+    val q = spark.readStream.format("sse")
+      .option("path", log.toString).option("maxEventsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("sse_xbatch")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val progress = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(progress.length == 2, s"expected 2 single-event batches, got ${progress.mkString(",")}")
+    val rows = spark.sql("SELECT event, id, data FROM sse_xbatch ORDER BY event")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("a", "7", "x"), ("unknown", "7", "later")))
+  }
+
+  test("offset json round-trips cursors (and reads round-1 numeric offsets)") {
+    val cursors = Map(
+      "/logs/a.log" -> LogCursor(42L, Some("id|with\"odd\\chars"), Some(1500L)),
+      "/logs/b.log" -> LogCursor(7L, None, None),
+      "/logs/c.log" -> LogCursor(0L, Some(""), None)) // empty-string id is a valid WHATWG id
+    assert(SseOffset.fromJson(SseOffset(cursors).json()).cursors == cursors)
+    assert(SseOffset.fromJson("""{"p.log":123}""").cursors ==
+      Map("p.log" -> LogCursor(123L, None, None)))
+  }
+
+  test("exactly-once: a batch that fails before commit is replayed identically on restart") {
+    val dir = tmpDir("sse-eo")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, (1 to 4).map(i => frame("e", i, s"d$i")).mkString)
+    val deliveries = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    def run(failBatch0: Boolean): Unit = {
+      val q = spark.readStream.format("sse")
+        .option("path", log.toString).option("maxEventsPerTrigger", "2").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val ids = df.select("id").collect().map(_.getString(0)).toSeq.sorted
+          deliveries.synchronized { deliveries += ((bid, ids)) }
+          if (failBatch0 && bid == 0)
+            throw new RuntimeException("injected failure before commit")
+        }
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    run(failBatch0 = true) // batch 0 delivered, sink threw → offset NOT committed
+    run(failBatch0 = false) // restart from checkpoint
+    val byBatch = deliveries.synchronized(deliveries.toList)
+    val batch0 = byBatch.filter(_._1 == 0L).map(_._2)
+    assert(batch0.size == 2, s"batch 0 must be delivered twice (fail + replay): $byBatch")
+    assert(batch0.head == batch0(1), "replayed batch 0 must carry identical rows")
+    // committed run covers every event exactly once
+    val committed = byBatch.drop(1).flatMap(_._2)
+    assert(committed.sorted == Seq("1", "2", "3", "4"))
+  }
+
   test("batch read sees the whole log") {
     val dir = tmpDir("sse-batch")
     val log = dir.resolve("stream.log")
