@@ -58,6 +58,13 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    // §2.4a multi-probe ANN
+    "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
+    // §2.7 corpus-pipeline operators
+    "docs_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
+    "docs_filter_clean" -> ((s, d) => Pipeline.filterClean(s, d)),
+    "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
+    "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     // §2.5 text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -277,7 +284,12 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.clustersOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
+    "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,
+    "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
+    "docs_filter_clean" -> Pipeline.filterCleanOracle,
+    "dedup_prefix" -> Pipeline.prefixDupsOracle,
+    "text_token_hist" -> Pipeline.tokenHistOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_langid" -> TextAnalysis.langIdOracle,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Kernels._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline operators: the selection / shaping stages a large-scale
+  * training-data pipeline runs between raw crawl and tokenizer — stratified
+  * downsampling, quality filtering with per-rule accounting, boilerplate
+  * (shared-prefix) detection, and corpus shape histograms.
+  *
+  * Scale notes:
+  *  - sampling and filtering decide per row from hash/column arithmetic — a
+  *    single codegen'd map pass, no shuffle of document bodies; only the
+  *    per-stratum/per-rule counters aggregate (shuffle volume = #groups).
+  *  - boilerplate detection groups by an 128-bit prefix digest, never by
+  *    text (same digest-shuffle rule as exact dedup).
+  */
+object Pipeline {
+
+  /** Deterministic stratified sampling: each language stratum keeps a
+    * different fraction (dominant `en` downsampled to 25%, the long tail
+    * kept whole — the standard rebalancing move before training). The
+    * keep/drop decision is `hash(doc_id) mod 100 < rate`: reproducible,
+    * seedable, and requires no shuffle or count-first pass — at 100 TB this
+    * is one map over the corpus. Emits per-stratum accounting. */
+  def sampleStratified(spark: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(hash31(col("doc_id").cast("string")), lit(100L))
+    val rate = when(col("lang") === "en", lit(25L)).otherwise(lit(100L))
+    Tables.documents(spark, d)
+      .select(col("lang"), length(col("text")).as("nc"),
+        bucket.as("b"), rate.as("r"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("b") < col("r"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("b") < col("r"), col("nc").cast("long")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratifiedOracle: String = {
+    val b = s"(${sqlHash31("cast(doc_id AS varchar)")}) % 100"
+    """WITH m AS (
+      |  SELECT lang, length(text) AS nc,
+      |    BUCKET AS b,
+      |    CASE WHEN lang = 'en' THEN 25 ELSE 100 END AS r
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  cast(sum(CASE WHEN b < r THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+      |  cast(sum(CASE WHEN b < r THEN nc ELSE 0 END) AS bigint) AS kept_chars
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin.replace("BUCKET", b)
+  }
+
+  /** C4-style quality filter with per-rule accounting: each doc is assigned
+    * the FIRST failing rule (too_short < 30 words, too_long > 80 words,
+    * low lexical diversity: distinct/total tokens < 0.45) or `kept`.
+    * Emits (source, reason) counts so the pipeline's selectivity per rule
+    * is observable — the metadata a real cleaning run must publish. */
+  def filterClean(spark: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("t")).as("nd"))
+    val reason = when(col("nw") < 30, "too_short")
+      .when(col("nw") > 80, "too_long")
+      .when(col("nd").cast("double") / col("nw") < 0.45, "low_diversity")
+      .otherwise("kept")
+    stats.select(col("source"), reason.as("reason"), col("nw"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("nw")), 4).as("avg_words"))
+      .orderBy(col("source"), col("reason"))
+  }
+
+  val filterCleanOracle: String =
+    """WITH st AS (
+      |  SELECT doc_id, source,
+      |    cast(len(string_split(text, ' ')) AS bigint) AS nw,
+      |    cast(len(list_distinct(string_split(text, ' '))) AS bigint) AS nd
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, nw,
+      |    CASE WHEN nw < 30 THEN 'too_short'
+      |         WHEN nw > 80 THEN 'too_long'
+      |         WHEN cast(nd AS double) / nw < 0.45 THEN 'low_diversity'
+      |         ELSE 'kept' END AS reason
+      |  FROM st)
+      |SELECT source, reason, count(*) AS n_docs, round(avg(nw), 4) AS avg_words
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Boilerplate detection: documents sharing the same leading-5-token
+    * prefix (template openers). The corpus is augmented with a
+    * tail-perturbed copy of every doc — same prefix, different body — the
+    * construction the oracle mirrors, so every original/variant pair is a
+    * planted boilerplate group. Groups by the md5 prefix digest: the
+    * shuffle carries 32-byte keys, never text. */
+  def prefixDups(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val all = docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" tailx taily")).as("text")))
+    all
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("t"), 1, 5))).as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_md5"))
+  }
+
+  val prefixDupsOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+1000000, text || ' tailx taily' FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS prefix_md5
+      |  FROM docs WHERE len(string_split(text, ' ')) >= 5)
+      |SELECT prefix_md5, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  /** Token-count histogram: corpus shape at a glance (decade buckets).
+    * Pure map + tiny aggregate — the `n_docs × mean length` sanity numbers
+    * every corpus build publishes. */
+  def tokenHist(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(floor(size(tokens(col("text"))) / 10).cast("long").as("bucket"),
+        size(tokens(col("text"))).cast("long").as("nw"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_tokens"))
+      .orderBy(col("bucket"))
+
+  val tokenHistOracle: String =
+    """SELECT len(string_split(text, ' ')) // 10 AS bucket,
+      |  count(*) AS n_docs,
+      |  cast(sum(len(string_split(text, ' '))) AS bigint) AS total_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -193,6 +193,54 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rank FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS the
+    * nPlanes buckets at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall fix for hyperplane LSH (a near neighbor that landed
+    * just across one hyperplane is recovered) at bounded extra cost:
+    * (nPlanes+1)× the probe fan-out, still ~2^planes× below brute force.
+    * Probe buckets are distinct values, so each (query, neighbor) pair
+    * matches at most once — no dedup pass needed. */
+  def multiprobeTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 3, nPlanes: Int = 16): DataFrame = {
+    val v = normed(spark, d)
+      .select(col("vec_id"), col("e"), col("norm"))
+      .withColumn("bucket", lshBucketN(col("e"), nPlanes))
+    val probeCols = col("bucket") +:
+      (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("norm").as("qnorm"), explode(array(probeCols: _*)).as("bucket"))
+    val scored = v.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val multiprobeTopKOracle: String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, e, ${sqlLshBucket("e", 16)} AS bucket
+       |  FROM v0),
+       |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qe,
+       |    CASE WHEN p < 0 THEN bucket
+       |         ELSE xor(bucket, cast(1 AS bigint) << p) END AS bucket
+       |  FROM q, generate_series(-1, 15) g(p)),
+       |s AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+       |  FROM probes JOIN v ON probes.bucket = v.bucket AND v.vec_id != query_id),
+       |r AS (SELECT *, cast(row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cos, rank FROM r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** k-NN self-join within LSH buckets: each vector's k nearest bucket
     * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a
     * parameter tuned to corpus size (6 planes → 64 cells here; ~√n-many at

@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
       "query vectors must broadcast — the scan side must not shuffle")
   }
 
+  test("no SparkEntry query plans a cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val s = physical(fn(spark, Sf)).toString
+      // BroadcastNestedLoopJoin against a tiny broadcast side is fine
+      // (ann_bruteforce uses it deliberately); an unbroadcast cartesian is not
+      assert(!s.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
   test("no SparkEntry query plans an unpartitioned window (single-reducer killer)") {
     import org.apache.spark.sql.execution.window.WindowExecBase
     SparkEntry.queries.foreach { case (name, fn) =>
