@@ -44,8 +44,8 @@ final case class SseConfig(
     "http.basic.auth=true requires http.basic.auth.username and .password")
   require(transport == "log" || transport == "live",
     s"transport must be 'log' or 'live', got '$transport'")
-  if (transport == "live") require(endpointRef.isDefined,
-    "transport=live requires an 'endpoint.ref' option")
+  if (transport == "live") require(endpointRef.isDefined || sseUri.isDefined,
+    "transport=live requires an 'endpoint.ref' or 'sse.uri' option")
   // reference setIdleTimeout/setConnectionCheckInterval (:460-479)
   require(idleTimeoutMs > 0, "idle.timeout.ms must be positive")
   require(connectionCheckIntervalMs > 0, "connection.check.interval.ms must be positive")

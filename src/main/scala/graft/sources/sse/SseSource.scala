@@ -280,7 +280,12 @@ object SseLiveIngest {
     val spool = new java.io.File(dir, "live.sselog")
     val writer = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(spool, true), StandardCharsets.UTF_8)
-    val endpoint = SseEndpoints.lookup(config.endpointRef.get)
+    // endpoint.ref (in-process registry) wins; else sse.uri gets the real
+    // HTTP transport — the reference's configuration surface
+    val endpoint = config.endpointRef.map(SseEndpoints.lookup)
+      .orElse(config.sseUri.map(new HttpSseEndpoint(_)))
+      .getOrElse(throw new IllegalArgumentException(
+        "transport=live requires 'endpoint.ref' or 'sse.uri'"))
     val client = new SseClient(endpoint, config,
       onChunk = chunk => writer.synchronized { writer.write(chunk); writer.flush() })
     client.startBackground()

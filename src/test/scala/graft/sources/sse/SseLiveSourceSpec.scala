@@ -59,4 +59,46 @@ class SseLiveSourceSpec extends SparkSpec {
     assert(rows == Seq(("edit", "1", "a"), ("edit", "2", "b"),
       ("edit", "3", "c"), ("del", "4", "d")))
   }
+
+  test("full stack over HTTP: sse.uri → SseClient → spool → micro-batches") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/stream", (ex: HttpExchange) => {
+      // resume-aware: a reconnect carrying Last-Event-ID starts after it,
+      // so the client's resume id is what keeps the spool duplicate-free
+      val after = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+        .map(_.toInt).getOrElse(0)
+      val body = ((after + 1) to 3).map(i => frame("edit", i, s"d$i")).mkString
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0)
+      ex.getResponseBody.write(body)
+      ex.getResponseBody.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val dir = tmpDir("sse-http-e2e")
+      val q = spark.readStream.format("sse")
+        .option("path", dir.resolve("spool").toString)
+        .option("transport", "live")
+        .option("sse.uri", s"http://127.0.0.1:${server.getAddress.getPort}/stream")
+        .option("retry.backoff.initial.ms", "50")
+        .option("retry.backoff.max.ms", "100")
+        .load()
+        .writeStream.format("memory").queryName("sse_http_e2e")
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.ProcessingTime(100))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def count(): Long =
+          spark.sql("SELECT count(*) FROM sse_http_e2e").head().getLong(0)
+        while (count() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(count() == 3, s"expected 3 events over HTTP, got ${count()}")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
 }
