@@ -81,4 +81,52 @@ object StreamOps {
     * streaming form of log-compaction/upsert. */
   def dedupById(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id", "ts")
+
+  /** Streaming anomaly detection: per-type running mean/variance (Welford's
+    * online update — numerically stable, O(1) per event) held in keyed
+    * state; an event whose |z| vs the stats accumulated BEFORE it exceeds
+    * `zThreshold` (after a `minN` warm-up) is emitted immediately. The
+    * streaming form of the batch `ev_anomalies` profile: state is O(#event
+    * types) — constant — so this runs forever on an unbounded stream. */
+  def anomalies(events: Dataset[StreamEvent], minN: Long = 30,
+      zThreshold: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeStats, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[TypeStats]) =>
+          var s = state.getOption.getOrElse(TypeStats(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id, e.value)).foreach { e =>
+            if (s.n >= minN) {
+              val sd = math.sqrt(s.m2 / (s.n - 1).toDouble)
+              if (sd > 0) {
+                val z = (e.value - s.mean) / sd
+                if (math.abs(z) >= zThreshold) out += Anomaly(typ, e.user_id, e.value, z, e.ts)
+              }
+            }
+            val n1 = s.n + 1
+            val d = e.value - s.mean
+            val mean1 = s.mean + d / n1
+            s = TypeStats(n1, mean1, s.m2 + d * (e.value - mean1))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Topic routing for the streaming sink — the reference's core job
+    * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
+    * Spark-native: a `topic` column to `partitionBy` at the sink, so each
+    * topic lands in its own directory/partition stream. */
+  def routeToTopics(events: DataFrame): DataFrame =
+    events.withColumn("topic", concat(lit("sse_"), col("event_type")))
 }
+
+/** Per-type running moments for [[StreamOps.anomalies]] (Welford). */
+case class TypeStats(n: Long, mean: Double, m2: Double)
+
+/** An emitted outlier. */
+case class Anomaly(event_type: String, user_id: Long, value: Double, z: Double,
+    ts: Timestamp)

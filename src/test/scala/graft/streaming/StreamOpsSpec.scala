@@ -80,8 +80,9 @@ class StreamOpsSpec extends SparkSpec {
     val out = dir.resolve("topics")
     // the reference routes every event to a configured topic; the Spark-
     // native form routes per event class via a partitioned sink
-    val q = spark.readStream.format("sse").option("path", log.toString).load()
-      .withColumn("topic", concat(lit("sse_"), col("event")))
+    val q = StreamOps.routeToTopics(
+      spark.readStream.format("sse").option("path", log.toString).load()
+        .withColumnRenamed("event", "event_type"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("topic").parquet(out.toString)
@@ -93,6 +94,23 @@ class StreamOpsSpec extends SparkSpec {
       .filter(_.startsWith("topic=")).sorted.toSeq
     assert(dirs == Seq("topic=sse_click", "topic=sse_view"))
     assert(spark.read.parquet(out.toString + "/topic=sse_click").count() == 2)
+  }
+
+  test("streaming anomalies: running per-type stats flag only the outlier") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    // 40 in-band events (values alternate ±1 → mean 0, sd ≈ 1), then a spike
+    val normal = (0 until 40).map(i =>
+      StreamEvent(i.toLong, "click", if (i % 2 == 0) 1.0 else -1.0, ts(i % 60)))
+    in.addData(normal :+ StreamEvent(99L, "click", 50.0, Timestamp.valueOf("2024-01-01 11:00:00")): _*)
+    val q = StreamOps.anomalies(in.toDS(), minN = 30, zThreshold = 3.0)
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, value, z FROM anom")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows.map(t => (t._1, t._2)) == Seq((99L, 50.0)), s"got $rows")
+    assert(rows.head._3 > 10.0, s"spike z-score should be extreme: ${rows.head._3}")
   }
 
   test("dedupById drops replayed events within the watermark") {
