@@ -75,6 +75,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
+    "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -297,6 +298,7 @@ object SparkEntry {
     "docs_by_source" -> TextAnalysis.bySourceOracle,
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "mm_decode_meta" -> Multimodal.decodeMetaOracle,
+    "mm_decode_real" -> Multimodal.decodeRealOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,

@@ -107,6 +107,44 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY doc_id, feature""".stripMargin
 
+  /** REAL decode path: build spec-correct BMP/WAV payloads (deterministic
+    * dimensions derived from each doc), then parse the metadata back out of
+    * the actual header bytes with [[MediaCodec.decode]] — magic sniffing +
+    * little-endian field extraction, no fakes. The oracle recomputes the
+    * same metadata arithmetically, so a hash match proves the encode →
+    * parse round trip is lossless at every row. Runs as the same batched
+    * partition-local mapPartitions as the stub path: payload bytes never
+    * shuffle. */
+  def decodeReal(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("nc"))
+      .as[(Long, Int)]
+      .mapPartitions(_.grouped(FakeCodec.BatchSize).flatMap(_.map { case (id, nc) =>
+        val bytes =
+          if (id % 2 == 0) MediaCodec.encodeBmp(nc % 32 + 1, nc % 24 + 1, id)
+          else MediaCodec.encodeWav(nc * 4, (nc % 3) * 8000 + 16000, id)
+        val m = MediaCodec.decode(bytes)
+        (id, bytes.length, m.format, m.width, m.height, m.sampleRate, m.nSamples)
+      }))
+      .toDF("doc_id", "byte_len", "format", "width", "height", "sample_rate", "n_samples")
+      .orderBy(col("doc_id"))
+  }
+
+  val decodeRealOracle: String =
+    """SELECT doc_id,
+      |  cast(CASE WHEN doc_id % 2 = 0
+      |    THEN 54 + ((((length(text) % 32 + 1) * 3 + 3) // 4) * 4)
+      |           * (length(text) % 24 + 1)
+      |    ELSE 44 + length(text) * 8 END AS int) AS byte_len,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+      |  cast(CASE WHEN doc_id % 2 = 0 THEN length(text) % 32 + 1 ELSE 0 END AS int) AS width,
+      |  cast(CASE WHEN doc_id % 2 = 0 THEN length(text) % 24 + 1 ELSE 0 END AS int) AS height,
+      |  cast(CASE WHEN doc_id % 2 = 0 THEN 0
+      |    ELSE (length(text) % 3) * 8000 + 16000 END AS int) AS sample_rate,
+      |  cast(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE length(text) * 4 END AS int) AS n_samples
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Frame-offset sampling over a fake video payload: every `stride`-th
     * frame index with its byte offset and timestamp. */
   def frameSample(spark: SparkSession, d: String, frameBytes: Int = 100, stride: Int = 5): DataFrame = {
