@@ -178,16 +178,20 @@ object TextAnalysis {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin
 
-  /** TF-IDF: top-5 terms per doc by tf·ln(N/df). Two aggregations over the
-    * exploded token stream (tf per doc-term, df per term) + a broadcast of
-    * the term-df side; idf is a generic real so round(…,6) compares safely. */
+  /** TF-IDF: top-5 terms per doc by tf·ln(N/df). ONE pass over the exploded
+    * token stream: tf per (doc, term), then df derived from tf itself
+    * (tf rows are already distinct doc×term, so df(term) = count of tf
+    * rows) — the corpus is exploded and shuffled once, not twice. The
+    * term-df side broadcasts; idf is a generic real so round(…,6) compares
+    * safely. */
   def tfidf(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    // doc_id is the table key: a plain count (partial-agg, no by-key
+    // shuffle) equals the oracle's count(DISTINCT doc_id)
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "token").join(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
     scored.withColumn("rank", row_number().over(

@@ -101,6 +101,20 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("per-group top-k queries plan map-side WindowGroupLimit (bounded heaps, not full sorts)") {
+    // Spark's InferWindowGroupLimit rewrites rank<=k filters into a partial
+    // WindowGroupLimit: each map task keeps at most k rows per group before
+    // the shuffle. Guard that our rank-filter shape keeps qualifying.
+    for ((name, df) <- Seq(
+      "ann_lsh" -> Similarity.lshTopK(spark, Sf),
+      "ann_multiprobe" -> Similarity.multiprobeTopK(spark, Sf),
+      "knn_join" -> Similarity.knnJoin(spark, Sf),
+      "text_tfidf" -> TextAnalysis.tfidf(spark, Sf))) {
+      assert(physical(df).toString.contains("WindowGroupLimit"),
+        s"$name should plan a map-side WindowGroupLimit")
+    }
+  }
+
   test("every SparkEntry query produces a non-empty result at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf).count()
