@@ -26,6 +26,11 @@ object SparkEntry {
     "q16_part_suppliers" -> ((s, d) => Tpch.q16PartSuppliers(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_idle_customers" -> ((s, d) => Tpch.q22IdleCustomers(s, d)),
+    "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
+    "q12_priority" -> ((s, d) => Tpch.q12Priority(s, d)),
+    "q13_custdist" -> ((s, d) => Tpch.q13CustDist(s, d)),
+    "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
+    "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -202,6 +207,11 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |   WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_order_priority" -> Tpch.q4Oracle,
+    "q12_priority" -> Tpch.q12Oracle,
+    "q13_custdist" -> Tpch.q13Oracle,
+    "q15_top_supplier" -> Tpch.q15Oracle,
+    "q17_small_qty" -> Tpch.q17Oracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value

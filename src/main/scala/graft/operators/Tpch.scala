@@ -234,6 +234,136 @@ object Tpch {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 (adapted): orders with at least one late-shipped line
+    * (l_shipdate > o_orderdate), counted per priority. LEFT SEMI join: the
+    * fact side deduplicates during the join — no order ever multiplies by
+    * its line count, and the shuffle carries each key once. */
+  def q4OrderPriority(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+      ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q12 (adapted to the reduced schema): per return flag, how many
+    * lines belong to high- vs low-priority orders. One fact-fact join +
+    * conditional partial-agg counts. */
+  def q12Priority(spark: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isInCollection(Seq("1-URGENT", "2-HIGH"))
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q13: customer order-count distribution. LEFT OUTER join keeps
+    * order-less customers at count 0; two stacked aggregations, both
+    * partial-agg friendly. */
+  def q13CustDist(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(spark, d).select("c_custkey")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1) t
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15: top supplier(s) by quarterly revenue — revenue aggregate,
+    * broadcast scalar max, equality on the 4dp-rounded value (identical in
+    * both engines per the SURVEY §6 rounding rule). */
+  def q15TopSupplier(spark: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("m"))
+    Tables.supplier(spark, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev))
+      .filter(col("total_revenue") === col("m"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 (adapted): revenue from small-quantity lines — quantity
+    * below 20% of the part's average. The per-part average broadcasts back
+    * onto the fact scan; quantities are integer-valued, so the per-part sum
+    * (and hence the 0.2·avg threshold) is EXACT in both engines — the
+    * comparison cannot flip on accumulation order. */
+  def q17SmallQty(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val partAvg = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_lim"))
+    val brandParts = Tables.part(spark, d)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(partAvg.withColumnRenamed("l_partkey", "pk"), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Oracle: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
+      |  FROM lineitem GROUP BY 1)
+      |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN pa ON l_partkey = pk
+      |WHERE p_brand = 'Brand#1' AND l_quantity < qty_lim""".stripMargin
+
   /** TPC-H Q22 (adapted): customers with above-average positive balance and
     * no orders in 1997+ (scalar subquery + anti join), by market segment. */
   def q22IdleCustomers(spark: SparkSession, d: String): DataFrame = {
