@@ -49,6 +49,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
+    "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "ev_funnel" -> Events.funnelOracle,
     "ev_retention" -> Events.retentionOracle,
     "ev_anomalies" -> Events.anomaliesOracle,
+    "ev_user_paths" -> Events.userPathsOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,

@@ -284,6 +284,31 @@ object Events {
       |SELECT event_id, event_type, value, z, rank FROM r
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** Event-type transition matrix (Markov bigrams): for each user's
+    * time-ordered event sequence, count (previous type → type) pairs across
+    * the whole stream. One shuffle co-locates each user (the lag window),
+    * then the transition counts partial-aggregate down to |types|² groups —
+    * the path-analysis primitive behind funnel discovery. */
+  def userPaths(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val userPathsOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+      |FROM seq WHERE from_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

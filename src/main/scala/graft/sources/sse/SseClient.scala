@@ -114,20 +114,39 @@ final class SseClient(
       lastRequestTime = clock()
     }
 
+  /** Whether this client currently holds a concurrency slot on its
+    * endpoint (see rate.limit.max.concurrent). */
+  @volatile private var holdsSlot = false
+
   /** One connection attempt: CONNECTING → CONNECTED, or CONNECTING → FAILED
     * and throws (reference start() :247-316). The endpoint receives the
-    * parser's current last-event-id as the resume position. */
+    * parser's current last-event-id as the resume position.
+    *
+    * rate.limit.max.concurrent is ENFORCED here (the reference carries the
+    * option without applying it): clients sharing an endpoint count their
+    * open connections, and an attempt past the cap fails with a rate-limit
+    * error — which feeds the same extended-backoff path a server-side 429
+    * does. */
   def start(): Unit = {
     transition(Connecting)
     totalConnectionAttempts.incrementAndGet()
     try {
       applyRateLimit()
+      config.rateLimitMaxConcurrent.foreach { max =>
+        val gauge = SseClient.slots(endpoint)
+        if (gauge.get() >= max)
+          throw new java.io.IOException(
+            s"rate limit: max concurrent connections ($max) reached")
+        gauge.incrementAndGet()
+        holdsSlot = true
+      }
       conn = endpoint.connect(parser.lastEventId, buildHeaders())
       transition(Connected)
       totalSuccessfulConnections.incrementAndGet()
       connectedSince = clock()
     } catch {
       case NonFatal(e) =>
+        releaseSlot()
         transition(Failed)
         totalFailedConnections.incrementAndGet()
         lastError = Some(e)
@@ -135,12 +154,19 @@ final class SseClient(
     }
   }
 
+  private def releaseSlot(): Unit =
+    if (holdsSlot) {
+      holdsSlot = false
+      SseClient.slots(endpoint).decrementAndGet()
+    }
+
   /** Graceful close (reference stop() :321-330). */
   def stop(): Unit = {
     val c = conn
     if (c != null) {
       c.close()
       conn = null
+      releaseSlot()
       transition(Disconnected)
     }
   }
@@ -328,4 +354,10 @@ final class SseClient(
 object SseClient {
   /** Reference ships a default User-Agent when none is configured (:270-275). */
   val DefaultUserAgent = "graft-sse/0.2 (Spark-native SSE engine)"
+
+  /** Open-connection gauges per endpoint, for rate.limit.max.concurrent. */
+  private val slotsByEndpoint =
+    new ConcurrentHashMap[SseEndpoint, java.util.concurrent.atomic.AtomicInteger]()
+  private[sse] def slots(ep: SseEndpoint): java.util.concurrent.atomic.AtomicInteger =
+    slotsByEndpoint.computeIfAbsent(ep, _ => new java.util.concurrent.atomic.AtomicInteger())
 }

@@ -216,6 +216,22 @@ class SseClientSpec extends AnyFunSuite {
     assert(c.getStatusSummary.contains("Events=3"))
   }
 
+  test("rate.limit.max.concurrent caps simultaneous connections per endpoint") {
+    val ep = new LoopbackEndpoint
+    val vt = new VirtualTime
+    val cfg = config().copy(rateLimitMaxConcurrent = Some(1))
+    val a = new SseClient(ep, cfg, vt.clock, vt.sleeper)
+    val b = new SseClient(ep, cfg, vt.clock, vt.sleeper)
+    a.start()
+    val e = intercept[java.io.IOException](b.start())
+    assert(e.getCause.getMessage.contains("max concurrent connections"))
+    assert(ep.connectAttempts.get == 1, "the capped attempt must not reach the endpoint")
+    a.stop() // frees the slot
+    b.start()
+    assert(b.connectionState == ConnectionState.Connected)
+    b.stop()
+  }
+
   test("last-event-id persists across reconnects: id-less events inherit it (WHATWG; reference :538)") {
     val ep = new LoopbackEndpoint
     val s1 = ep.scriptAccept()

@@ -48,6 +48,46 @@ object SseParserProps extends Properties("SseParser") {
     }
 }
 
+object SseScanProps extends Properties("SseFrameLog.scan") {
+  import java.nio.charset.StandardCharsets
+  import java.nio.file.Files
+
+  private val nameGen: Gen[String] = Gen.alphaNumStr.suchThat(_.nonEmpty)
+  private val fieldLine: Gen[String] = Gen.oneOf(
+    nameGen.map(n => s"event: $n"),
+    Gen.alphaNumStr.map(i => s"id: $i"),
+    Gen.alphaNumStr.map(d => s"data: $d"),
+    Gen.chooseNum(1, 99999).map(r => s"retry: $r"),
+    Gen.alphaNumStr.map(c => s": $c"), // comment
+    Gen.alphaNumStr.map(x => s"unknownfield: $x"))
+  private val frameGen: Gen[String] =
+    Gen.nonEmptyListOf(fieldLine).map(_.mkString("", "\n", "\n\n"))
+
+  /** The offset scanner and the incremental parser implement the WHATWG
+    * field grammar twice (byte walk vs incremental feed). This property
+    * pins them together: for any frame stream and any admission cap, the
+    * scan's carried id/retry must equal the parser state after feeding
+    * exactly the scanned region. */
+  property("cursor state equals parser state at every admission boundary") =
+    forAll(Gen.nonEmptyListOf(frameGen), Gen.chooseNum(0L, 20L)) { (frames, cap) =>
+      val text = frames.mkString
+      val f = Files.createTempFile("scanprop", ".sselog")
+      try {
+        Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+        val r = SseFrameLog.scan(f.toString, 0L, math.max(cap, 1L))
+        val region = new String(
+          java.util.Arrays.copyOfRange(
+            Files.readAllBytes(f), 0, r.boundary.toInt),
+          StandardCharsets.UTF_8)
+        val p = new SseParser
+        val events = p.feed(region)
+        val capOk = events.size <= math.max(cap, 1L)
+        Prop(p.lastEventId == r.lastId && p.serverRetryMs == r.retryMs && capOk) :|
+          s"scan=(${r.lastId},${r.retryMs}) parser=(${p.lastEventId},${p.serverRetryMs}) events=${events.size}"
+      } finally Files.deleteIfExists(f)
+    }
+}
+
 object RollingHashProps extends Properties("RollingHash") {
   import graft.functions.RollingHash
 
