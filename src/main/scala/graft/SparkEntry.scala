@@ -50,6 +50,7 @@ object SparkEntry {
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
+    "ev_distinct_sketch" -> ((s, d) => Events.distinctSketch(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "ev_retention" -> Events.retentionOracle,
     "ev_anomalies" -> Events.anomaliesOracle,
     "ev_user_paths" -> Events.userPathsOracle,
+    "ev_distinct_sketch" -> Events.distinctSketchOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,

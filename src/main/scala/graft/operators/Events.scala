@@ -309,6 +309,63 @@ object Events {
       |FROM seq WHERE from_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-count sketch per event type, next to
+    * the exact count so the estimate error is visible. The sketch keeps the
+    * k smallest distinct md5-derived hashes per group; estimate =
+    * (k−1)·P / kth_min for hashes uniform on [0, P). KMV is the scale
+    * story for distinct counting: sketches merge associatively (union the
+    * hash sets, re-take k smallest), so partial sketches combine map-side
+    * and shuffle k values per group — countDistinct shuffles every
+    * distinct key. Deterministic (hash-based, no RNG), so the DuckDB
+    * oracle reproduces it bit-for-bit. The rank filter plans a map-side
+    * WindowGroupLimit: each task holds a bounded k-row heap per group. */
+  def distinctSketch(spark: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import graft.functions.Kernels.{hash31, P}
+    val ev = Tables.events(spark, d)
+    val hashed = ev
+      .select(col("event_type"), hash31(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(byType))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_in_sketch"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        when(col("n_in_sketch") < k, col("n_in_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * P / col("kth")))
+          .cast("long").as("sketch_estimate"),
+        col("n_in_sketch"))
+      .orderBy(col("event_type"))
+  }
+
+  val distinctSketchOracle: String = {
+    import graft.functions.Kernels.{sqlHash31, P}
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type,
+       |    ${sqlHash31("cast(user_id AS varchar)")} AS h
+       |  FROM events),
+       |ranked AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hashed),
+       |sk AS (
+       |  SELECT event_type, max(h) AS kth, count(*) AS n_in_sketch
+       |  FROM ranked WHERE rn <= 64 GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT sk.event_type, exact_distinct,
+       |  cast(CASE WHEN n_in_sketch < 64 THEN n_in_sketch
+       |    ELSE floor(63.0 * $P / kth) END AS bigint) AS sketch_estimate,
+       |  n_in_sketch
+       |FROM sk JOIN ex ON sk.event_type = ex.event_type
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
