@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -297,6 +298,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
+    "dedup_apply" -> Dedup.dedupApplyOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

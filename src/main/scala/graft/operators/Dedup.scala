@@ -300,7 +300,17 @@ object Dedup {
     * for graph algorithms on Spark. Lineage is truncated per superstep with
     * localCheckpoint so plans stay flat. Converges in O(component diameter)
     * steps (near-dup components are tiny in practice). */
-  def clusters(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
+  def clusters(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame =
+    clusterLabels(spark, d, maxIter)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("cluster_id"))
+
+  /** Converged (doc_id, label) assignment for every doc in the near-dup
+    * corpus — label = component-minimum doc id; singletons label
+    * themselves. The BSP loop [[clusters]] aggregates. */
+  def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -325,10 +335,46 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
-    labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
-      .filter(col("n_members") > 1)
-      .orderBy(col("cluster_id"))
+    labels
+  }
+
+  /** APPLY the near-dup decision: per language, how many docs survive when
+    * each cluster keeps only its canonical (minimum-id) member. The kept
+    * corpus is `doc_id == label`; everything else drops. This is the
+    * pipeline's actual output contract — pairs/clusters are diagnostics,
+    * kept/dropped accounting is what a corpus build publishes. */
+  def dedupApply(spark: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(spark, d)
+    docsWithNearDups(spark, d).select(col("doc_id"), col("lang"))
+      .join(labels, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") === col("label"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupApplyOracle: String = {
+    val pairsSql = minhashLshOracle.replace("ORDER BY i.doc_a, i.doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+       |corpus AS (
+       |  SELECT doc_id, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id+1000000, lang FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(CASE WHEN c.label IS NULL OR c.label = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
+       |  sum(CASE WHEN c.label IS NOT NULL AND c.label != d.doc_id THEN 1 ELSE 0 END) AS n_dropped
+       |FROM corpus d LEFT JOIN comp c ON d.doc_id = c.u
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val clustersOracle: String = {
