@@ -65,6 +65,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
+    "vec_quantize" -> ((s, d) => Similarity.vecQuantize(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "ev_distinct_sketch" -> Events.distinctSketchOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
+    "vec_quantize" -> Similarity.vecQuantizeOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,

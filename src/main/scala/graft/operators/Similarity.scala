@@ -241,6 +241,44 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos, rank FROM r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Per-vector symmetric int8 quantization accounting — the storage-scale
+    * step of an embedding pipeline (4× smaller than f32 before any index).
+    * scale = max|x|/127; code_j = floor(x_j·127/max + 0.5) (floor-form
+    * rounding: exact and engine-independent, unlike round()'s half-way
+    * mode). Emits the integer code sum/min/max per vector — integer
+    * aggregates are order-independent, so the oracle matches exactly where
+    * a float MSE would drift on accumulation order. Pure explode +
+    * aggregate: one shuffle of (vec, dim) rows, partial-agg friendly. */
+  def vecQuantize(spark: SparkSession, d: String): DataFrame = {
+    val comps = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+    val scales = comps.groupBy(col("vec_id")).agg(max(abs(col("v"))).as("m"))
+      .filter(col("m") > 0)
+    comps.join(scales, "vec_id")
+      .select(col("vec_id"), col("m"),
+        floor(col("v") * 127.0 / col("m") + 0.5).cast("long").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(round(first(col("m")) / 127.0, 6).as("scale"),
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val vecQuantizeOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+      |codes AS (
+      |  SELECT vec_id, m,
+      |    list_transform(e, x -> cast(floor(x * 127.0 / m + 0.5) AS bigint)) AS c
+      |  FROM m WHERE m > 0)
+      |SELECT vec_id, round(m / 127.0, 6) AS scale,
+      |  cast(list_sum(c) AS bigint) AS code_sum,
+      |  cast(list_min(c) AS bigint) AS code_min,
+      |  cast(list_max(c) AS bigint) AS code_max
+      |FROM codes ORDER BY vec_id""".stripMargin
+
   /** k-NN self-join within LSH buckets: each vector's k nearest bucket
     * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a
     * parameter tuned to corpus size (6 planes → 64 cells here; ~√n-many at
