@@ -116,6 +116,28 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase matched to the
+    * same user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * engine can expire join state — the requirement that keeps a
+    * stream-stream join runnable forever (state is O(events within the
+    * interval), not O(stream)). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"), col("click_value"))
+  }
+
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
     * Spark-native: a `topic` column to `partitionBy` at the sink, so each

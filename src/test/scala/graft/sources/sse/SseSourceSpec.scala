@@ -175,6 +175,31 @@ class SseSourceSpec extends SparkSpec {
     assert(committed.sorted == Seq("1", "2", "3", "4"))
   }
 
+  test("a log deleted mid-stream (rotation) is dropped gracefully; the rest resumes") {
+    val dir = tmpDir("sse-rotate")
+    val logs = dir.resolve("logs")
+    Files.createDirectories(logs)
+    Files.writeString(logs.resolve("p0.log"), frame("a", 1, "x"))
+    Files.writeString(logs.resolve("p1.log"), frame("b", 10, "y"))
+    val sink = dir.resolve("out")
+    def run(): Unit = {
+      val q = spark.readStream.format("sse").option("path", logs.toString).load()
+        .writeStream.format("parquet").option("path", sink.toString)
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(sink.toString).count() == 2)
+    // rotate p1 away; append to p0 — its checkpointed cursor must survive
+    Files.delete(logs.resolve("p1.log"))
+    Files.writeString(logs.resolve("p0.log"), frame("a", 2, "z"), StandardOpenOption.APPEND)
+    run()
+    val all = spark.read.parquet(sink.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(all == Seq(("a", "1"), ("a", "2"), ("b", "10")))
+  }
+
   test("batch read sees the whole log") {
     val dir = tmpDir("sse-batch")
     val log = dir.resolve("stream.log")

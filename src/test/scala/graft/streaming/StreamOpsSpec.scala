@@ -113,6 +113,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.head._3 > 10.0, s"spike z-score should be extreme: ${rows.head._3}")
   }
 
+  test("stream-stream interval join matches clicks within the hour before each purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    clicks.addData(
+      StreamEvent(1, "click", 1.0, ts(0)), // 10:00 — within the hour
+      StreamEvent(1, "click", 2.0, Timestamp.valueOf("2024-01-01 08:00:00")), // too old
+      StreamEvent(2, "click", 3.0, ts(10))) // other user
+    purchases.addData(StreamEvent(1, "purchase", 9.0, ts(30))) // 10:30
+    val q = StreamOps.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT user_id, click_value FROM ssj")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.0)), s"got $rows")
+  }
+
   test("dedupById drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
