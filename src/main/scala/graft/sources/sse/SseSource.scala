@@ -261,13 +261,17 @@ object SseReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Driver-side live ingest: an [[SseClient]] pumping the endpoint in a
-  * background thread and spooling raw stream text to an append-only log in
-  * `config.path`, which the cursor/partition mechanics treat exactly like
-  * any other frame log — the durable-buffer pattern for a non-replayable
-  * upstream. */
-final class SseLiveIngest(val client: SseClient, writer: java.io.Writer) {
-  def stop(): Unit = {
+/** Driver-side live ingest: one [[SseClient]] per configured endpoint,
+  * each pumping in a background thread and spooling raw stream text to its
+  * own append-only log in `config.path`. The cursor/partition mechanics
+  * treat the spools exactly like any other frame-log directory — one input
+  * partition per upstream endpoint, each with an independent checkpointed
+  * cursor — so the live source scales with the number of upstream
+  * partitions the same way the log transport does. The durable-buffer
+  * pattern for a non-replayable upstream. */
+final class SseLiveIngest(ingests: Seq[(SseClient, java.io.Writer)]) {
+  def clients: Seq[SseClient] = ingests.map(_._1)
+  def stop(): Unit = ingests.foreach { case (client, writer) =>
     client.stopBackground()
     writer.close()
   }
@@ -277,19 +281,26 @@ object SseLiveIngest {
   def start(config: SseConfig): SseLiveIngest = {
     val dir = new java.io.File(config.path)
     dir.mkdirs()
-    val spool = new java.io.File(dir, "live.sselog")
-    val writer = new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(spool, true), StandardCharsets.UTF_8)
     // endpoint.ref (in-process registry) wins; else sse.uri gets the real
-    // HTTP transport — the reference's configuration surface
-    val endpoint = config.endpointRef.map(SseEndpoints.lookup)
-      .orElse(config.sseUri.map(new HttpSseEndpoint(_)))
+    // HTTP transport — the reference's configuration surface. Both accept a
+    // comma-separated list: one upstream partition per entry.
+    def split(s: String): Seq[String] =
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val endpoints: Seq[SseEndpoint] = config.endpointRef
+      .map(refs => split(refs).map(SseEndpoints.lookup))
+      .orElse(config.sseUri.map(uris => split(uris).map(new HttpSseEndpoint(_))))
       .getOrElse(throw new IllegalArgumentException(
         "transport=live requires 'endpoint.ref' or 'sse.uri'"))
-    val client = new SseClient(endpoint, config,
-      onChunk = chunk => writer.synchronized { writer.write(chunk); writer.flush() })
-    client.startBackground()
-    new SseLiveIngest(client, writer)
+    val ingests = endpoints.zipWithIndex.map { case (endpoint, i) =>
+      val spool = new java.io.File(dir, f"live-$i%04d.sselog")
+      val writer = new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(spool, true), StandardCharsets.UTF_8)
+      val client = new SseClient(endpoint, config,
+        onChunk = chunk => writer.synchronized { writer.write(chunk); writer.flush() })
+      client.startBackground()
+      (client, writer)
+    }
+    new SseLiveIngest(ingests)
   }
 }
 

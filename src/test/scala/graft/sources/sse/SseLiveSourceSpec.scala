@@ -60,6 +60,38 @@ class SseLiveSourceSpec extends SparkSpec {
       ("edit", "3", "c"), ("del", "4", "d")))
   }
 
+  test("multiple live endpoints: one client + spool + input partition per upstream") {
+    val epA = new LoopbackEndpoint
+    val epB = new LoopbackEndpoint
+    val sA = epA.scriptAccept()
+    val sB = epB.scriptAccept()
+    SseEndpoints.register("multi-a", epA)
+    SseEndpoints.register("multi-b", epB)
+    sA.push(frame("edit", 1, "a1") + frame("edit", 2, "a2"))
+    sB.push(frame("del", 10, "b1"))
+
+    val dir = tmpDir("sse-multi-live")
+    val q = spark.readStream.format("sse")
+      .option("path", dir.resolve("spool").toString)
+      .option("transport", "live")
+      .option("endpoint.ref", "multi-a, multi-b")
+      .load()
+      .writeStream.format("memory").queryName("sse_multi_live")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Long =
+        spark.sql("SELECT count(*) FROM sse_multi_live").head().getLong(0)
+      while (count() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(count() == 3, s"expected 3 events from 2 endpoints, got ${count()}")
+    } finally q.stop()
+    assert(epA.connectAttempts.get >= 1 && epB.connectAttempts.get >= 1)
+    val spools = new java.io.File(dir.resolve("spool").toString).listFiles().map(_.getName).sorted
+    assert(spools.toSeq == Seq("live-0000.sselog", "live-0001.sselog"))
+  }
+
   test("full stack over HTTP: sse.uri → SseClient → spool → micro-batches") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import java.net.InetSocketAddress
