@@ -51,6 +51,7 @@ object SparkEntry {
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
     "ev_distinct_sketch" -> ((s, d) => Events.distinctSketch(s, d)),
+    "ev_value_quantiles" -> ((s, d) => Events.valueQuantiles(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "docs_filter_clean" -> ((s, d) => Pipeline.filterClean(s, d)),
     "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
+    "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     // §2.5 text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -289,6 +291,7 @@ object SparkEntry {
     "ev_anomalies" -> Events.anomaliesOracle,
     "ev_user_paths" -> Events.userPathsOracle,
     "ev_distinct_sketch" -> Events.distinctSketchOracle,
+    "ev_value_quantiles" -> Events.valueQuantilesOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,
@@ -309,6 +312,7 @@ object SparkEntry {
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
     "text_token_hist" -> Pipeline.tokenHistOracle,
+    "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_langid" -> TextAnalysis.langIdOracle,

@@ -309,6 +309,30 @@ object Events {
       |FROM seq WHERE from_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Exact per-type value quantiles (p50/p90/p99, linear interpolation).
+    * Exact `percentile` shuffles each group's values once; at 100 TB the
+    * KMV/sketch family or approx_percentile takes over, but the exact form
+    * is the calibration baseline. Interpolation arithmetic on identically
+    * sorted doubles is engine-identical; round 4 guards the arithmetic. */
+  def valueQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val qs = percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(round(element_at(qs, 1), 4).as("p50"),
+        round(element_at(qs, 2), 4).as("p90"),
+        round(element_at(qs, 3), 4).as("p99"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val valueQuantilesOracle: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** KMV (k-minimum-values) distinct-count sketch per event type, next to
     * the exact count so the estimate error is visible. The sketch keeps the
     * k smallest distinct md5-derived hashes per group; estimate =

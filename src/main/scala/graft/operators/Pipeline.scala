@@ -120,6 +120,36 @@ object Pipeline {
       |SELECT prefix_md5, count(*) AS n_docs, min(doc_id) AS min_doc
       |FROM p GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 
+  /** Unigram language-model score per doc: mean ln(corpus_freq/total) over
+    * the doc's tokens — the KenLM-perplexity stand-in quality filters rank
+    * docs by. The corpus unigram table broadcasts (|vocabulary| entries);
+    * scoring is then a map-side join + per-doc aggregate. ln of an
+    * identical integer ratio is bit-identical cross-engine; the per-doc
+    * mean rounds at 4dp (accumulation noise ~1e-14 ≪ half-step). */
+  def unigramLogProb(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freqs = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tok.groupBy().agg(count(lit(1)).as("total"))
+    tok.join(broadcast(freqs), "token")
+      .join(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogProbOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |freqs AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      |total AS (SELECT count(*) AS total FROM tok)
+      |SELECT doc_id,
+      |  round(avg(ln(cast(cnt AS double) / total)), 4) AS avg_logprob,
+      |  count(*) AS n_tokens
+      |FROM tok JOIN freqs ON tok.token = freqs.token, total
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Token-count histogram: corpus shape at a glance (decade buckets).
     * Pure map + tiny aggregate — the `n_docs × mean length` sanity numbers
     * every corpus build publishes. */
