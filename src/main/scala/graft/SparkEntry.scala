@@ -31,6 +31,7 @@ object SparkEntry {
     "q13_custdist" -> ((s, d) => Tpch.q13CustDist(s, d)),
     "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
+    "q_running_totals" -> ((s, d) => Tpch.qRunningTotals(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -61,6 +62,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -218,6 +220,7 @@ object SparkEntry {
     "q13_custdist" -> Tpch.q13Oracle,
     "q15_top_supplier" -> Tpch.q15Oracle,
     "q17_small_qty" -> Tpch.q17Oracle,
+    "q_running_totals" -> Tpch.qRunningTotalsOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -304,6 +307,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
+    "dedup_containment" -> Dedup.containmentOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

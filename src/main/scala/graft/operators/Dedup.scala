@@ -393,6 +393,57 @@ object Dedup {
        |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
   }
 
+  /** Containment dedup: pairs where the SMALLER document's shingle set is
+    * mostly inside the larger's (|A∩B| / min(|A|,|B|) ≥ threshold) — the
+    * asymmetric near-dup symmetric Jaccard misses (a doc quoted whole
+    * inside a larger one has low Jaccard but containment ≈ 1). Planted:
+    * every even doc's 8-token prefix as a new doc — fully contained.
+    * Candidates come straight off the shingle inverted index (cost Σ df(s)²
+    * — corpus-shaped, like the n-gram confirm), then one containment
+    * filter; no cross product. */
+  def containment(spark: SparkSession, d: String, minCont: Double = 0.9): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val docs = base.unionAll(base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("text")))
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment",
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= minCont)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id+3000000, array_to_string(string_split(text, ' ')[1:8], ' ')
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(cast(n_common AS double) / least(sa.n, sb.n), 4) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(cast(n_common AS double) / least(sa.n, sb.n), 4) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Embedding-cosine near-dup pairs within random-hyperplane LSH buckets.
     * Planted dups are scaled copies (×2) — cosine exactly 1 vs the original,
     * and scaling preserves projection signs, so a copy ALWAYS lands in its

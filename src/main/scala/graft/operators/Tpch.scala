@@ -364,6 +364,35 @@ object Tpch {
       |JOIN pa ON l_partkey = pk
       |WHERE p_brand = 'Brand#1' AND l_quantity < qty_lim""".stripMargin
 
+  /** Running totals: each customer's cumulative spend over their order
+    * sequence — the partitioned running-sum window (frame UNBOUNDED
+    * PRECEDING → CURRENT ROW). One shuffle co-locates each customer; the
+    * running sum is computed in deterministic ORDER BY order, so the
+    * addition sequence (and result) is identical cross-engine. */
+  def qRunningTotals(spark: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("cum_spend", round(sum(col("o_totalprice")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq").cast("int").as("order_seq"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("cum_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val qRunningTotalsOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  cast(row_number() OVER w AS int) AS order_seq,
+      |  round(o_totalprice, 2) AS o_totalprice,
+      |  round(sum(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
   /** TPC-H Q22 (adapted): customers with above-average positive balance and
     * no orders in 1997+ (scalar subquery + anti join), by market segment. */
   def q22IdleCustomers(spark: SparkSession, d: String): DataFrame = {

@@ -138,6 +138,39 @@ object StreamOps {
         col("purchase_value"), col("click_ts"), col("click_value"))
   }
 
+  /** Streaming KMV distinct-count sketch per event type: keyed state holds
+    * the k smallest md5-derived user hashes (same hash as the batch
+    * `ev_distinct_sketch`, so batch and stream estimates agree on the same
+    * data); each batch emits the type's refreshed estimate. State is O(k)
+    * per type — constant — and the sketch is a set union, so replayed
+    * events are idempotent. */
+  def distinctSketch(events: Dataset[StreamEvent], k: Int = 64): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[KmvSketch, DistinctEstimate](GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[KmvSketch]) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+          val merged = (prev.toSet ++ it.map(e => StreamOps.hash31(e.user_id.toString)))
+            .toSeq.sorted.take(k)
+          state.update(KmvSketch(merged))
+          val est =
+            if (merged.size < k) merged.size.toLong
+            else math.floor((k - 1).toDouble * 2147483647L / merged.max).toLong
+          DistinctEstimate(typ, est, merged.size)
+      }
+  }
+
+  /** JVM mirror of Kernels.hash31 (first 8 md5 hex digits mod 2^31−1) —
+    * the batch and streaming sketches must hash identically. */
+  private[streaming] def hash31(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+      ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)
+    v % 2147483647L
+  }
+
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
     * Spark-native: a `topic` column to `partitionBy` at the sink, so each
@@ -148,6 +181,12 @@ object StreamOps {
 
 /** Per-type running moments for [[StreamOps.anomalies]] (Welford). */
 case class TypeStats(n: Long, mean: Double, m2: Double)
+
+/** KMV sketch state: the k smallest distinct hashes seen for a key. */
+case class KmvSketch(hashes: Seq[Long])
+
+/** Per-type distinct estimate emitted each batch. */
+case class DistinctEstimate(event_type: String, n_distinct_est: Long, n_in_sketch: Int)
 
 /** An emitted outlier. */
 case class Anomaly(event_type: String, user_id: Long, value: Double, z: Double,

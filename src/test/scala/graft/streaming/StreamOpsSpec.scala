@@ -131,6 +131,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Seq((1L, 1.0)), s"got $rows")
   }
 
+  test("streaming KMV sketch accumulates distinct users across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.distinctSketch(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("kmv").outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData((1 to 10).map(u => StreamEvent(u.toLong, "click", 1.0, ts(u % 60))): _*)
+      q.processAllAvailable()
+      // users 6-20 overlap 1-10 on 6-10: union = users 1-20 = 20 distinct
+      in.addData((6 to 20).map(u => StreamEvent(u.toLong, "click", 1.0, ts(u % 60))): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_distinct_est, n_in_sketch FROM kmv")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      // update mode appends one refreshed row per batch; last = cumulative
+      assert(rows.head == ((10L, 10)), s"got $rows")
+      assert(rows.last == ((20L, 20)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupById drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
