@@ -78,6 +78,9 @@ object SparkEntry {
     "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
+    "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
+    "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
+    "text_compression" -> ((s, d) => Pipeline.compressionRatio(s, d)),
     // §2.5 text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -317,6 +320,10 @@ object SparkEntry {
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
     "text_token_hist" -> Pipeline.tokenHistOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
+    "docs_pii_scrub" -> Pipeline.piiScrubOracle,
+    "text_repetition" -> Pipeline.repetitionOracle,
+    // text_compression: zlib has no DuckDB analogue → rows-only check;
+    // unit KATs pin the deflate behavior
     "text_quality" -> TextAnalysis.qualityOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_langid" -> TextAnalysis.langIdOracle,

@@ -150,6 +150,124 @@ object Pipeline {
       |FROM tok JOIN freqs ON tok.token = freqs.token, total
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PII scrubbing accounting: per source, how many docs contain
+    * email-like / phone-like / IPv4-like spans and the total span count —
+    * the audit record a scrub stage publishes. The corpus is augmented with
+    * deterministic planted PII (every 3rd doc gains an email, every 5th a
+    * phone, every 7th an IP), mirrored exactly in the oracle, so detection
+    * is verified against known ground truth. Pure regex column work —
+    * single codegen'd map pass. */
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
+    val planted = base.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" contact bob@example.com")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" from 192.168.1.77")).otherwise(lit(""))).as("text"))
+    val emails = size(regexp_extract_all(col("text"),
+      lit("[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"), lit(0)))
+    val phones = size(regexp_extract_all(col("text"),
+      lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit(0)))
+    val ips = size(regexp_extract_all(col("text"),
+      lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit(0)))
+    planted
+      .select(col("source"), emails.as("ne"), phones.as("np"), ips.as("ni"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("np") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(when(col("ni") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(col("ne") + col("np") + col("ni")).cast("long").as("total_spans"))
+      .orderBy(col("source"))
+  }
+
+  val piiScrubOracle: String =
+    """WITH planted AS (
+      |  SELECT doc_id, source,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' contact bob@example.com' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77' ELSE '' END AS text
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS ne,
+      |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+      |    len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni
+      |  FROM planted)
+      |SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+      |  sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS docs_with_phone,
+      |  sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_with_ip,
+      |  cast(sum(ne + np + ni) AS bigint) AS total_spans
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gopher-style repetition signal: the duplicate-shingle fraction per doc
+    * (1 − distinct/total word-3-grams). Highly repetitive machine text
+    * scores high; the filter threshold is corpus policy. Explode +
+    * count/countDistinct per doc — partial-agg friendly. */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"), col("t"))
+      .select(col("doc_id"), concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
+    sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("s")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4)
+          .as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |  WHERE len(t) >= 3)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  count(DISTINCT s) AS n_distinct,
+      |  round(1.0 - cast(count(DISTINCT s) AS double) / count(*), 4) AS dup_fraction
+      |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gopher-style compressibility signal: zlib-deflate ratio per doc
+    * (compressed/original bytes). Repetitive or templated text compresses
+    * far below natural prose. Runs partition-local via the JVM Deflater
+    * (level 6, deterministic for fixed input+level) in the same batched
+    * mapPartitions shape as the media codec; no SQL oracle exists for zlib,
+    * so the driver records the rows-only check and MediaCodecSpec-style
+    * unit tests pin known answers. */
+  def compressionRatio(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, text) =>
+        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = Pipeline.deflateLen(in)
+        (id, in.length, n, math.round(n.toDouble / in.length * 10000) / 10000.0)
+      }))
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic zlib-deflate length (level 6, single stream). */
+  private[graft] def deflateLen(in: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](in.length + 64)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Token-count histogram: corpus shape at a glance (decade buckets).
     * Pure map + tiny aggregate — the `n_docs × mean length` sanity numbers
     * every corpus build publishes. */
