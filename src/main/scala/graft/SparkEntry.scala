@@ -72,6 +72,8 @@ object SparkEntry {
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
+    "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "ev_windowed_topk" -> ((s, d) => Events.windowedTopK(s, d)),
     // §2.7 corpus-pipeline operators
     "docs_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
     "docs_filter_clean" -> ((s, d) => Pipeline.filterClean(s, d)),
@@ -314,6 +316,8 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
+    "ann_recall" -> Similarity.annRecallOracle,
+    "ev_windowed_topk" -> Events.windowedTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,

@@ -390,6 +390,33 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Top-k users per hour window by value sum — per-group top-k over a
+    * time-bucketed aggregate. Ranking runs on the ROUNDED sums (identical
+    * in both engines) with a user tie-break; the rank filter plans a
+    * map-side WindowGroupLimit. */
+  def windowedTopK(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("value_sum"))
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("value_sum").desc, col("user_id"))
+    hourly.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("window_start"), col("user_id"), col("value_sum"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
+  val windowedTopKOracle: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, user_id,
+      |    round(sum(value), 2) AS value_sum
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, cast(row_number() OVER (PARTITION BY window_start
+      |  ORDER BY value_sum DESC, user_id) AS int) AS rank FROM hourly)
+      |SELECT window_start, user_id, value_sum, rank FROM r
+      |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

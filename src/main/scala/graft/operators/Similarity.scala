@@ -241,6 +241,47 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos, rank FROM r
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Recall@k of the LSH index against brute-force ground truth, per
+    * query — the index-quality eval an ANN deployment publishes alongside
+    * the index itself. Composes the two existing operators; hits counted
+    * with a left join against the truth set. */
+  def annRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val truth = bruteforceTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallOracle: String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, v0.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qe, v0.e), 4) AS cos
+       |  FROM q, v0 WHERE v0.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3),
+       |vl AS (SELECT vec_id, e, ${sqlLshBucket("e", 16)} AS bucket FROM v0),
+       |ql AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vl WHERE vec_id < 10),
+       |ls AS (
+       |  SELECT query_id, vl.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qe, vl.e), 4) AS cos
+       |  FROM ql JOIN vl ON ql.bucket = vl.bucket AND vl.vec_id != query_id),
+       |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ls),
+       |approx AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 3)
+       |SELECT t.query_id, count(a.neighbor_id) AS n_hits,
+       |  round(count(a.neighbor_id) / 3.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-vector symmetric int8 quantization accounting — the storage-scale
     * step of an embedding pipeline (4× smaller than f32 before any index).
     * scale = max|x|/127; code_j = floor(x_j·127/max + 0.5) (floor-form

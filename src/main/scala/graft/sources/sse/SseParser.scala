@@ -31,11 +31,17 @@ final class SseParser {
   private var retryMs: Option[Long] = None
   private val lineBuf = new StringBuilder
   private var sawCr = false
+  private var atStreamStart = true
 
   /** Feed a chunk of stream text; returns events completed by this chunk. */
   def feed(chunk: String): Seq[SseEvent] = {
     val out = mutable.ArrayBuffer.empty[SseEvent]
     var i = 0
+    // WHATWG: one leading U+FEFF BOM is stripped from the stream
+    if (atStreamStart && chunk.nonEmpty) {
+      if (chunk.charAt(0) == '\uFEFF') i = 1
+      atStreamStart = false
+    }
     while (i < chunk.length) {
       val c = chunk.charAt(i)
       if (sawCr && c == '\n') { sawCr = false } // CRLF: LF already handled

@@ -68,6 +68,16 @@ class SseParserSpec extends AnyFunSuite {
     assert(SseParser.normalize(SseEvent(None, None, "d")) == (("unknown", None, "d")))
     assert(SseParser.normalize(SseEvent(Some("e"), Some("1"), "")) == (("e", Some("1"), "")))
   }
+
+  test("a leading BOM is stripped; a mid-stream U+FEFF is data (WHATWG)") {
+    assert(SseParser.parseAll("﻿data: x\n\n").map(_.data) == Seq("x"))
+    // only the FIRST character of the stream; later BOMs are content
+    assert(SseParser.parseAll("data: a﻿b\n\n").map(_.data) == Seq("a﻿b"))
+    // BOM alone at chunk 1, fields in chunk 2 (incremental path)
+    val p = new SseParser
+    assert(p.feed("﻿").isEmpty)
+    assert(p.feed("data: y\n\n").map(_.data) == Seq("y"))
+  }
 }
 
 /** Reference retry/backoff policy (defaults 2000→30000 ms, unlimited). */
