@@ -23,4 +23,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows.getDouble(0) > 0.0)
     assert(rows.getLong(2) > 0)
   }
+
+  test("Spark's HLL approx_count_distinct stays within 5% of exact on the events stream") {
+    // the built-in HLL++ sketch is the associative scale path Spark ships;
+    // the KMV operator is the oracle-checkable deterministic variant. Pin
+    // the built-in's accuracy so both sketch families stay usable.
+    val ev = Tables.events(spark, Sf)
+    val r = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getLong(1).toDouble
+      val approx = row.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${row.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
 }

@@ -118,4 +118,23 @@ class SseConfigSpec extends AnyFunSuite {
       SseConfig.fromOptions(Map[String, String]().asJava)
     }
   }
+  test("transport validation: unknown transport and live-without-endpoint rejected") {
+    assertThrows[IllegalArgumentException] {
+      SseConfig.fromOptions(Map("path" -> "/tmp/x", "transport" -> "carrier-pigeon").asJava)
+    }
+    assertThrows[IllegalArgumentException] {
+      SseConfig.fromOptions(Map("path" -> "/tmp/x", "transport" -> "live").asJava)
+    }
+    // live with sse.uri alone is valid (HTTP endpoint)
+    val c = SseConfig.fromOptions(Map("path" -> "/tmp/x", "transport" -> "live",
+      "sse.uri" -> "http://h/stream").asJava)
+    assert(c.transport == "live" && c.sseUri.contains("http://h/stream"))
+  }
+  test("health-check options parse with reference defaults") {
+    val c = SseConfig.fromOptions(Map("path" -> "/tmp/x").asJava)
+    assert(c.idleTimeoutMs == 60000L && c.connectionCheckIntervalMs == 30000L)
+    assertThrows[IllegalArgumentException] {
+      SseConfig.fromOptions(Map("path" -> "/tmp/x", "idle.timeout.ms" -> "0").asJava)
+    }
+  }
 }
