@@ -82,6 +82,12 @@ final class SseClient(
   def lastEventId: Option[String] = parser.lastEventId
   def errorOption: Option[Throwable] = lastError
 
+  /** Seed the WHATWG resume state before the first connect — used on
+    * restart to continue from where a previous client's spool left off, so
+    * a resume-aware upstream does not replay already-spooled events. */
+  def seedResume(id: Option[String], retryMs: Option[Long]): Unit =
+    parser.seed(id, retryMs)
+
   private def transition(to: ConnectionState): Unit = synchronized {
     transitionLog += ((state.name, to.name))
     state = to

@@ -293,10 +293,25 @@ object SseLiveIngest {
         "transport=live requires 'endpoint.ref' or 'sse.uri'"))
     val ingests = endpoints.zipWithIndex.map { case (endpoint, i) =>
       val spool = new java.io.File(dir, f"live-$i%04d.sselog")
+      // restart continuity: resume from the last id already spooled, so a
+      // resume-aware upstream doesn't replay events a previous run
+      // ingested; a half-written trailing frame from a crashed run is
+      // truncated to the last committed boundary (checkpointed cursors
+      // never exceed it) so the resumed stream can't concatenate into it
+      val resume =
+        if (spool.length() > 0) {
+          val r = SseFrameLog.scan(spool.getPath, 0L, Long.MaxValue)
+          if (spool.length() > r.boundary) {
+            val ch = new java.io.RandomAccessFile(spool, "rw")
+            try ch.setLength(r.boundary) finally ch.close()
+          }
+          Some(r)
+        } else None
       val writer = new java.io.OutputStreamWriter(
         new java.io.FileOutputStream(spool, true), StandardCharsets.UTF_8)
       val client = new SseClient(endpoint, config,
         onChunk = chunk => writer.synchronized { writer.write(chunk); writer.flush() })
+      resume.foreach(r => client.seedResume(r.lastId, r.retryMs))
       client.startBackground()
       (client, writer)
     }

@@ -92,6 +92,47 @@ class SseLiveSourceSpec extends SparkSpec {
     assert(spools.toSeq == Seq("live-0000.sselog", "live-0001.sselog"))
   }
 
+  test("query restart resumes the upstream from the spooled last-event-id (no replay)") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    val s2 = ep.scriptAccept()
+    SseEndpoints.register("live-restart", ep)
+    s1.push(frame("edit", 1, "a") + frame("edit", 2, "b"))
+    // s1 stays open (no EOF): run 1 ends with the connection healthy
+    s2.push(frame("edit", 3, "c"))
+
+    val dir = tmpDir("sse-live-restart")
+    def run(expect: Long): Unit = {
+      val q = spark.readStream.format("sse")
+        .option("path", dir.resolve("spool").toString)
+        .option("transport", "live")
+        .option("endpoint.ref", "live-restart")
+        .option("retry.backoff.initial.ms", "10")
+        .option("retry.backoff.max.ms", "50")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dir.resolve("out").toString)
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.ProcessingTime(100))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def count(): Long =
+          try spark.read.parquet(dir.resolve("out").toString).count()
+          catch { case _: Exception => 0L }
+        while (count() < expect && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(count() == expect, s"expected $expect rows, got ${count()}")
+      } finally q.stop()
+    }
+    run(2) // first run ingests events 1-2 and stops
+    run(3) // restart: a NEW client must resume from id 2, not replay
+    assert(ep.seenLastEventIds.take(2) == List(None, Some("2")),
+      s"restart must carry the spooled last-event-id: ${ep.seenLastEventIds}")
+    val ids = spark.read.parquet(dir.resolve("out").toString)
+      .select("id").collect().map(_.getString(0)).toSeq.sorted
+    assert(ids == Seq("1", "2", "3"), s"no duplicates allowed: $ids")
+  }
+
   test("full stack over HTTP: sse.uri → SseClient → spool → micro-batches") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     import java.net.InetSocketAddress
