@@ -97,6 +97,21 @@ class KernelsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_rolling_hash('ab')").head().getLong(0) == 12805L)
   }
 
+  test("SQL surface: every operator reachable as a graft_<name> view") {
+    graft.GraftCatalog.registerOperatorViews(spark, Sf)
+    // a spot check across operator families, driven purely through SQL
+    assert(spark.sql("SELECT count(*) FROM graft_q1_pricing").head().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_dedup_minhash_lsh WHERE jaccard >= 0.5")
+      .head().getLong(0) > 0)
+    assert(spark.sql("SELECT max(rank) FROM graft_ann_lsh").head().getInt(0) <= 3)
+    // views stay logical: Catalyst pushes SQL-level filters into the plan
+    val plan = spark.sql(
+      "SELECT * FROM graft_text_quality WHERE doc_id = 1").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("doc_id"), plan)
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)
