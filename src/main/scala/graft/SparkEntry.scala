@@ -47,6 +47,7 @@ object SparkEntry {
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
+    "ev_skew_join_salted" -> ((s, d) => Joins.skewJoinSalted(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
+    "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
     "ev_funnel" -> Events.funnelOracle,
     "ev_retention" -> Events.retentionOracle,
     "ev_anomalies" -> Events.anomaliesOracle,

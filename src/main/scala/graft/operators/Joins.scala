@@ -95,4 +95,35 @@ object Joins {
       |      FROM events WHERE event_type='error') e
       |  ON e.user_id = p.user_id AND e.tsec > p.tsec AND e.tsec <= p.tsec + 86400
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Salted join — the skew defense for a fact⋈dim join where a handful of
+    * hot keys would pin single reducers: the dim side replicates ×nSalts
+    * (explode over the salt range — dims are small, replication is cheap),
+    * the fact side computes a deterministic salt from its own row id, and
+    * the join runs on (key, salt) — a hot key's rows spread over nSalts
+    * reducers instead of one. Identical result to the unsalted join (the
+    * oracle runs the plain form). AQE's skew-join split is the runtime
+    * alternative; salting is the declarative-plan guarantee. */
+  def skewJoinSalted(spark: SparkSession, d: String, nSalts: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val fact = ev.select(col("user_id"), col("event_type"), col("event_id"))
+      .withColumn("salt", pmod(col("event_id"), lit(nSalts.toLong)))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("user_total"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
+    fact.join(dim, Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("user_total")), 4).as("avg_user_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewJoinSaltedOracle: String =
+    """WITH dim AS (
+      |  SELECT user_id, round(sum(value), 2) AS user_total
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(avg(user_total), 4) AS avg_user_total
+      |FROM events e JOIN dim ON e.user_id = dim.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
