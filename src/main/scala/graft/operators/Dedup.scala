@@ -312,29 +312,52 @@ object Dedup {
     * themselves. The BSP loop [[clusters]] aggregates. */
   def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
+    val vertices = docsWithNearDups(spark, d).select(col("doc_id"))
+    connectedComponents(pairs, vertices, maxIter)
+  }
+
+  /** Distributed connected components over an undirected edge list:
+    * min-label propagation PLUS a pointer-doubling shortcut per superstep
+    * (each vertex also adopts its current label's label), so convergence is
+    * O(log diameter) supersteps instead of O(diameter) — a 1000-deep
+    * near-dup chain converges in ~10 rounds, not 1000. Every superstep is
+    * two joins + a min-aggregate, shuffle-bounded by |edges| + |vertices|;
+    * the driver only coordinates. Lineage is truncated per superstep with
+    * localCheckpoint; convergence is read off the materialized superstep
+    * (no extra join). Throws if maxIter is hit without converging — silent
+    * under-convergence would mislabel components. */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = docsWithNearDups(spark, d)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("pid"))
         .agg(min(col("label")).as("nlabel"))
-      // carry a changed flag through the propagation join so convergence is
-      // read off the materialized superstep — no second join per superstep
-      val next = labels.join(prop, labels("doc_id") === prop("pid"), "left")
+      // pointer doubling: my label's current label (label table self-join)
+      val jump = labels.select(col("doc_id").as("jdoc"), col("label").as("jlabel"))
+      val next = labels
+        .join(prop, labels("doc_id") === prop("pid"), "left")
+        .join(jump, labels("label") === col("jdoc"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("newlabel"),
+          col("label").as("oldlabel"))
+        .select(col("doc_id"), col("newlabel").as("label"),
+          (col("newlabel") < col("oldlabel")).as("changed"))
         .localCheckpoint()
       // scans the just-checkpointed partitions (no shuffle, no recompute)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    require(converged, s"connectedComponents did not converge in $maxIter supersteps")
     labels
   }
 

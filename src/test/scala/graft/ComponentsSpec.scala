@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Connected-components convergence properties the dedup clustering rides
+  * on: pointer doubling must make deep chains converge in O(log diameter)
+  * supersteps — plain min-propagation alone would need O(diameter). */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a 60-node path converges within 10 supersteps (log, not linear)") {
+    // path 0-1-2-...-59: diameter 59. Pure propagation needs ~59 rounds;
+    // with the label-of-label shortcut ~log2(60) ≈ 6.
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val vertices = (0L to 59L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(pairs, vertices, maxIter = 10)
+    val distinctLabels = labels.select(col("label")).distinct().collect().map(_.getLong(0))
+    assert(distinctLabels.toSeq == Seq(0L), "whole path must collapse to label 0")
+  }
+
+  test("multiple components each take their minimum id; singletons self-label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val vertices = (1L to 12L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(pairs, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1) == 1 && labels(2) == 1 && labels(3) == 1)
+    assert(labels(10) == 10 && labels(11) == 10)
+    assert(labels(12) == 12) // singleton
+  }
+
+  test("non-convergence raises instead of silently mislabeling") {
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val vertices = (0L to 59L).toDF("doc_id")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, vertices, maxIter = 2)
+    }
+  }
+}
