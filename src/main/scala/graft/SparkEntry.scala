@@ -95,6 +95,7 @@ object SparkEntry {
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -338,6 +339,7 @@ object SparkEntry {
     "text_top_terms" -> TextAnalysis.topTermsOracle,
     "mm_decode_meta" -> Multimodal.decodeMetaOracle,
     "mm_decode_real" -> Multimodal.decodeRealOracle,
+    "mm_resize" -> Multimodal.resizeOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,

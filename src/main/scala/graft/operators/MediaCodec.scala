@@ -85,6 +85,43 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Nearest-neighbor downscale of a 24-bpp BMP by an integer factor:
+    * out(x, y) = in(x·f, y·f), output dims ceil(w/f) × ceil(h/f). Real
+    * pixel resampling over the decoded rows (respecting 4-byte row
+    * padding), re-encoded as a spec-correct BMP. */
+  def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1)
+    def i32(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte, "not a BMP")
+    val w = i32(18)
+    val h = i32(22)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val nw = (w + factor - 1) / factor
+    val nh = (h + factor - 1) / factor
+    val nRowBytes = (nw * 3 + 3) / 4 * 4
+    val out = new ByteArrayOutputStream(54 + nRowBytes * nh)
+    ascii(out, "BM")
+    le4(out, 54 + nRowBytes * nh); le4(out, 0); le4(out, 54)
+    le4(out, 40); le4(out, nw); le4(out, nh)
+    le2(out, 1); le2(out, 24); le4(out, 0); le4(out, nRowBytes * nh)
+    le4(out, 2835); le4(out, 2835); le4(out, 0); le4(out, 0)
+    var y = 0
+    while (y < nh) {
+      var written = 0
+      var x = 0
+      while (x < nw) {
+        val src = 54 + (y * factor) * rowBytes + (x * factor) * 3
+        out.write(b(src) & 0xFF); out.write(b(src + 1) & 0xFF); out.write(b(src + 2) & 0xFF)
+        written += 3
+        x += 1
+      }
+      while (written < nRowBytes) { out.write(0); written += 1 }
+      y += 1
+    }
+    out.toByteArray
+  }
+
   /** Parsed header metadata; irrelevant fields are 0. */
   case class Decoded(format: String, width: Int, height: Int,
       channels: Int, sampleRate: Int, nSamples: Int)

@@ -145,6 +145,38 @@ object Multimodal {
       |  cast(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE length(text) * 4 END AS int) AS n_samples
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL resize path: encode each doc's BMP, nearest-neighbor downscale
+    * it ×2 with genuine pixel resampling ([[MediaCodec.resizeBmp]]), parse
+    * the result back, and emit old/new dims + the re-encoded byte length.
+    * The oracle recomputes the expected header metadata arithmetically, so
+    * the hash match proves the full encode → resample → re-encode → parse
+    * chain preserves the spec at every row. Partition-local like every
+    * payload operator. */
+  def resize(spark: SparkSession, d: String, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("nc"))
+      .as[(Long, Int)]
+      .mapPartitions(_.grouped(FakeCodec.BatchSize).flatMap(_.map { case (id, nc) =>
+        val bmp = MediaCodec.encodeBmp(nc % 32 + 1, nc % 24 + 1, id)
+        val small = MediaCodec.resizeBmp(bmp, factor)
+        val m = MediaCodec.decode(small)
+        (id, nc % 32 + 1, nc % 24 + 1, m.width, m.height, small.length)
+      }))
+      .toDF("doc_id", "width", "height", "new_width", "new_height", "new_byte_len")
+      .orderBy(col("doc_id"))
+  }
+
+  val resizeOracle: String =
+    """SELECT doc_id,
+      |  cast(length(text) % 32 + 1 AS int) AS width,
+      |  cast(length(text) % 24 + 1 AS int) AS height,
+      |  cast((length(text) % 32 + 1 + 1) // 2 AS int) AS new_width,
+      |  cast((length(text) % 24 + 1 + 1) // 2 AS int) AS new_height,
+      |  cast(54 + ((((length(text) % 32 + 1 + 1) // 2) * 3 + 3) // 4 * 4)
+      |    * ((length(text) % 24 + 1 + 1) // 2) AS int) AS new_byte_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Frame-offset sampling over a fake video payload: every `stride`-th
     * frame index with its byte offset and timestamp. */
   def frameSample(spark: SparkSession, d: String, frameBytes: Int = 100, stride: Int = 5): DataFrame = {

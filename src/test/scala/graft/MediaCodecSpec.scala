@@ -42,6 +42,24 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decode(("RIFF1234AVI LIST" + "x" * 40).getBytes).format == "unknown")
   }
 
+  test("resize: nearest-neighbor downscale keeps ceil-dims and exact source pixels") {
+    val src = MediaCodec.encodeBmp(5, 3, seed = 11L)
+    val out = MediaCodec.resizeBmp(src, 2)
+    val d = MediaCodec.decode(out)
+    assert((d.width, d.height) == (3, 2)) // ceil(5/2), ceil(3/2)
+    // pixel (x, y) of the output must be byte-identical to input (2x, 2y)
+    val srcRow = (5 * 3 + 3) / 4 * 4
+    val outRow = (3 * 3 + 3) / 4 * 4
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      val s = src(54 + (y * 2) * srcRow + (x * 2) * 3 + c)
+      val o = out(54 + y * outRow + x * 3 + c)
+      assert(s == o, s"pixel ($x,$y) channel $c")
+    }
+    // factor 1 is identity on dims
+    val id = MediaCodec.decode(MediaCodec.resizeBmp(src, 1))
+    assert((id.width, id.height) == (5, 3))
+  }
+
   test("round trip: encoder dimensions always survive the real parse") {
     for (w <- Seq(1, 3, 17, 33); h <- Seq(1, 2, 25)) {
       val d = MediaCodec.decode(MediaCodec.encodeBmp(w, h, w * 1000L + h))
