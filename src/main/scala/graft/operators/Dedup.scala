@@ -394,8 +394,8 @@ object Dedup {
        |  UNION ALL
        |  SELECT doc_id+1000000, lang FROM documents)
        |SELECT lang, count(*) AS n_docs,
-       |  sum(CASE WHEN c.label IS NULL OR c.label = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
-       |  sum(CASE WHEN c.label IS NOT NULL AND c.label != d.doc_id THEN 1 ELSE 0 END) AS n_dropped
+       |  cast(sum(CASE WHEN c.label IS NULL OR c.label = d.doc_id THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       |  cast(sum(CASE WHEN c.label IS NOT NULL AND c.label != d.doc_id THEN 1 ELSE 0 END) AS bigint) AS n_dropped
        |FROM corpus d LEFT JOIN comp c ON d.doc_id = c.u
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }

@@ -196,9 +196,9 @@ object Pipeline {
       |    len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni
       |  FROM planted)
       |SELECT source, count(*) AS n_docs,
-      |  sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-      |  sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS docs_with_phone,
-      |  sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS docs_with_ip,
+      |  cast(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS bigint) AS docs_with_email,
+      |  cast(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS bigint) AS docs_with_phone,
+      |  cast(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS bigint) AS docs_with_ip,
       |  cast(sum(ne + np + ni) AS bigint) AS total_spans
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name1,name2,...]
 
 Reads each <outDir>/<name>/ parquet result dumped by graft.Verify, runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB against the same
-sfDir tables, sorts columns by name and rows by value, and diffs.
+sfDir tables, sorts columns by name and rows by value, and diffs. The
+optional 3rd arg restricts the check to a comma-separated name list
+(matching graft.Verify's filter arg for targeted runs); without it every
+oracle entry must have output, exactly like the driver's gate.
 """
 import sys, os, json, glob
 import duckdb
@@ -31,8 +34,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -50,7 +56,19 @@ def main():
         bad = None
         for c in got.columns:
             g, w = got[c], want[c]
-            if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            # Declared-type parity: the driver hashes typed values, so an
+            # integer column on one side vs a float column on the other
+            # (e.g. DuckDB sum(int) -> HUGEINT -> float64) MUST fail here
+            # even when every value is numerically identical.
+            g_int = np.issubdtype(g.dtype, np.integer)
+            w_int = np.issubdtype(w.dtype, np.integer)
+            g_flt = np.issubdtype(g.dtype, np.floating)
+            w_flt = np.issubdtype(w.dtype, np.floating)
+            if (g_int and w_flt) or (g_flt and w_int):
+                bad = (f"col {c}: dtype mismatch {g.dtype} vs {w.dtype} "
+                       f"(driver hash compares typed values — cast the oracle)")
+                break
+            if g_flt or w_flt:
                 gv = g.astype(float).values; wv = w.astype(float).values
                 both_nan = np.isnan(gv) & np.isnan(wv)
                 diff = np.abs(gv - wv)
