@@ -72,6 +72,25 @@ object Dedup {
   private def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
   private val sqlNormText = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Near-dup corpus with a PLANTED boilerplate footer on every doc — a
+    * shingle whose document frequency is the whole corpus, the adversarial
+    * input for the inverted-index self-joins. [[MaxShingleDf]] must provably
+    * drop it (accounted by [[shingleStats]], never silently). */
+  private def boilerplateDocs(spark: SparkSession, d: String): DataFrame =
+    docsWithNearDups(spark, d).select(col("doc_id"),
+      concat(col("text"), lit(" boiler plate footer")).as("text"), col("lang"))
+  private val sqlBoilerplateDocs =
+    s"""$sqlNearDups,
+       |bdocs AS (
+       |  SELECT doc_id, text || ' boiler plate footer' AS text, lang FROM docs)""".stripMargin
+
+  /** Document-frequency ceiling for the shingle inverted index. A shingle in
+    * more docs than this is boilerplate: it carries no dedup signal but costs
+    * df² pairs in the index self-join (one df=10⁶ shingle → 10¹² pairs at
+    * 100 TB). Capped operators compute similarity over the surviving-shingle
+    * universe — both engines, mirrored in oracle SQL. */
+  val MaxShingleDf = 64
+
   // ---- §2.3 operators ----
 
   /** Exact dedup: group by md5 digest, keep canonical (min) id. */
@@ -114,32 +133,39 @@ object Dedup {
         element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
       .distinct()
 
+  /** Shingle inverted index under the document-frequency ceiling: drop every
+    * shingle with df > maxDf from the index (and hence from set sizes), so
+    * downstream similarity is computed over the informative-shingle universe.
+    * The self-join cost becomes Σ_{df(s)≤maxDf} df(s)² ≤ maxDf · |index| —
+    * linear in the corpus — instead of unbounded on hot boilerplate. The drop
+    * is never silent: [[shingleStats]] publishes the accounting as its own
+    * oracle-checked query. */
+  private def cappedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    val sh = shingleRows(docs)
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    sh.join(keep, "s")
+  }
+  private def sqlCappedShingles(docsCte: String, maxDf: Int): String =
+    s"""sh0 AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docsCte)) tok),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $maxDf),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s))""".stripMargin
+
   /** Candidate pairs → exact-Jaccard confirm ≥ minJac on shingle sets.
     *
-    * Overlap counts come from the shingle inverted index (join on the
-    * shingle, then count per pair) rather than exploding candidate × shingle:
-    * the join cost is Σ df(s)² over shingle document-frequencies — bounded by
-    * how often a shingle repeats across the corpus, not by |candidates| ×
-    * |shingles|. The candidate set then just filters the overlap pairs. */
-  private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double,
-      candDriven: Boolean = false): DataFrame = {
+    * Candidate-driven: expand candidates by doc_a's shingles, then match
+    * doc_b's — cost |cand| × shingles-per-doc, the right shape when the
+    * candidate set is already small (LSH buckets). */
+  private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
-    // Two shapes for the intersection counts, picked by candidate volume:
-    //  - candDriven (LSH: few candidates): expand candidates by doc_a's
-    //    shingles, then match doc_b's — cost |cand| × shingles-per-doc.
-    //  - index-driven (blocked cross: many candidates): join the shingle
-    //    inverted index with itself — cost Σ df(s)², independent of |cand|.
     val inter =
-      if (candDriven) {
-        cand.join(shA, "doc_a").join(shB, Seq("doc_b", "s"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      } else {
-        shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-          .join(cand, Seq("doc_a", "doc_b"))
-      }
+      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -194,7 +220,7 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardConfirm(cand, sh, minJac, candDriven = true)
+    jaccardConfirm(cand, sh, minJac)
   }
 
   val minhashLshOracle: String =
@@ -270,26 +296,61 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Blocked exact n-gram Jaccard: candidates share (lang, length-bucket). */
-  def ngramJaccard(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
-    val docs = docsWithNearDups(spark, d)
+  /** Exact n-gram Jaccard pairs within (lang, length-bucket) blocks.
+    *
+    * Candidates come off the shingle inverted index — pairs sharing at least
+    * one surviving shingle — with block equality enforced by two doc_id
+    * joins against the per-doc metadata. A Jaccard ≥ minJac pair always
+    * shares shingles, so this finds exactly what the r2 shape found; but the
+    * r2 meta⋈meta self-join on (lang, length-bucket) materialized O(n²)
+    * candidate pairs per block (the `en` block IS the corpus at 100 TB),
+    * while this one is bounded by Σ df(s)² over the capped index. The
+    * planted boilerplate footer is the adversarial hot shingle; the df
+    * ceiling drops it (PlanSpec asserts no low-cardinality-key join remains;
+    * [[shingleStats]] accounts for the drop). */
+  def ngramJaccard(spark: SparkSession, d: String, minJac: Double = 0.5,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val docs = boilerplateDocs(spark, d)
     val meta = docs.select(col("doc_id"), col("lang"),
       floor(length(col("text")) / 100).as("lb"))
-    val cand = meta.as("x").join(meta.as("y"),
-      col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    jaccardConfirm(cand, shingleRows(docs), minJac)
+    val sh = cappedShingles(docs, maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("lang").as("lang_a"), col("lb").as("lb_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("lb").as("lb_b")), "doc_b")
+      .filter(col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val ngramJaccardOracle: String =
-    s"""WITH $sqlNearDups,
-       |meta AS (SELECT doc_id, lang, length(text) // 100 AS lb FROM docs),
-       |cand AS (
-       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM meta x JOIN meta y
-       |    ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id),
-       |${sqlJaccardTail(0.5)}""".stripMargin
+    s"""WITH $sqlBoilerplateDocs,
+       |meta AS (SELECT doc_id, lang, length(text) // 100 AS lb FROM bdocs),
+       |${sqlCappedShingles("bdocs", MaxShingleDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) AS jaccard
+       |FROM inter i
+       |JOIN meta ma ON ma.doc_id = i.doc_a
+       |JOIN meta mb ON mb.doc_id = i.doc_b AND ma.lang = mb.lang AND ma.lb = mb.lb
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) >= 0.5
+       |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
   /** Near-dup clusters: connected components over the MinHash-confirmed
     * pair graph, labeled by component-minimum doc id.
