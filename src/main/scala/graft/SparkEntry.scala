@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,
+    "shingle_stats" -> Dedup.shingleStatsOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

@@ -119,19 +119,27 @@ object Dedup {
        |  count(*) AS n_copies
        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s).
+  /** Distinct word-3-gram shingles per doc: (doc_id, carry…, s).
     *
     * Built with explode(sequence) + element_at rather than an array
     * `transform` lambda: higher-order functions evaluate interpreted, while
     * this shape stays inside whole-stage codegen (measured ~5× faster over
-    * the corpus). The distinct is a hash-aggregate on (doc_id, shingle). */
-  private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    * the corpus). The distinct is a hash-aggregate on (doc_id, shingle).
+    *
+    * `carry` names per-doc columns of `docs` (functionally dependent on
+    * doc_id, e.g. blocking keys) threaded through the explode for free — the
+    * alternative, joining doc metadata back onto the shingle rows, is an
+    * extra corpus-sized shuffle. */
+  private def shingleRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    docs.select(col("doc_id") +: cs :+ tokens(col("text")).as("t"): _*)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
-      .select(col("doc_id"), concat_ws(" ", element_at(col("t"), col("i")),
-        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
+      .select(col("doc_id") +: cs :+ col("t") :+
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"): _*)
+      .select(col("doc_id") +: cs :+ concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"): _*)
       .distinct()
+  }
 
   /** Shingle inverted index under the document-frequency ceiling: drop every
     * shingle with df > maxDf from the index (and hence from set sizes), so
@@ -139,20 +147,68 @@ object Dedup {
     * The self-join cost becomes Σ_{df(s)≤maxDf} df(s)² ≤ maxDf · |index| —
     * linear in the corpus — instead of unbounded on hot boilerplate. The drop
     * is never silent: [[shingleStats]] publishes the accounting as its own
-    * oracle-checked query. */
-  private def cappedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
-    val sh = shingleRows(docs)
+    * oracle-checked query (`shingle_stats`). */
+  private def cappedShingles(docs: DataFrame, maxDf: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sh = shingleRows(docs, carry)
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     sh.join(keep, "s")
   }
-  private def sqlCappedShingles(docsCte: String, maxDf: Int): String =
+  private def sqlCappedShingles(docsCte: String, maxDf: Int,
+      carry: Seq[String] = Nil): String = {
+    val cs = carry.map(c => s", $c").mkString
     s"""sh0 AS (
+       |  SELECT DISTINCT doc_id$cs, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id$cs, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id$cs, string_split(text, ' ') AS t FROM $docsCte)) tok),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $maxDf),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s))""".stripMargin
+  }
+
+  /** Accounting for the [[MaxShingleDf]] ceiling over the n-gram corpus —
+    * the query that keeps the df cap non-silent: how many distinct shingles
+    * the index saw, how many survive the ceiling, how many were dropped as
+    * boilerplate, the hottest df observed, and how many docs contained at
+    * least one dropped shingle. A corpus build publishes this row next to
+    * the dedup output; a sudden jump in n_dropped / n_docs_affected is the
+    * boilerplate-contamination alarm. Same corpus [[ngramJaccard]] mines
+    * (planted footer included), so the numbers account for exactly what that
+    * query's index dropped. Two single-row aggregates over the shingle df
+    * table, combined with a broadcast join — no corpus-sized shuffle beyond
+    * the df groupBy the capped index already pays. */
+  def shingleStats(spark: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val docs = boilerplateDocs(spark, d)
+    val dfs = shingleRows(docs).groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val shingleSide = dfs.agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+      max(col("df")).as("max_df"))
+    val docSide = shingleRows(docs)
+      .join(dfs.filter(col("df") > maxDf).select(col("s")), "s")
+      .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+    shingleSide.join(broadcast(docSide))
+  }
+
+  val shingleStatsOracle: String =
+    s"""WITH $sqlBoilerplateDocs,
+       |sh AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docsCte)) tok),
-       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $maxDf),
-       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s))""".stripMargin
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bdocs)) tok),
+       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |stats AS (
+       |  SELECT count(*) AS n_shingles,
+       |    cast(sum(CASE WHEN df <= $MaxShingleDf THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       |    cast(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+       |    max(df) AS max_df
+       |  FROM dfs),
+       |affected AS (
+       |  SELECT count(DISTINCT sh.doc_id) AS n_docs_affected
+       |  FROM sh JOIN dfs ON sh.s = dfs.s AND dfs.df > $MaxShingleDf)
+       |SELECT * FROM stats, affected""".stripMargin
 
   /** Candidate pairs → exact-Jaccard confirm ≥ minJac on shingle sets.
     *
@@ -298,32 +354,33 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs within (lang, length-bucket) blocks.
     *
-    * Candidates come off the shingle inverted index — pairs sharing at least
-    * one surviving shingle — with block equality enforced by two doc_id
-    * joins against the per-doc metadata. A Jaccard ≥ minJac pair always
-    * shares shingles, so this finds exactly what the r2 shape found; but the
-    * r2 meta⋈meta self-join on (lang, length-bucket) materialized O(n²)
-    * candidate pairs per block (the `en` block IS the corpus at 100 TB),
-    * while this one is bounded by Σ df(s)² over the capped index. The
-    * planted boilerplate footer is the adversarial hot shingle; the df
-    * ceiling drops it (PlanSpec asserts no low-cardinality-key join remains;
-    * [[shingleStats]] accounts for the drop). */
+    * Candidates come off the capped shingle inverted index — pairs sharing
+    * at least one surviving shingle (a Jaccard ≥ minJac > 0 pair always
+    * does). The r2 meta⋈meta self-join on (lang, length-bucket) materialized
+    * O(n²) candidate pairs per block (the `en` block IS the corpus at
+    * 100 TB); this one is bounded by Σ df(s)² ≤ maxDf·|index| over the
+    * capped index. Note the r3 semantics change: the corpus carries a
+    * planted boilerplate footer (the adversarial hot shingle) and Jaccard is
+    * computed over the surviving-shingle universe — engine and oracle were
+    * changed in tandem, so the green gate proves the cap drops it
+    * identically in both.
+    *
+    * The (lang, lb) blocking keys ride the shingle rows themselves (carried
+    * through the explode — functionally dependent on doc_id, so no extra
+    * join) and sit IN the self-join condition: a cross-block pair is never
+    * generated, instead of being aggregated and then discarded. PlanSpec
+    * asserts both self-join inputs are the df-capped index;
+    * [[shingleStats]] accounts for the drop. */
   def ngramJaccard(spark: SparkSession, d: String, minJac: Double = 0.5,
       maxDf: Int = MaxShingleDf): DataFrame = {
     val docs = boilerplateDocs(spark, d)
-    val meta = docs.select(col("doc_id"), col("lang"),
-      floor(length(col("text")) / 100).as("lb"))
-    val sh = cappedShingles(docs, maxDf)
+      .withColumn("lb", floor(length(col("text")) / 100))
+    val sh = cappedShingles(docs, maxDf, Seq("lang", "lb"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
-    shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"), col("lang"), col("lb"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"), col("lang"), col("lb"))
+    shA.join(shB, Seq("s", "lang", "lb")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      .join(meta.select(col("doc_id").as("doc_a"),
-        col("lang").as("lang_a"), col("lb").as("lb_a")), "doc_a")
-      .join(meta.select(col("doc_id").as("doc_b"),
-        col("lang").as("lang_b"), col("lb").as("lb_b")), "doc_b")
-      .filter(col("lang_a") === col("lang_b") && col("lb_a") === col("lb_b"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
@@ -335,18 +392,18 @@ object Dedup {
 
   val ngramJaccardOracle: String =
     s"""WITH $sqlBoilerplateDocs,
-       |meta AS (SELECT doc_id, lang, length(text) // 100 AS lb FROM bdocs),
-       |${sqlCappedShingles("bdocs", MaxShingleDf)},
+       |bdocs2 AS (SELECT doc_id, text, lang, length(text) // 100 AS lb FROM bdocs),
+       |${sqlCappedShingles("bdocs2", MaxShingleDf, Seq("lang", "lb"))},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
-       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
+       |  FROM sh p JOIN sh q
+       |    ON p.s = q.s AND p.lang = q.lang AND p.lb = q.lb
+       |    AND p.doc_id < q.doc_id
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b,
        |  round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) AS jaccard
        |FROM inter i
-       |JOIN meta ma ON ma.doc_id = i.doc_a
-       |JOIN meta mb ON mb.doc_id = i.doc_b AND ma.lang = mb.lang AND ma.lb = mb.lb
        |JOIN sizes sa ON sa.doc_id = i.doc_a
        |JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) >= 0.5
@@ -481,16 +538,25 @@ object Dedup {
     * mostly inside the larger's (|A∩B| / min(|A|,|B|) ≥ threshold) — the
     * asymmetric near-dup symmetric Jaccard misses (a doc quoted whole
     * inside a larger one has low Jaccard but containment ≈ 1). Planted:
-    * every even doc's 8-token prefix as a new doc — fully contained.
-    * Candidates come straight off the shingle inverted index (cost Σ df(s)²
-    * — corpus-shaped, like the n-gram confirm), then one containment
-    * filter; no cross product. */
-  def containment(spark: SparkSession, d: String, minCont: Double = 0.9): DataFrame = {
-    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    * every even doc's 11-token prefix as a new doc — fully contained.
+    *
+    * Candidates come off the [[cappedShingles]] inverted index (cost
+    * Σ df(s)² ≤ maxDf·|index|, like the n-gram confirm); containment is
+    * computed over the surviving-shingle universe, mirrored in the oracle.
+    * The adversarial input is a planted boilerplate PREFIX on every doc
+    * (prefix, not footer, so every shingle of a planted prefix-dup still
+    * appears in its full doc and containment stays exactly 1.0 after the
+    * hot "boiler plate footer" shingle — df = whole corpus — is dropped).
+    * Uncapped, that one shingle alone makes the index self-join df² ≈ n²
+    * pairs; [[shingleStats]] accounts for what the ceiling drops. */
+  def containment(spark: SparkSession, d: String, minCont: Double = 0.9,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"),
+      concat(lit("boiler plate footer "), col("text")).as("text"))
     val docs = base.unionAll(base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("text")))
-    val sh = shingleRows(docs)
+        concat_ws(" ", slice(tokens(col("text")), 1, 11)).as("text")))
+    val sh = cappedShingles(docs, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
@@ -506,27 +572,26 @@ object Dedup {
   }
 
   val containmentOracle: String =
-    """WITH docs AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id+3000000, array_to_string(string_split(text, ' ')[1:8], ' ')
-      |  FROM documents WHERE doc_id % 2 = 0),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
-      |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  round(cast(n_common AS double) / least(sa.n, sb.n), 4) AS containment
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE round(cast(n_common AS double) / least(sa.n, sb.n), 4) >= 0.9
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH cdocs AS (
+       |  SELECT doc_id, 'boiler plate footer ' || text AS text FROM documents),
+       |docs AS (
+       |  SELECT doc_id, text FROM cdocs
+       |  UNION ALL
+       |  SELECT doc_id+3000000, array_to_string(string_split(text, ' ')[1:11], ' ')
+       |  FROM cdocs WHERE doc_id % 2 = 0),
+       |${sqlCappedShingles("docs", MaxShingleDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(cast(n_common AS double) / least(sa.n, sb.n), 4) AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(cast(n_common AS double) / least(sa.n, sb.n), 4) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Embedding-cosine near-dup pairs within random-hyperplane LSH buckets.
     * Planted dups are scaled copies (×2) — cosine exactly 1 vs the original,

@@ -96,6 +96,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shingle self-joins run on the df-capped inverted index, not raw shingles") {
+    // The scale guard for the corpus-wide near-dup joins: both sides of the
+    // shingle self-join must be the cappedShingles output, i.e. the plan
+    // carries the df <= MaxShingleDf ceiling filter. Without it, one hot
+    // boilerplate shingle (df = corpus) makes the self-join df² ≈ n² pairs.
+    val cap = Dedup.MaxShingleDf
+    for ((name, df) <- Seq(
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, Sf),
+      "dedup_containment" -> Dedup.containment(spark, Sf))) {
+      val s = fmt(df)
+      assert(s"""df#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
+        s"$name plan lacks the shingle-df ceiling filter (df <= $cap)")
+    }
+  }
+
   test("ev_anomalies top-k plans as TakeOrderedAndProject (distributed partial top-k)") {
     val s = physical(Events.anomalies(spark, Sf)).toString
     assert(s.contains("TakeOrderedAndProject"), s)
