@@ -92,6 +92,13 @@ object Kernels {
   def lshBucketN(vec: Column, nPlanes: Int): Column =
     call_function(GraftFunctions.LshBucketName, vecDouble(vec), lit(nPlanes))
 
+  /** Nearest-centroid cell of a double-array vector against an
+    * `array<array<double>>` centroid matrix — the native codegen'd
+    * [[graft.functions.NearestCell]] expression (rounded-cosine argmax,
+    * ties to the lower cell). Map-side: zero shuffle per assignment. */
+  def nearestCell(vec: Column, cents: Column): Column =
+    call_function(GraftFunctions.NearestCellName, vec, cents)
+
   // ---- Oracle SQL fragments (DuckDB), built from the same constants ----
 
   /** DuckDB: 31-bit shingle hash of column expr `e`. */

@@ -115,6 +115,95 @@ object LshBucket {
   }
 }
 
+/** Map-side IVF coarse-quantizer assignment: nearest centroid of an
+  * `array<double>` vector against an `array<array<double>>` centroid matrix
+  * (cell = outer index), by cosine similarity rounded to 6 digits with ties
+  * broken toward the LOWER cell id — exactly the `ccos desc, cell asc`
+  * row_number ordering the long-format formulation used, so the DuckDB
+  * oracle (which still computes the assignment relationally) reproduces the
+  * result bit-for-bit.
+  *
+  * Scale rationale: the relational form (posexplode → broadcast-join on dim
+  * → groupBy(vec, cell) → rank) shuffles |vecs|×|cells| partial dot products
+  * to compute what is a per-row argmin. This expression computes it inside
+  * whole-stage codegen with ZERO exchange on the corpus side; the centroid
+  * matrix arrives via a one-row broadcast join (nCells×dims doubles — KBs at
+  * 16 cells, still MBs at the √n cells a 100 TB corpus would use).
+  *
+  * Numerics match the relational form: dot and norms are left-to-right
+  * double folds; ccos = round6(dot / (vnorm · cnorm)) with HALF_UP rounding
+  * (Spark's `round`); NaN compares greatest (Spark's double ordering), so a
+  * zero-norm input degrades identically to the row_number formulation.
+  */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<array<double>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NearestCell.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NearestCell.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCell {
+  /** round half-up at 6 digits — Spark's `round(x, 6)` semantics, including
+    * its `BigDecimal.valueOf` (shortest-decimal) path: rounding the exact
+    * binary expansion instead would disagree on values like 0.5000005. */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, cents: ArrayData): Long = {
+    val dims = vec.numElements()
+    var vn = 0.0
+    var j = 0
+    while (j < dims) { val x = vec.getDouble(j); vn += x * x; j += 1 }
+    val vnorm = math.sqrt(vn)
+    val nCells = cents.numElements()
+    var bestCell = 0L
+    var bestCcos = java.lang.Double.NEGATIVE_INFINITY
+    var cell = 0
+    while (cell < nCells) {
+      val c = cents.getArray(cell)
+      val n = math.min(dims, c.numElements())
+      var dot = 0.0
+      var cn = 0.0
+      var k = 0
+      while (k < n) {
+        val cv = c.getDouble(k)
+        dot += vec.getDouble(k) * cv
+        cn += cv * cv
+        k += 1
+      }
+      val ccos = round6(dot / (vnorm * math.sqrt(cn)))
+      // strictly-greater keeps the earlier (lower) cell on ties — the
+      // `ccos desc, cell asc` row_number order; Double.compare ranks NaN
+      // above every value, matching Spark's descending double sort.
+      if (java.lang.Double.compare(ccos, bestCcos) > 0) {
+        bestCcos = ccos
+        bestCell = cell.toLong
+      }
+      cell += 1
+    }
+    bestCell
+  }
+}
+
 /** 31-bit polynomial rolling hash over a string's code points:
   * acc = (acc * 131 + codepoint) mod (2^31 - 1), seed 0.
   *
@@ -169,6 +258,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val RollingHashName = "graft_rolling_hash"
   val LshBucketName = "graft_lsh_bucket"
+  val NearestCellName = "graft_nearest_cell"
 
   /** One builder per function, shared by BOTH registration paths
     * (GraftExtensions injection and ensureRegistered) — a divergent builder
@@ -184,6 +274,8 @@ object GraftFunctions {
       if (exprs.size >= 2)
         LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
       else LshBucket(exprs.head)
+  val nearestCellBuilder: Seq[Expression] => Expression =
+    exprs => NearestCell(exprs.head, exprs(1))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -200,6 +292,11 @@ object GraftFunctions {
       registry.registerFunction(FunctionIdentifier(LshBucketName),
         new ExpressionInfo(classOf[LshBucket].getName, LshBucketName),
         lshBucketBuilder)
+    }
+    if (!registry.functionExists(FunctionIdentifier(NearestCellName))) {
+      registry.registerFunction(FunctionIdentifier(NearestCellName),
+        new ExpressionInfo(classOf[NearestCell].getName, NearestCellName),
+        nearestCellBuilder)
     }
   }
 }

@@ -110,37 +110,48 @@ object Similarity {
       |SELECT label, cast(j - 1 AS int) AS dim, round(avg(e[j]), 6) AS c
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** IVF-style ANN: build nCells centroids from deterministic seed groups
-    * (vec_id mod nCells — one k-means init step), assign every vector to its
-    * nearest centroid by cosine, then answer queries inside their cell only —
-    * the inverted-file scale path where each probe touches |corpus|/|cells|
-    * candidates. The cell count is a free parameter (√n-ish at 100 TB), not
-    * tied to any attribute vocabulary; assignment is computed from the data,
-    * so cells are a genuine coarse quantizer.
-    */
-  def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
-      nCells: Int = 16): DataFrame = {
-    val comps = Tables.embeddings(spark, d)
+  /** One-row DataFrame carrying the nCells×dims centroid matrix as an
+    * ordered `array<array<double>>` (outer index = cell, inner = dim).
+    * Built from the data (vec_id mod nCells seed groups — one k-means init
+    * step) with shuffles proportional to |cells|·dims only, then collapsed
+    * to a single row so it can ride a broadcast to every assignment task. */
+  private def centroidMatrix(spark: SparkSession, d: String, nCells: Int): DataFrame =
+    Tables.embeddings(spark, d)
       .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
-    val cents = comps
       .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
       .groupBy(col("cell"), col("dim"))
       .agg(round(avg(col("v")), 6).as("c"))
-    val centNorms = cents.groupBy(col("cell"))
-      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
-    // dot(vec, centroid) per (vec, cell) via the long-format join
-    val dots = comps.join(broadcast(cents), "dim")
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(col("v") * col("c")).as("dot"))
-    val assigned = dots
-      .join(broadcast(centNorms), "cell")
-      .join(normed(spark, d).select(col("vec_id"), col("norm")), "vec_id")
-      .withColumn("ccos", round(col("dot") / (col("norm") * col("cnorm")), 6))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("cell"))
-    val members = normed(spark, d).join(assigned, "vec_id")
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
+      .select(transform(col("cc"), x => x.getField("carr")).as("cents"))
+
+  /** Every vector tagged with its IVF cell: a one-row broadcast join ships
+    * the centroid matrix to each task and [[graft.functions.NearestCell]]
+    * computes the rounded-cosine argmax inside whole-stage codegen — ZERO
+    * exchange on the corpus side (the r2-r4 long-format formulation
+    * shuffled |vecs|×|cells| partial dot products for the same answer).
+    * PlanSpec asserts the streamed side of this join is shuffle-free. */
+  def ivfAssignments(spark: SparkSession, d: String, nCells: Int = 16): DataFrame =
+    normed(spark, d)
+      .join(broadcast(centroidMatrix(spark, d, nCells)))
+      .withColumn("cell", nearestCell(col("e"), col("cents")))
+      .drop("cents")
+
+  /** IVF-style ANN: build nCells centroids from deterministic seed groups
+    * (vec_id mod nCells — one k-means init step), assign every vector to its
+    * nearest centroid by cosine map-side ([[ivfAssignments]]), then answer
+    * queries inside their cell only — the inverted-file scale path where
+    * each probe touches |corpus|/|cells| candidates. The cell count is a
+    * free parameter (√n-ish at 100 TB), not tied to any attribute
+    * vocabulary; assignment is computed from the data, so cells are a
+    * genuine coarse quantizer.
+    */
+  def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      nCells: Int = 16): DataFrame = {
+    val members = ivfAssignments(spark, d, nCells)
     val q = members.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("cell"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, LshBucket, RollingHash}
+import graft.functions.{DotProduct, GraftFunctions, LshBucket, NearestCell, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.LshBucketName),
       new ExpressionInfo(classOf[LshBucket].getName, GraftFunctions.LshBucketName),
       GraftFunctions.lshBucketBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NearestCellName),
+      new ExpressionInfo(classOf[NearestCell].getName, GraftFunctions.NearestCellName),
+      GraftFunctions.nearestCellBuilder))
   }
 }

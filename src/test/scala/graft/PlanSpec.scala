@@ -111,6 +111,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf assignment is map-side: no exchange on the streamed side of the centroid broadcast") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = Similarity.ivfAssignments(spark, Sf)
+    var joins = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case j: BroadcastNestedLoopJoinExec =>
+          joins += 1
+          val streamed = if (j.buildSide == BuildRight) j.left else j.right
+          def noShuffle(q: SparkPlan): Unit = {
+            assert(!q.isInstanceOf[ShuffleExchangeExec],
+              "the corpus side of the assignment must not shuffle")
+            q.children.foreach(noShuffle)
+          }
+          noShuffle(streamed)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(df))
+    assert(joins == 1, "expected exactly the one-row centroid-matrix broadcast join")
+    assert(physical(df).toString.toLowerCase.contains("nearestcell"),
+      "assignment must be the native NearestCell expression")
+  }
+
   test("ev_anomalies top-k plans as TakeOrderedAndProject (distributed partial top-k)") {
     val s = physical(Events.anomalies(spark, Sf)).toString
     assert(s.contains("TakeOrderedAndProject"), s)

@@ -112,6 +112,45 @@ class KernelsSpec extends SparkSpec {
     assert(plan.contains("doc_id"), plan)
   }
 
+  test("nearestCell picks the max-cosine cell; ties (after round-6) go to the lower cell") {
+    // matrix rows are cells; cosine is scale-invariant so [2,0] ≡ [1,0]
+    val m = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (Array(1.0, 0.1), m),
+      (Array(0.1, 1.0), m),
+      // duplicate centroids: identical cosines → cell 0 wins the tie
+      (Array(3.0, 4.0), Array(Array(3.0, 4.0), Array(3.0, 4.0))),
+      // cosines that differ only past the 6th digit round equal → lower cell
+      // wins even though cell 1 is exactly colinear
+      (Array(1.0, 0.0), Array(Array(1.0, 1e-9), Array(1.0, 0.0))))
+      .toDF("v", "m")
+    val cells = df.select(nearestCell(col("v"), col("m"))).collect().map(_.getLong(0))
+    assert(cells.toSeq == Seq(0L, 1L, 0L, 0L))
+  }
+
+  test("nearestCell matches the relational round(cos,6) argmax formulation") {
+    // the long-format ground truth the expression replaced: per (vec, cell)
+    // rounded cosine, argmax by (ccos desc, cell asc) — hand-computed here
+    val vecs = Seq(
+      Array(0.5, -1.5, 2.5), Array(1.0, 1.0, 1.0), Array(-2.0, 0.25, 0.75))
+    val m = Array(Array(0.1, -0.9, 1.1), Array(0.8, 0.7, 0.6), Array(-1.0, 0.0, 0.5))
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      round6(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val expected = vecs.map(v =>
+      m.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.min._2.toLong)
+    val got = vecs.map(v => Seq((v, m)).toDF("v", "m")
+      .select(nearestCell(col("v"), col("m"))).head().getLong(0))
+    assert(got == expected)
+    // and via the SQL registration path
+    val sql = Seq((vecs.head, m)).toDF("v", "m")
+      .selectExpr("graft_nearest_cell(v, m)").head().getLong(0)
+    assert(sql == expected.head)
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)
