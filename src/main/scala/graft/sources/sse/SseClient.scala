@@ -43,7 +43,8 @@ final class SseClient(
     config: SseConfig,
     clock: () => Long = () => System.currentTimeMillis(),
     sleeper: Long => Unit = Thread.sleep(_),
-    onChunk: String => Unit = _ => ()) {
+    onChunk: String => Unit = _ => (),
+    metricsSink: (String, String) => Unit = SseClient.slf4jMetricsSink) {
 
   import ConnectionState._
 
@@ -59,6 +60,8 @@ final class SseClient(
   @volatile private var connectedSince = 0L
   @volatile private var lastReconnectTime = 0L
   @volatile private var lastConnectionCheck = clock()
+  // reference ServerSentEventsSourceTask.java:74 seeds the timer at start
+  @volatile private var lastMetricsLogTime = clock()
 
   private val parser = new SseParser
   private val queue = new LinkedBlockingQueue[SseEvent]()
@@ -216,9 +219,11 @@ final class SseClient(
     totalConnectionErrors.incrementAndGet()
   }
 
-  /** Drain buffered events; runs the periodic health check first
-    * (reference getRecords :487-546). */
+  /** Drain buffered events; runs the periodic metrics log and health check
+    * first (reference ServerSentEventsSourceTask.poll :84-92 and
+    * getRecords :487-546). */
   def poll(): Seq[SseEvent] = {
+    maybeLogMetrics()
     val now = clock()
     if (now - lastConnectionCheck > config.connectionCheckIntervalMs) {
       lastConnectionCheck = now
@@ -311,6 +316,30 @@ final class SseClient(
       s"QueueSize=${queue.size}, LastEventAge=${timeSinceLastEvent}ms, " +
       s"HasError=${lastError.nonEmpty}"
 
+  /** Single-metric accessor (reference getMetric :805-813). */
+  def getMetric(name: String): Option[Any] = getMetrics.get(name)
+
+  /** Emit the full metrics map — WARN when the caller knows the connection
+    * is degraded, INFO otherwise (reference logMetrics :821-833). The sink
+    * is injectable so specs observe emissions without a log framework;
+    * production defaults to slf4j. */
+  def logMetrics(useWarnLevel: Boolean): Unit =
+    metricsSink(if (useWarnLevel) "WARN" else "INFO",
+      s"SSE Client Metrics: $getStatusSummary, Detail=$getMetrics")
+
+  /** Periodic operational logging, driven from the poll/pump cadence like
+    * the reference task's poll loop (ServerSentEventsSourceTask.java:84-92):
+    * once metrics.log.interval.ms elapses, emit the metrics map at WARN when
+    * the connection is unhealthy, else INFO — so a stalled or flapping
+    * stream surfaces in the operator's logs without any extra wiring. */
+  private def maybeLogMetrics(): Unit = {
+    val now = clock()
+    if (now - lastMetricsLogTime > config.metricsLogIntervalMs) {
+      logMetrics(!isConnectionHealthy)
+      lastMetricsLogTime = now
+    }
+  }
+
   // ---- background pump (used by the live streaming transport) ----
 
   @volatile private var running = false
@@ -330,6 +359,7 @@ final class SseClient(
   private def runLoop(pollMs: Long): Unit =
     try {
       while (running) {
+        maybeLogMetrics()
         state match {
           case Connected =>
             pumpOnce(pollMs)
@@ -360,6 +390,12 @@ final class SseClient(
 object SseClient {
   /** Reference ships a default User-Agent when none is configured (:270-275). */
   val DefaultUserAgent = "graft-sse/0.2 (Spark-native SSE engine)"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[SseClient])
+
+  /** Production metrics sink: slf4j at the requested level. */
+  val slf4jMetricsSink: (String, String) => Unit = (level, msg) =>
+    if (level == "WARN") log.warn(msg) else log.info(msg)
 
   /** Open-connection gauges per endpoint, for rate.limit.max.concurrent. */
   private val slotsByEndpoint =

@@ -36,7 +36,8 @@ final case class SseConfig(
     transport: String = "log",
     endpointRef: Option[String] = None,
     idleTimeoutMs: Long = SseConfig.DefaultIdleTimeoutMs,
-    connectionCheckIntervalMs: Long = SseConfig.DefaultConnectionCheckIntervalMs) {
+    connectionCheckIntervalMs: Long = SseConfig.DefaultConnectionCheckIntervalMs,
+    metricsLogIntervalMs: Long = SseConfig.DefaultMetricsLogIntervalMs) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
@@ -49,6 +50,7 @@ final case class SseConfig(
   // reference setIdleTimeout/setConnectionCheckInterval (:460-479)
   require(idleTimeoutMs > 0, "idle.timeout.ms must be positive")
   require(connectionCheckIntervalMs > 0, "connection.check.interval.ms must be positive")
+  require(metricsLogIntervalMs > 0, "metrics.log.interval.ms must be positive")
 }
 
 object SseConfig {
@@ -59,6 +61,8 @@ object SseConfig {
   val DefaultRetryMaxAttempts: Int = -1 // unlimited
   val DefaultIdleTimeoutMs = 60000L
   val DefaultConnectionCheckIntervalMs = 30000L
+  // reference ServerSentEventsSourceTask.java:40 (1 minute)
+  val DefaultMetricsLogIntervalMs = 60000L
 
   def fromOptions(options: JMap[String, String]): SseConfig = {
     val o = options.asScala.map { case (k, v) => (k.toLowerCase, v) }
@@ -88,7 +92,9 @@ object SseConfig {
       idleTimeoutMs = opt("idle.timeout.ms").map(_.toLong)
         .getOrElse(DefaultIdleTimeoutMs),
       connectionCheckIntervalMs = opt("connection.check.interval.ms").map(_.toLong)
-        .getOrElse(DefaultConnectionCheckIntervalMs))
+        .getOrElse(DefaultConnectionCheckIntervalMs),
+      metricsLogIntervalMs = opt("metrics.log.interval.ms").map(_.toLong)
+        .getOrElse(DefaultMetricsLogIntervalMs))
   }
 }
 

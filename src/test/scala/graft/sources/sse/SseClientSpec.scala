@@ -24,7 +24,8 @@ class SseClientSpec extends AnyFunSuite {
       initialMs: Long = 2000L, maxMs: Long = 30000L, maxAttempts: Int = -1,
       rps: Option[Double] = None, auth: Boolean = false,
       headers: Map[String, String] = Map.empty, compression: Boolean = true,
-      idleTimeoutMs: Long = 60000L, checkIntervalMs: Long = 30000L): SseConfig =
+      idleTimeoutMs: Long = 60000L, checkIntervalMs: Long = 30000L,
+      metricsIntervalMs: Long = 60000L): SseConfig =
     SseConfig(
       path = "mem", sseUri = None, topic = None,
       httpBasicAuth = auth,
@@ -34,7 +35,8 @@ class SseClientSpec extends AnyFunSuite {
       rateLimitRequestsPerSecond = rps, rateLimitMaxConcurrent = None,
       retryBackoffInitialMs = initialMs, retryBackoffMaxMs = maxMs,
       retryMaxAttempts = maxAttempts, maxEventsPerTrigger = None,
-      idleTimeoutMs = idleTimeoutMs, connectionCheckIntervalMs = checkIntervalMs)
+      idleTimeoutMs = idleTimeoutMs, connectionCheckIntervalMs = checkIntervalMs,
+      metricsLogIntervalMs = metricsIntervalMs)
 
   private def frame(event: String, id: Long, data: String): String =
     s"event: $event\nid: $id\ndata: $data\n\n"
@@ -247,5 +249,60 @@ class SseClientSpec extends AnyFunSuite {
     c.pumpOnce(0)
     val events = c.poll()
     assert(events.map(e => (e.id, e.data)) == Seq((Some("42"), "a"), (Some("42"), "b")))
+  }
+
+  test("periodic metrics logging: interval-gated at INFO while healthy (reference Task.java:84-92)") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    val vt = new VirtualTime
+    val logs = ArrayBuffer.empty[(String, String)]
+    // idle timeout far above the metrics interval: the stream stays healthy
+    val c = new SseClient(ep, config(idleTimeoutMs = 600000L, checkIntervalMs = 600000L,
+      metricsIntervalMs = 60000L), vt.clock, vt.sleeper,
+      metricsSink = (lvl, msg) => logs += ((lvl, msg)))
+    c.start()
+    s1.push(frame("edit", 1, "x"))
+    c.pumpOnce(0)
+    c.poll()
+    assert(logs.isEmpty, "no log before the interval elapses")
+    vt.now += 60001
+    c.poll()
+    assert(logs.map(_._1) == Seq("INFO"), "one INFO emission at the interval")
+    assert(logs.head._2.contains("SSE Client Metrics") &&
+      logs.head._2.contains("events.total"))
+    c.poll() // interval not yet elapsed again: silent
+    assert(logs.size == 1)
+    vt.now += 60001
+    c.poll()
+    assert(logs.size == 2, "cadence continues on the next interval")
+  }
+
+  test("periodic metrics logging: WARN when the connection is degraded") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    val vt = new VirtualTime
+    val logs = ArrayBuffer.empty[(String, String)]
+    // small idle timeout, huge check interval (no reconnect interference):
+    // by the time the metrics interval fires the stream is idle-stalled
+    val c = new SseClient(ep, config(idleTimeoutMs = 5000L, checkIntervalMs = 10000000L,
+      metricsIntervalMs = 60000L), vt.clock, vt.sleeper,
+      metricsSink = (lvl, msg) => logs += ((lvl, msg)))
+    c.start()
+    s1.push(frame("edit", 1, "x"))
+    c.pumpOnce(0)
+    vt.now += 60001 // idle 60s > 5s timeout → unhealthy
+    c.poll()
+    assert(logs.map(_._1) == Seq("WARN"), "degraded connection logs at WARN")
+    assert(!c.isConnectionHealthy)
+  }
+
+  test("getMetric returns a single named metric (reference :805-813)") {
+    val ep = new LoopbackEndpoint
+    ep.scriptAccept()
+    val vt = new VirtualTime
+    val c = new SseClient(ep, config(), vt.clock, vt.sleeper)
+    c.start()
+    assert(c.getMetric("connection.state").contains("CONNECTED"))
+    assert(c.getMetric("no.such.metric").isEmpty)
   }
 }
