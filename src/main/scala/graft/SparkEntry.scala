@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
+    "shingle_stats_containment" -> ((s, d) => Dedup.shingleStatsContainment(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "shingle_stats" -> Dedup.shingleStatsOracle,
+    "shingle_stats_containment" -> Dedup.shingleStatsContainmentOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

@@ -84,6 +84,27 @@ object Dedup {
        |bdocs AS (
        |  SELECT doc_id, text || ' boiler plate footer' AS text, lang FROM docs)""".stripMargin
 
+  /** The [[containment]] corpus: every doc PREFIXED with corpus-wide
+    * boilerplate (the adversarial hot shingle), plus every even doc's
+    * 11-token prefix planted as a fully-contained dup. A prefix (not a
+    * footer) so a planted dup's every shingle still appears in its full
+    * doc and containment stays exactly 1.0 after the hot shingle drops. */
+  private def containmentDocs(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"),
+      concat(lit("boiler plate footer "), col("text")).as("text"))
+    base.unionAll(base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 11)).as("text")))
+  }
+  private val sqlContainmentDocs =
+    """cdocs AS (
+      |  SELECT doc_id, 'boiler plate footer ' || text AS text FROM documents),
+      |docs AS (
+      |  SELECT doc_id, text FROM cdocs
+      |  UNION ALL
+      |  SELECT doc_id+3000000, array_to_string(string_split(text, ' ')[1:11], ' ')
+      |  FROM cdocs WHERE doc_id % 2 = 0)""".stripMargin
+
   /** Document-frequency ceiling for the shingle inverted index. A shingle in
     * more docs than this is boilerplate: it carries no dedup signal but costs
     * df² pairs in the index self-join (one df=10⁶ shingle → 10¹² pairs at
@@ -146,8 +167,10 @@ object Dedup {
     * downstream similarity is computed over the informative-shingle universe.
     * The self-join cost becomes Σ_{df(s)≤maxDf} df(s)² ≤ maxDf · |index| —
     * linear in the corpus — instead of unbounded on hot boilerplate. The drop
-    * is never silent: [[shingleStats]] publishes the accounting as its own
-    * oracle-checked query (`shingle_stats`). */
+    * is never silent: each capped corpus publishes its accounting as its own
+    * oracle-checked query — [[shingleStats]] (`shingle_stats`) for the
+    * n-gram corpus, [[shingleStatsContainment]]
+    * (`shingle_stats_containment`) for the containment corpus. */
   private def cappedShingles(docs: DataFrame, maxDf: Int,
       carry: Seq[String] = Nil): DataFrame = {
     val sh = shingleRows(docs, carry)
@@ -166,49 +189,70 @@ object Dedup {
        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s))""".stripMargin
   }
 
-  /** Accounting for the [[MaxShingleDf]] ceiling over the n-gram corpus —
-    * the query that keeps the df cap non-silent: how many distinct shingles
-    * the index saw, how many survive the ceiling, how many were dropped as
-    * boilerplate, the hottest df observed, and how many docs contained at
-    * least one dropped shingle. A corpus build publishes this row next to
-    * the dedup output; a sudden jump in n_dropped / n_docs_affected is the
-    * boilerplate-contamination alarm. Same corpus [[ngramJaccard]] mines
-    * (planted footer included), so the numbers account for exactly what that
-    * query's index dropped. Two single-row aggregates over the shingle df
-    * table, combined with a broadcast join — no corpus-sized shuffle beyond
-    * the df groupBy the capped index already pays. */
-  def shingleStats(spark: SparkSession, d: String,
-      maxDf: Int = MaxShingleDf): DataFrame = {
-    val docs = boilerplateDocs(spark, d)
-    val dfs = shingleRows(docs).groupBy(col("s")).agg(count(lit(1)).as("df"))
+  /** Accounting for a [[MaxShingleDf]] ceiling over one shingled corpus:
+    * how many distinct shingles the index saw, how many survive the
+    * ceiling, how many were dropped as boilerplate, the hottest df
+    * observed, and how many docs contained at least one dropped shingle.
+    * A corpus build publishes this row next to the dedup output; a sudden
+    * jump in n_dropped / n_docs_affected is the boilerplate-contamination
+    * alarm. One shared shingle scan (`sh` feeds both aggregate sides, so
+    * exchange reuse materializes the distinct once), then two single-row
+    * aggregates combined with a broadcast join — no corpus-sized shuffle
+    * beyond the df groupBy the capped index already pays. */
+  private def shingleStatsOver(docs: DataFrame, maxDf: Int): DataFrame = {
+    val sh = shingleRows(docs)
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val shingleSide = dfs.agg(
       count(lit(1)).as("n_shingles"),
       sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
       sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
       max(col("df")).as("max_df"))
-    val docSide = shingleRows(docs)
+    val docSide = sh
       .join(dfs.filter(col("df") > maxDf).select(col("s")), "s")
       .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
     shingleSide.join(broadcast(docSide))
   }
 
-  val shingleStatsOracle: String =
-    s"""WITH $sqlBoilerplateDocs,
-       |sh AS (
+  /** DuckDB accounting over the same corpus CTE (`docsCte` must expose
+    * doc_id, text) — the SQL twin of [[shingleStatsOver]]. */
+  private def sqlShingleStats(docsCte: String, maxDf: Int): String =
+    s"""ssh AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bdocs)) tok),
-       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docsCte)) tok),
+       |sdfs AS (SELECT s, count(*) AS df FROM ssh GROUP BY s),
        |stats AS (
        |  SELECT count(*) AS n_shingles,
-       |    cast(sum(CASE WHEN df <= $MaxShingleDf THEN 1 ELSE 0 END) AS bigint) AS n_kept,
-       |    cast(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+       |    cast(sum(CASE WHEN df <= $maxDf THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       |    cast(sum(CASE WHEN df > $maxDf THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
        |    max(df) AS max_df
-       |  FROM dfs),
+       |  FROM sdfs),
        |affected AS (
-       |  SELECT count(DISTINCT sh.doc_id) AS n_docs_affected
-       |  FROM sh JOIN dfs ON sh.s = dfs.s AND dfs.df > $MaxShingleDf)
+       |  SELECT count(DISTINCT ssh.doc_id) AS n_docs_affected
+       |  FROM ssh JOIN sdfs ON ssh.s = sdfs.s AND sdfs.df > $maxDf)
        |SELECT * FROM stats, affected""".stripMargin
+
+  /** The ceiling accounting for [[ngramJaccard]]'s corpus (planted footer
+    * included) — the numbers cover exactly what that query's index dropped. */
+  def shingleStats(spark: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    shingleStatsOver(boilerplateDocs(spark, d), maxDf)
+
+  val shingleStatsOracle: String =
+    s"""WITH $sqlBoilerplateDocs,
+       |${sqlShingleStats("bdocs", MaxShingleDf)}""".stripMargin
+
+  /** The ceiling accounting for [[containment]]'s corpus (boilerplate
+    * prefix + planted prefix-dups) — published separately because that
+    * operator builds its own doc set, so its index drops different
+    * shingles than the n-gram corpus. */
+  def shingleStatsContainment(spark: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    shingleStatsOver(containmentDocs(spark, d), maxDf)
+
+  val shingleStatsContainmentOracle: String =
+    s"""WITH $sqlContainmentDocs,
+       |${sqlShingleStats("docs", MaxShingleDf)}""".stripMargin
 
   /** Candidate pairs → exact-Jaccard confirm ≥ minJac on shingle sets.
     *
@@ -548,14 +592,13 @@ object Dedup {
     * appears in its full doc and containment stays exactly 1.0 after the
     * hot "boiler plate footer" shingle — df = whole corpus — is dropped).
     * Uncapped, that one shingle alone makes the index self-join df² ≈ n²
-    * pairs; [[shingleStats]] accounts for what the ceiling drops. */
+    * pairs; [[shingleStatsContainment]] accounts for what the ceiling
+    * drops from THIS corpus (its own oracle-checked row — this operator
+    * builds a different doc set than the n-gram corpus [[shingleStats]]
+    * covers). */
   def containment(spark: SparkSession, d: String, minCont: Double = 0.9,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val base = Tables.documents(spark, d).select(col("doc_id"),
-      concat(lit("boiler plate footer "), col("text")).as("text"))
-    val docs = base.unionAll(base.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat_ws(" ", slice(tokens(col("text")), 1, 11)).as("text")))
+    val docs = containmentDocs(spark, d)
     val sh = cappedShingles(docs, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
@@ -572,13 +615,7 @@ object Dedup {
   }
 
   val containmentOracle: String =
-    s"""WITH cdocs AS (
-       |  SELECT doc_id, 'boiler plate footer ' || text AS text FROM documents),
-       |docs AS (
-       |  SELECT doc_id, text FROM cdocs
-       |  UNION ALL
-       |  SELECT doc_id+3000000, array_to_string(string_split(text, ' ')[1:11], ' ')
-       |  FROM cdocs WHERE doc_id % 2 = 0),
+    s"""WITH $sqlContainmentDocs,
        |${sqlCappedShingles("docs", MaxShingleDf)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
