@@ -56,15 +56,18 @@ def main():
         bad = None
         for c in got.columns:
             g, w = got[c], want[c]
-            # Declared-type parity: the driver hashes typed values, so an
-            # integer column on one side vs a float column on the other
-            # (e.g. DuckDB sum(int) -> HUGEINT -> float64) MUST fail here
-            # even when every value is numerically identical.
-            g_int = np.issubdtype(g.dtype, np.integer)
-            w_int = np.issubdtype(w.dtype, np.integer)
+            # Declared-type parity: the driver hashes typed values, so ANY
+            # dtype mismatch between the Spark result and the oracle (int vs
+            # float, int32 vs int64, object vs numeric) MUST fail here even
+            # when every value prints identically. Only float-vs-float keeps
+            # a tolerance branch (accumulation-order noise is real there).
             g_flt = np.issubdtype(g.dtype, np.floating)
             w_flt = np.issubdtype(w.dtype, np.floating)
-            if (g_int and w_flt) or (g_flt and w_int):
+            # datetime64 unit differs only by pandas reader (parquet ns vs
+            # DuckDB us) — same declared TIMESTAMP type, values compared below
+            g_dt = np.issubdtype(g.dtype, np.datetime64)
+            w_dt = np.issubdtype(w.dtype, np.datetime64)
+            if not (g_flt and w_flt) and not (g_dt and w_dt) and g.dtype != w.dtype:
                 bad = (f"col {c}: dtype mismatch {g.dtype} vs {w.dtype} "
                        f"(driver hash compares typed values — cast the oracle)")
                 break
