@@ -54,6 +54,7 @@ object SparkEntry {
     "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
     "ev_distinct_sketch" -> ((s, d) => Events.distinctSketch(s, d)),
     "ev_value_quantiles" -> ((s, d) => Events.valueQuantiles(s, d)),
+    "ev_lateness" -> ((s, d) => Events.lateness(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -305,6 +306,7 @@ object SparkEntry {
     "ev_user_paths" -> Events.userPathsOracle,
     "ev_distinct_sketch" -> Events.distinctSketchOracle,
     "ev_value_quantiles" -> Events.valueQuantilesOracle,
+    "ev_lateness" -> Events.latenessOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,

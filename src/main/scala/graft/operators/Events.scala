@@ -417,6 +417,71 @@ object Events {
       |SELECT window_start, user_id, value_sum, rank FROM r
       |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin
 
+  /** Event-time lateness / ordering audit per type — the watermark-tuning
+    * input every streaming deployment needs: how out-of-order is the feed,
+    * and by how much? Pairs with the streaming window/watermark operators
+    * (graft.streaming.StreamOps): `withWatermark(delay)` drops events later
+    * than `delay` behind the running max, so `late_frac` at a candidate
+    * delay IS the data-loss estimate, and `max_late_us` bounds the delay
+    * that loses nothing.
+    *
+    * Arrival model: the table replays through a simulated nShards-partition
+    * transport (shard = event_id mod nShards; within a shard, arrival order
+    * = event_id — how a partitioned log delivers). Disorder is measured
+    * against each SHARD's running event-time max, the per-partition maximum
+    * a Spark watermark actually tracks. The window partitions by shard —
+    * cardinality is the transport's partition count (a parameter: thousands
+    * at 100 TB), never a fixed attribute vocabulary.
+    *
+    * The raw table is globally time-ordered (zero disorder end-to-end), so
+    * the audit plants it adversarially, like the dedup corpora: every 7th
+    * event's event-time slips back (event_id mod 13 + 1)·30 min —
+    * deterministic integer-µs arithmetic mirrored in the oracle, big enough
+    * to cross within-shard gaps at every SF. */
+  def lateness(spark: SparkSession, d: String, nShards: Int = 64): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("event_id"), lit(nShards.toLong)).as("shard"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("us2",
+        when(pmod(col("event_id"), lit(7L)) === 3L,
+          col("us") - (pmod(col("event_id"), lit(13L)) + 1L) * 1800000000L)
+          .otherwise(col("us")))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("runmax", max(col("us2")).over(byShard))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("us2") < col("runmax"), 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("us2") < col("runmax"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 4).as("late_frac"),
+        max(when(col("us2") < col("runmax"), col("runmax") - col("us2"))
+          .otherwise(0L)).as("max_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val latenessOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, event_id % 64 AS shard, epoch_us(ts) AS us
+      |  FROM events),
+      |adj AS (
+      |  SELECT event_id, event_type, shard,
+      |    CASE WHEN event_id % 7 = 3
+      |         THEN us - ((event_id % 13) + 1) * 1800000000
+      |         ELSE us END AS us2
+      |  FROM ev),
+      |w AS (
+      |  SELECT event_type, us2,
+      |    max(us2) OVER (PARTITION BY shard ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      |  FROM adj)
+      |SELECT event_type, count(*) AS n_events,
+      |  cast(sum(CASE WHEN us2 < runmax THEN 1 ELSE 0 END) AS bigint) AS n_late,
+      |  round(sum(CASE WHEN us2 < runmax THEN 1 ELSE 0 END)
+      |    / cast(count(*) AS double), 4) AS late_frac,
+      |  max(CASE WHEN us2 < runmax THEN runmax - us2 ELSE 0 END) AS max_late_us
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
