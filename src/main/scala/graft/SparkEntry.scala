@@ -55,6 +55,7 @@ object SparkEntry {
     "ev_distinct_sketch" -> ((s, d) => Events.distinctSketch(s, d)),
     "ev_value_quantiles" -> ((s, d) => Events.valueQuantiles(s, d)),
     "ev_lateness" -> ((s, d) => Events.lateness(s, d)),
+    "ev_quantile_sketch" -> ((s, d) => Events.quantileSketch(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "ev_distinct_sketch" -> Events.distinctSketchOracle,
     "ev_value_quantiles" -> Events.valueQuantilesOracle,
     "ev_lateness" -> Events.latenessOracle,
+    "ev_quantile_sketch" -> Events.quantileSketchOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,

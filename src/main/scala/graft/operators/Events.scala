@@ -333,6 +333,99 @@ object Events {
       |  count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Log-linear bucket counts per event type — the mergeable quantile
+    * sketch's state, exposed so specs (and incremental corpus builds) can
+    * merge partial sketches. Bucketing is HdrHistogram-style log-linear
+    * over integer cents: octave e = bit-length of the cent value, then
+    * [[QuantileSketchSubBuckets]] linear sub-buckets inside the octave —
+    * ALL integer arithmetic (bit-length + integer div), so Spark and
+    * DuckDB agree on every bucket id exactly, where a float `log()` could
+    * flip a boundary ulp between engines. Relative bucket width 1/16 →
+    * mid-bucket quantile error ≤ ~1/32 (bounded by QuantileSketchSpec).
+    *
+    * Scale story: the sketch is an associative count map — partial
+    * aggregation combines map-side, the shuffle carries at most
+    * |types|×|buckets| rows (bounded by the VALUE RANGE, not the corpus),
+    * and merging two corpora's sketches is summing counts. This is the
+    * 100 TB path where exact `percentile` ([[valueQuantiles]]) must
+    * shuffle every group's values. */
+  def quantileSketchCounts(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+      .withColumn("e", length(bin(col("vc"))))
+      .withColumn("lo", expr("shiftleft(cast(1 as bigint), e - 1)"))
+      .withColumn("idx",
+        expr(s"(cast(e as bigint) - 1) * $QuantileSketchSubBuckets" +
+          s" + ((vc - lo) * $QuantileSketchSubBuckets div lo)"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Linear sub-buckets per octave: the sketch's accuracy knob. */
+  val QuantileSketchSubBuckets = 16
+
+  /** Quantile estimates (p50/p90/p99) off the mergeable log-linear sketch,
+    * beside the exact [[valueQuantiles]] baseline. Estimate = midpoint of
+    * the bucket where the cumulative count crosses ceil(q·n); the rank
+    * walk runs over the TINY sketch (windows partitioned per type over
+    * ≤ |buckets| rows), not the corpus. Bucket ids, counts, and the
+    * midpoint arithmetic are engine-exact, so the DuckDB oracle reproduces
+    * the estimates bit-for-bit. */
+  def quantileSketch(spark: SparkSession, d: String): DataFrame = {
+    val m = QuantileSketchSubBuckets
+    val sk = quantileSketchCounts(Tables.events(spark, d))
+    val cum = sk
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("idx"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    def pick(q: Double, as: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("idx"))).as(as)
+    // same textual arithmetic as the oracle: (lo + (sub + 0.5)·lo/m) / 100
+    // (double literals need the D suffix — bare 16.0 parses as DECIMAL)
+    def est(i: String) = expr(
+      s"round((shiftleft(cast(1 as bigint), cast($i div $m as int))" +
+        s" + (($i % $m) + 0.5D) * shiftleft(cast(1 as bigint), cast($i div $m as int))" +
+        s" / ${m}.0D) / 100.0D, 4)")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_buckets"),
+        pick(0.50, "i50"), pick(0.90, "i90"), pick(0.99, "i99"))
+      .select(col("event_type"), col("n_events"), col("n_buckets"),
+        est("i50").as("p50_est"), est("i90").as("p90_est"), est("i99").as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileSketchOracle: String = {
+    val m = QuantileSketchSubBuckets
+    def est(i: String) =
+      s"round(((1::bigint << cast($i // $m AS int))" +
+        s" + (($i % $m) + 0.5) * (1::bigint << cast($i // $m AS int))" +
+        s" / $m.0) / 100.0, 4)"
+    s"""WITH v AS (
+       |  SELECT event_type, cast(floor(value * 100 + 0.5) AS bigint) AS vc
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |    (length(bin(vc)) - 1) * $m +
+       |    ((vc - (1::bigint << (length(bin(vc)) - 1))) * $m)
+       |      // (1::bigint << (length(bin(vc)) - 1)) AS idx
+       |  FROM v),
+       |sk AS (SELECT event_type, idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, idx, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM sk),
+       |picked AS (
+       |  SELECT event_type, max(n) AS n_events, count(*) AS n_buckets,
+       |    min(CASE WHEN cum >= ceil(0.5 * n) THEN idx END) AS i50,
+       |    min(CASE WHEN cum >= ceil(0.9 * n) THEN idx END) AS i90,
+       |    min(CASE WHEN cum >= ceil(0.99 * n) THEN idx END) AS i99
+       |  FROM cum GROUP BY 1)
+       |SELECT event_type, cast(n_events AS bigint) AS n_events, n_buckets,
+       |  ${est("i50")} AS p50_est, ${est("i90")} AS p90_est,
+       |  ${est("i99")} AS p99_est
+       |FROM picked ORDER BY 1""".stripMargin
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type, next to
     * the exact count so the estimate error is visible. The sketch keeps the
     * k smallest distinct md5-derived hashes per group; estimate =
