@@ -164,4 +164,43 @@ class StreamOpsSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 2)
   }
+
+  test("watermark drop parity: the batch lateness audit predicts streaming loss at a candidate delay") {
+    // The executable form of ev_lateness's contract (operators/Events
+    // .lateness): an event whose lateness behind the running event-time max
+    // exceeds the watermark delay is LOST to a watermarked aggregation; one
+    // whose lateness is within the delay survives; a delay >= the audit's
+    // max lateness loses nothing.
+    //
+    // Arrival: batch 1 advances event time to 10:30; batch 2 delivers one
+    // event 25 min late (10:05) and one 90 min late (09:00).
+    def run(queryName: String, delay: String): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[StreamEvent]
+      // Update mode: late rows ARE watermark-filtered (Complete mode keeps
+      // all state and drops nothing); the sink holds one row per window
+      // update, so the final count per window is its max update
+      val q = StreamOps.windowedCounts(in.toDF(), "1 hour", delay)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(
+          StreamEvent(1, "click", 1.0, ts(0)),
+          StreamEvent(2, "click", 1.0, ts(30)))
+        q.processAllAvailable() // watermark advances to 10:30 - delay
+        in.addData(
+          StreamEvent(3, "click", 1.0, ts(5)), // 25 min late
+          StreamEvent(4, "click", 1.0, Timestamp.valueOf("2024-01-01 09:00:00"))) // 90 min late
+        q.processAllAvailable()
+        spark.sql(
+          s"""SELECT sum(m) FROM (SELECT max(n_events) AS m FROM $queryName
+             |GROUP BY window, event_type)""".stripMargin).head().getLong(0)
+      } finally q.stop()
+    }
+    // audit prediction at delay=30 min: lateness 25 <= 30 survives,
+    // 90 > 30 is lost → 3 of 4 events aggregated
+    assert(run("wm30", "30 minutes") == 3L)
+    // delay >= max lateness (90 min) → lossless: all 4 aggregated
+    assert(run("wm120", "2 hours") == 4L)
+  }
 }
