@@ -74,6 +74,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
     "vec_quantize" -> ((s, d) => Similarity.vecQuantize(s, d)),
+    "vec_pq" -> ((s, d) => Similarity.vecPq(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,
+    "vec_pq" -> Similarity.vecPqOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,

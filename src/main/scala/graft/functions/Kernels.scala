@@ -99,6 +99,12 @@ object Kernels {
   def nearestCell(vec: Column, cents: Column): Column =
     call_function(GraftFunctions.NearestCellName, vec, cents)
 
+  /** Squared-L2 argmin variant — the product-quantization codebook
+    * assignment (direction-insensitive distance, rounded at 6, ties to the
+    * lower cell). */
+  def nearestCellL2(vec: Column, cents: Column): Column =
+    call_function(GraftFunctions.NearestCellName, vec, cents, lit(true))
+
   // ---- Oracle SQL fragments (DuckDB), built from the same constants ----
 
   /** DuckDB: 31-bit shingle hash of column expr `e`. */

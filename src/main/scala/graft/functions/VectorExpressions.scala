@@ -134,8 +134,12 @@ object LshBucket {
   * double folds; ccos = round6(dot / (vnorm · cnorm)) with HALF_UP rounding
   * (Spark's `round`); NaN compares greatest (Spark's double ordering), so a
   * zero-norm input degrades identically to the row_number formulation.
+  *
+  * `l2 = true` switches the metric to squared-Euclidean ARGMIN (rounded at
+  * 6 digits, ties to the lower cell) — the product-quantization assignment,
+  * where direction-insensitive distance is the standard codebook metric.
   */
-case class NearestCell(left: Expression, right: Expression)
+case class NearestCell(left: Expression, right: Expression, l2: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -149,10 +153,10 @@ case class NearestCell(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    NearestCell.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    NearestCell.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], l2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NearestCell.compute($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NearestCell.compute($a, $b, $l2)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -168,7 +172,7 @@ object NearestCell {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(vec: ArrayData, cents: ArrayData): Long = {
+  def compute(vec: ArrayData, cents: ArrayData, l2: Boolean): Long = {
     val dims = vec.numElements()
     var vn = 0.0
     var j = 0
@@ -176,26 +180,39 @@ object NearestCell {
     val vnorm = math.sqrt(vn)
     val nCells = cents.numElements()
     var bestCell = 0L
-    var bestCcos = java.lang.Double.NEGATIVE_INFINITY
+    var bestScore = java.lang.Double.NEGATIVE_INFINITY
     var cell = 0
     while (cell < nCells) {
       val c = cents.getArray(cell)
       val n = math.min(dims, c.numElements())
-      var dot = 0.0
-      var cn = 0.0
-      var k = 0
-      while (k < n) {
-        val cv = c.getDouble(k)
-        dot += vec.getDouble(k) * cv
-        cn += cv * cv
-        k += 1
+      var score = 0.0
+      if (l2) {
+        // negated squared-Euclidean so the same argMAX loop serves both
+        var d2 = 0.0
+        var k = 0
+        while (k < n) {
+          val diff = vec.getDouble(k) - c.getDouble(k)
+          d2 += diff * diff
+          k += 1
+        }
+        score = -round6(d2)
+      } else {
+        var dot = 0.0
+        var cn = 0.0
+        var k = 0
+        while (k < n) {
+          val cv = c.getDouble(k)
+          dot += vec.getDouble(k) * cv
+          cn += cv * cv
+          k += 1
+        }
+        score = round6(dot / (vnorm * math.sqrt(cn)))
       }
-      val ccos = round6(dot / (vnorm * math.sqrt(cn)))
       // strictly-greater keeps the earlier (lower) cell on ties — the
-      // `ccos desc, cell asc` row_number order; Double.compare ranks NaN
+      // `score desc, cell asc` row_number order; Double.compare ranks NaN
       // above every value, matching Spark's descending double sort.
-      if (java.lang.Double.compare(ccos, bestCcos) > 0) {
-        bestCcos = ccos
+      if (java.lang.Double.compare(score, bestScore) > 0) {
+        bestScore = score
         bestCell = cell.toLong
       }
       cell += 1
@@ -274,8 +291,14 @@ object GraftFunctions {
       if (exprs.size >= 2)
         LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
       else LshBucket(exprs.head)
+  /** Optional 3rd arg: metric — boolean foldable, true = squared-L2 argmin
+    * (product-quantization codebooks), default false = cosine argmax. */
   val nearestCellBuilder: Seq[Expression] => Expression =
-    exprs => NearestCell(exprs.head, exprs(1))
+    exprs =>
+      if (exprs.size >= 3)
+        NearestCell(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Boolean])
+      else NearestCell(exprs.head, exprs(1))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -331,6 +331,83 @@ object Similarity {
       |  cast(list_max(c) AS bigint) AS code_max
       |FROM codes ORDER BY vec_id""".stripMargin
 
+  /** One-row DataFrame carrying the product-quantization codebook as an
+    * ordered `array<array<array<double>>>` (subspace → cell → subdim).
+    * Codebooks come from deterministic seed groups (vec_id mod k — one
+    * k-means init step) per subspace; shuffles are proportional to
+    * m·k·(dims/m) = k·dims only. */
+  private def pqCodebook(spark: SparkSession, d: String, m: Int, k: Int,
+      dims: Int): DataFrame = {
+    val sw = dims / m
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("sub", expr(s"dim div $sw"))
+      .withColumn("sd", pmod(col("dim"), lit(sw)))
+      .withColumn("cell", pmod(col("vec_id"), lit(k.toLong)))
+      .groupBy(col("sub"), col("cell"), col("sd"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("dc"))
+      .select(col("sub"), col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
+      .select(col("sub"), transform(col("cc"), x => x.getField("carr")).as("cents"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("cents")))).as("sc"))
+      .select(transform(col("sc"), x => x.getField("cents")).as("cb"))
+  }
+
+  /** Product quantization: split each vector into m subvectors, assign each
+    * to its nearest (squared-L2, the standard codebook metric) centroid in
+    * that subspace's k-entry codebook → m small integer codes per vector,
+    * compressing dims×4 bytes (f32) to m·log2(k) bits before any index —
+    * the memory step that makes billion-vector ANN fit RAM.
+    *
+    * Scale shape mirrors [[ivfAssignments]]: the full codebook rides ONE
+    * broadcast row (m·k·(dims/m) = k·dims doubles) and all m assignments are
+    * [[graft.functions.NearestCell]] argmins (l2 mode) on sliced subvectors
+    * inside whole-stage codegen — zero exchange on the corpus side, m
+    * expression calls per row, no explode. The oracle computes the same
+    * argmin relationally (round-6 squared distances, ties to lower cell). */
+  def vecPq(spark: SparkSession, d: String, m: Int = 4, k: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val sw = dims / m
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+      .join(broadcast(pqCodebook(spark, d, m, k, dims)))
+    val coded = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }
+    coded.select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val vecPqOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (
+      |  SELECT vec_id, (j-1) // 16 AS sub, (j-1) % 16 AS sd, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+      |  FROM comp GROUP BY 1, 2, 3),
+      |dists AS (
+      |  SELECT comp.vec_id, comp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |assigned AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+      |    FROM dists) WHERE r = 1)
+      |SELECT vec_id,
+      |  max(CASE WHEN sub = 0 THEN cell END) AS code_0,
+      |  max(CASE WHEN sub = 1 THEN cell END) AS code_1,
+      |  max(CASE WHEN sub = 2 THEN cell END) AS code_2,
+      |  max(CASE WHEN sub = 3 THEN cell END) AS code_3
+      |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** k-NN self-join within LSH buckets: each vector's k nearest bucket
     * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a
     * parameter tuned to corpus size (6 planes → 64 cells here; ~√n-many at

@@ -151,6 +151,27 @@ class KernelsSpec extends SparkSpec {
     assert(sql == expected.head)
   }
 
+  test("nearestCellL2 picks the min-distance cell; ties go to the lower cell; metric differs from cosine") {
+    val df = Seq(
+      // closest by L2 is [1,1] (cell 1); by cosine, [10,0] (cell 0) is
+      // colinear with the vector — the two metrics MUST disagree here
+      (Array(1.0, 0.0), Array(Array(10.0, 0.0), Array(1.0, 1.0))),
+      // exact duplicate centroids → tie → lower cell
+      (Array(2.0, 3.0), Array(Array(2.0, 3.0), Array(2.0, 3.0))),
+      // distances differing only past round-6 tie to the lower cell even
+      // though cell 1 is exactly on the vector
+      (Array(1.0, 0.0), Array(Array(1.0, 1e-4), Array(1.0, 0.0))))
+      .toDF("v", "m")
+    val l2 = df.select(nearestCellL2(col("v"), col("m"))).collect().map(_.getLong(0))
+    assert(l2.toSeq == Seq(1L, 0L, 0L))
+    val cos = df.limit(1).select(nearestCell(col("v"), col("m"))).head().getLong(0)
+    assert(cos == 0L) // same inputs, cosine metric → the colinear cell
+    // SQL path with the metric argument
+    val sql = Seq((Array(1.0, 0.0), Array(Array(10.0, 0.0), Array(1.0, 1.0))))
+      .toDF("v", "m").selectExpr("graft_nearest_cell(v, m, true)").head().getLong(0)
+    assert(sql == 1L)
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)
