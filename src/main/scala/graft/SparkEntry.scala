@@ -75,6 +75,7 @@ object SparkEntry {
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
     "vec_quantize" -> ((s, d) => Similarity.vecQuantize(s, d)),
     "vec_pq" -> ((s, d) => Similarity.vecPq(s, d)),
+    "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,
     "vec_pq" -> Similarity.vecPqOracle,
+    "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,

@@ -204,6 +204,80 @@ object Similarity {
       |SELECT query_id, neighbor_id, cos, rank FROM r
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with multi-probe: members are assigned map-side as in
+    * [[ivfAssignments]], but each query searches its nProbe nearest cells —
+    * the standard IVF recall knob (a neighbor just across a cell boundary
+    * is recovered at nProbe× the probe cost, still \|corpus\|·nProbe/nCells
+    * candidates). The query-side cell ranking explodes the broadcast
+    * centroid matrix for the QUERY rows only (\|q\|×nCells rows — tiny by
+    * definition), with the same round-6 cosine + lower-cell tie order as
+    * the member assignment, so probe cell 1 always equals the query's own
+    * cell. Corpus side stays exchange-free. */
+  def ivfProbeTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val members = ivfAssignments(spark, d, nCells)
+    val probes = normed(spark, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+      .join(broadcast(centroidMatrix(spark, d, nCells)))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        posexplode(col("cents")).as(Seq("cell", "carr")))
+      .withColumn("ccos",
+        round(dot(col("qe"), col("carr")) / (col("qnorm") * vecNorm(col("carr"))), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qnorm"), col("cell").cast("long").as("cell"))
+    val scored = members.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfProbeTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT vec_id % 16 AS cell, j, round(avg(e2[j]), 6) AS c
+      |  FROM (SELECT vec_id, e AS e2, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+      |  GROUP BY 1, 2),
+      |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |dots AS (
+      |  SELECT comp.vec_id, cents.cell, sum(val * c) AS dot
+      |  FROM comp JOIN cents ON comp.j = cents.j
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT d.vec_id, d.cell,
+      |    row_number() OVER (PARTITION BY d.vec_id
+      |      ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+      |  FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+      |  JOIN vnorms vn ON d.vec_id = vn.vec_id),
+      |assigned AS (SELECT vec_id, cell FROM ranked WHERE arank = 1),
+      |members AS (
+      |  SELECT v.vec_id, v.e, vn.norm, a.cell
+      |  FROM v JOIN vnorms vn ON v.vec_id = vn.vec_id
+      |  JOIN assigned a ON v.vec_id = a.vec_id),
+      |probes AS (
+      |  SELECT r.vec_id AS query_id, v.e AS qe, vn.norm AS qnorm, r.cell
+      |  FROM ranked r JOIN v ON r.vec_id = v.vec_id
+      |  JOIN vnorms vn ON r.vec_id = vn.vec_id
+      |  WHERE r.vec_id < 10 AND r.arank <= 2),
+      |s AS (
+      |  SELECT query_id, m.vec_id AS neighbor_id,
+      |    round(list_dot_product(qe, m.e) / (qnorm * m.norm), 4) AS cos
+      |  FROM probes p JOIN members m ON p.cell = m.cell AND m.vec_id != p.query_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS the
     * nPlanes buckets at Hamming distance 1 (one sign bit flipped) — the
     * standard recall fix for hyperplane LSH (a near neighbor that landed
