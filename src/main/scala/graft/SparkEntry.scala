@@ -98,6 +98,7 @@ object SparkEntry {
     "docs_by_source" -> ((s, d) => TextAnalysis.bySource(s, d)),
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
@@ -317,6 +318,7 @@ object SparkEntry {
     "vec_pq" -> Similarity.vecPqOracle,
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
+    "text_bm25" -> TextAnalysis.bm25Oracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -219,6 +219,57 @@ object TextAnalysis {
       |SELECT doc_id, token, tf, tfidf, rank FROM r
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 ranked retrieval for a fixed query term set — the inverted-index
+    * scoring step of a retrieval pipeline (Robertson idf with the +1 floor,
+    * k1 = 1.2, b = 0.75). One corpus pass: tokens filter to the query terms
+    * BEFORE any shuffle (per-doc tf groups are ≤ |terms| rows), df derives
+    * from the tf rows, and N/avgdl ride a broadcast 1-row aggregate. The
+    * global top-k is orderBy+limit — planned as TakeOrderedAndProject
+    * (per-partition bounded heaps), never a single-reducer window. Scoring
+    * arithmetic is written with the same association order as the oracle so
+    * round-6 scores match bit-for-bit. */
+  def bm25(spark: SparkSession, d: String,
+      terms: Seq[String] = Seq("hash", "join", "vector"), k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val wl = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = wl.groupBy().agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = wl.select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "token").join(broadcast(stats))
+      .withColumn("w",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25Oracle: String =
+    """WITH wl AS (
+      |  SELECT doc_id, t, cast(len(t) AS bigint) AS dl
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM wl),
+      |tf AS (
+      |  SELECT doc_id, dl, token, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS token FROM wl)
+      |  WHERE token IN ('hash', 'join', 'vector')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+      |  FROM tf JOIN df USING (token), stats)
+      |SELECT doc_id, count(*) AS n_hits, round(sum(w), 6) AS score
+      |FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Corpus stats per source: volume, language spread, exact-dup rate. */
   def bySource(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

@@ -138,9 +138,13 @@ class PlanSpec extends SparkSpec {
       "assignment must be the native NearestCell expression")
   }
 
-  test("ev_anomalies top-k plans as TakeOrderedAndProject (distributed partial top-k)") {
-    val s = physical(Events.anomalies(spark, Sf)).toString
-    assert(s.contains("TakeOrderedAndProject"), s)
+  test("global top-k queries plan as TakeOrderedAndProject (distributed partial top-k)") {
+    for ((name, df) <- Seq(
+      "ev_anomalies" -> Events.anomalies(spark, Sf),
+      "text_bm25" -> TextAnalysis.bm25(spark, Sf))) {
+      val s = physical(df).toString
+      assert(s.contains("TakeOrderedAndProject"), s"$name: $s")
+    }
   }
 
   test("per-group top-k queries plan map-side WindowGroupLimit (bounded heaps, not full sorts)") {
