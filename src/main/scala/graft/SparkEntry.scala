@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
     "shingle_stats_containment" -> ((s, d) => Dedup.shingleStatsContainment(s, d)),
+    "docs_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentOracle,
     "shingle_stats" -> Dedup.shingleStatsOracle,
     "shingle_stats_containment" -> Dedup.shingleStatsContainmentOracle,
+    "docs_decontaminate" -> Dedup.decontaminateOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

@@ -673,4 +673,62 @@ object Dedup {
        |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Benchmark decontamination: for each eval-set document, find training
+    * documents sharing word-3-gram shingles — the train/test-leakage audit
+    * every LLM data pipeline runs before training. Eval set = doc_id mod 97
+    * (a ~1% holdout); contamination is PLANTED (each eval doc's full text
+    * re-enters the train side under a shifted id) so ground truth exists:
+    * every eval doc must report at least one hit, and the planted copy
+    * scores overlap 1.0 unless a shared shingle was df-capped out of the
+    * train index.
+    *
+    * Scale shape: the join is eval-shingles ⋈ train-shingles — the eval
+    * side is a small fraction of the corpus BY DEFINITION (a benchmark
+    * suite, not a second corpus), and the train side is the df-capped
+    * inverted index, so candidates are bounded by \|eval shingles\|·maxDf
+    * rather than df² — linear in the eval set, immune to train-side
+    * boilerplate. Per-eval-doc aggregation keys on the eval id: output
+    * cardinality = \|eval set\|. */
+  def decontaminate(spark: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val train = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .unionAll(evalDocs.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val ts = cappedShingles(train, maxDf)
+    val es = shingleRows(evalDocs)
+    val esizes = es.groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval"))
+    es.select(col("doc_id").as("eval_id"), col("s"))
+      .join(ts.select(col("doc_id").as("train_id"), col("s")), "s")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(esizes.select(col("doc_id").as("eval_id"), col("n_eval")), "eval_id")
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_eval"), 4))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_docs_hit"), max(col("overlap")).as("max_overlap"))
+      .orderBy(col("eval_id"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |ev AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+       |docs AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id % 97 != 0
+       |  UNION ALL SELECT doc_id + 5000000, text FROM ev),
+       |${sqlCappedShingles("docs", MaxShingleDf)},
+       |es AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ev)) tok),
+       |esizes AS (SELECT doc_id, count(*) AS n_eval FROM es GROUP BY 1),
+       |hits AS (
+       |  SELECT es.doc_id AS eval_id, sh.doc_id AS train_id, count(*) AS n_shared
+       |  FROM es JOIN sh ON es.s = sh.s
+       |  GROUP BY 1, 2)
+       |SELECT eval_id, count(*) AS n_train_docs_hit,
+       |  max(round(cast(n_shared AS double) / n_eval, 4)) AS max_overlap
+       |FROM hits JOIN esizes ON esizes.doc_id = hits.eval_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }
