@@ -77,6 +77,7 @@ object SparkEntry {
     "vec_quantize" -> ((s, d) => Similarity.vecQuantize(s, d)),
     "vec_pq" -> ((s, d) => Similarity.vecPq(s, d)),
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
+    "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "vec_quantize" -> Similarity.vecQuantizeOracle,
     "vec_pq" -> Similarity.vecPqOracle,
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
+    "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "dedup_exact" -> Dedup.exactOracle,

@@ -367,6 +367,52 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Recall@k of the IVF index vs brute-force ground truth, at nprobe=1
+    * and nprobe=2 side by side — the eval that justifies the probe knob
+    * with a number (recall_probe2 ≥ recall_ivf for every query, equality
+    * only when the single cell already held all true neighbors). Composes
+    * [[bruteforceTopK]], [[ivfTopK]], [[ivfProbeTopK]]; hits counted with
+    * left joins against the truth set (each at most one match per pair, no
+    * fan-out). */
+  def ivfRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val truth = bruteforceTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a1 = ivfTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("h1"))
+    val a2 = ivfProbeTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("h2"))
+    truth.join(a1, Seq("query_id", "neighbor_id"), "left")
+      .join(a2, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("h1")).as("n_hits_ivf"),
+        round(count(col("h1")) / k.toDouble, 4).as("recall_ivf"),
+        count(col("h2")).as("n_hits_probe2"),
+        round(count(col("h2")) / k.toDouble, 4).as("recall_probe2"))
+      .orderBy(col("query_id"))
+  }
+
+  val ivfRecallOracle: String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, v0.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qe, v0.e), 4) AS cos
+       |  FROM q0, v0 WHERE v0.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3),
+       |a1 AS (SELECT query_id, neighbor_id FROM ($ivfTopKOracle) s1),
+       |a2 AS (SELECT query_id, neighbor_id FROM ($ivfProbeTopKOracle) s2)
+       |SELECT t.query_id,
+       |  cast(count(a1.neighbor_id) AS bigint) AS n_hits_ivf,
+       |  round(count(a1.neighbor_id) / 3.0, 4) AS recall_ivf,
+       |  cast(count(a2.neighbor_id) AS bigint) AS n_hits_probe2,
+       |  round(count(a2.neighbor_id) / 3.0, 4) AS recall_probe2
+       |FROM truth t
+       |LEFT JOIN a1 ON t.query_id = a1.query_id AND t.neighbor_id = a1.neighbor_id
+       |LEFT JOIN a2 ON t.query_id = a2.query_id AND t.neighbor_id = a2.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-vector symmetric int8 quantization accounting — the storage-scale
     * step of an embedding pipeline (4× smaller than f32 before any index).
     * scale = max|x|/127; code_j = floor(x_j·127/max + 0.5) (floor-form
