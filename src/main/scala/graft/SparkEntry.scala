@@ -88,6 +88,7 @@ object SparkEntry {
     "docs_filter_clean" -> ((s, d) => Pipeline.filterClean(s, d)),
     "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
+    "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
@@ -344,6 +345,7 @@ object SparkEntry {
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
     "text_token_hist" -> Pipeline.tokenHistOracle,
+    "docs_pack" -> Pipeline.packOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,

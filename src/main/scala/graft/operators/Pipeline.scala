@@ -284,4 +284,44 @@ object Pipeline {
       |  count(*) AS n_docs,
       |  cast(sum(len(string_split(text, ' '))) AS bigint) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sequence packing: concatenate each shard's token stream in doc order
+    * and chunk it into fixed token-budget training sequences — the
+    * tokenizer-feed step of an LLM pretraining pipeline. A doc belongs to
+    * the sequence its FIRST token lands in (concat-then-chunk semantics:
+    * docs can straddle a boundary; the report keys on starting offsets,
+    * which is what the packer writes).
+    *
+    * Scale shape: shard = doc_id mod nShards models the independent writer
+    * task (thousands at 100 TB — a parameter, not a vocabulary), so the
+    * running-offset window partitions by shard and no single reducer sees
+    * the corpus. All integer arithmetic → exact oracle hash. */
+  def pack(spark: SparkSession, d: String, budget: Int = 2048,
+      nShards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - tok) div $budget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val packOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 64 AS shard,
+      |    cast(len(string_split(text, ' ')) AS bigint) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, tok,
+      |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT shard, cast((cum - tok) // 2048 AS bigint) AS seq_id,
+      |  count(*) AS n_docs, cast(sum(tok) AS bigint) AS n_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
