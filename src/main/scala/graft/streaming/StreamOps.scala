@@ -171,6 +171,59 @@ object StreamOps {
     v % 2147483647L
   }
 
+  /** Streaming log-linear quantile sketch per event type: keyed state holds
+    * the (bucket → count) map of graft.operators.Events.quantileSketchCounts
+    * (same integer bucketing — [[bucket31]] mirrors it exactly, parity
+    * spec-pinned), merged by count summation each batch — the associativity
+    * the batch sketch's merge spec proves is what makes the state update
+    * correct under any batch split. State is O(\|buckets\|) per type,
+    * bounded by the VALUE RANGE, not the stream length; each batch emits
+    * refreshed p50/p99 estimates identical to the batch query's on the same
+    * events. */
+  def quantileSketch(events: Dataset[StreamEvent]): Dataset[QuantileEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Map[Long, Long], QuantileEstimate](GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val b = StreamOps.bucket31(e.value)
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.valuesIterator.sum
+          QuantileEstimate(typ, n, m.size,
+            StreamOps.sketchQuantile(m, n, 0.50), StreamOps.sketchQuantile(m, n, 0.99))
+      }
+  }
+
+  /** JVM mirror of the batch sketch's integer log-linear bucketing
+    * (Events.quantileSketchCounts: octave = bit length of the cent value,
+    * 16 linear sub-buckets) — batch and streaming sketches MUST bucket
+    * identically; QuantileSketchSpec pins the parity on real data. */
+  private[graft] def bucket31(v: Double): Long = {
+    val m = graft.operators.Events.QuantileSketchSubBuckets
+    val vc = math.floor(v * 100.0 + 0.5).toLong
+    val e = 64 - java.lang.Long.numberOfLeadingZeros(vc) // bit length (vc >= 1)
+    val lo = 1L << (e - 1)
+    (e.toLong - 1L) * m + (vc - lo) * m / lo
+  }
+
+  /** Quantile estimate off a bucket-count map: midpoint of the bucket where
+    * the cumulative count crosses ceil(q·n) — same rank rule and midpoint
+    * arithmetic as the batch query (round-4, HALF_UP). */
+  private[graft] def sketchQuantile(m: Map[Long, Long], n: Long, q: Double): Double = {
+    val sb = graft.operators.Events.QuantileSketchSubBuckets
+    val r = math.ceil(q * n).toLong
+    var cum = 0L
+    var idx = m.keysIterator.min
+    for ((b, c) <- m.toSeq.sortBy(_._1) if cum < r) { cum += c; idx = b }
+    val lo = 1L << (idx / sb).toInt
+    val est = (lo + ((idx % sb) + 0.5) * lo / sb.toDouble) / 100.0
+    java.math.BigDecimal.valueOf(est).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
     * Spark-native: a `topic` column to `partitionBy` at the sink, so each
@@ -187,6 +240,10 @@ case class KmvSketch(hashes: Seq[Long])
 
 /** Per-type distinct estimate emitted each batch. */
 case class DistinctEstimate(event_type: String, n_distinct_est: Long, n_in_sketch: Int)
+
+/** Per-type quantile estimates off the streaming log-linear sketch. */
+case class QuantileEstimate(event_type: String, n_events: Long, n_buckets: Int,
+    p50_est: Double, p99_est: Double)
 
 /** An emitted outlier. */
 case class Anomaly(event_type: String, user_id: Long, value: Double, z: Double,

@@ -36,6 +36,18 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("streaming bucket31 matches the batch SQL bucketing on the whole events table") {
+    // batch and streaming sketches must agree bucket-for-bucket or their
+    // states could not be merged; pin the parity on real data, not samples
+    val batch = Events.quantileSketchCounts(Tables.events(spark, Sf))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaScala = Tables.events(spark, Sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), graft.streaming.StreamOps.bucket31(r.getDouble(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(batch.nonEmpty && viaScala == batch)
+  }
+
   test("sketch state merges associatively: sum of split-corpus counts == full-corpus counts") {
     val ev = Tables.events(spark, Sf)
     val full = Events.quantileSketchCounts(ev)

@@ -165,6 +165,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 2)
   }
 
+  test("streaming quantile sketch merges bucket counts across batches; estimate follows the batch rank rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.quantileSketch(in.toDS())
+      .writeStream.format("memory").queryName("qsk").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamEvent(1, "click", 1.00, ts(1)), StreamEvent(2, "click", 2.00, ts(2)))
+      q.processAllAvailable()
+      in.addData(StreamEvent(3, "click", 4.00, ts(3)), StreamEvent(4, "click", 50.00, ts(4)))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, n_buckets, p50_est FROM qsk ORDER BY n_events DESC LIMIT 1").head()
+      assert(last.getLong(0) == 4L, "state must accumulate across batches")
+      assert(last.getInt(1) == 4, "four distinct value buckets")
+      // rank ceil(0.5·4)=2 lands in 2.00's bucket: cents 200 → octave 8
+      // (lo=128), sub=(200-128)·16/128=9 → midpoint (128 + 9.5·8)/100 = 2.04
+      assert(last.getDouble(2) == 2.04)
+    } finally q.stop()
+  }
+
   test("watermark drop parity: the batch lateness audit predicts streaming loss at a candidate delay") {
     // The executable form of ev_lateness's contract (operators/Events
     // .lateness): an event whose lateness behind the running event-time max
