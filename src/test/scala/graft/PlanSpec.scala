@@ -104,38 +104,42 @@ class PlanSpec extends SparkSpec {
     val cap = Dedup.MaxShingleDf
     for ((name, df) <- Seq(
       "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, Sf),
-      "dedup_containment" -> Dedup.containment(spark, Sf))) {
+      "dedup_containment" -> Dedup.containment(spark, Sf),
+      "docs_decontaminate" -> Dedup.decontaminate(spark, Sf))) {
       val s = fmt(df)
       assert(s"""df#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
         s"$name plan lacks the shingle-df ceiling filter (df <= $cap)")
     }
   }
 
-  test("ann_ivf assignment is map-side: no exchange on the streamed side of the centroid broadcast") {
+  test("ivf/pq assignments are map-side: no exchange on the streamed side of the codebook broadcast") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val df = Similarity.ivfAssignments(spark, Sf)
-    var joins = 0
-    def walk(p: SparkPlan): Unit = {
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case j: BroadcastNestedLoopJoinExec =>
-          joins += 1
-          val streamed = if (j.buildSide == BuildRight) j.left else j.right
-          def noShuffle(q: SparkPlan): Unit = {
-            assert(!q.isInstanceOf[ShuffleExchangeExec],
-              "the corpus side of the assignment must not shuffle")
-            q.children.foreach(noShuffle)
-          }
-          noShuffle(streamed)
-        case _ =>
+    for ((name, df) <- Seq(
+      "ivf_assignments" -> Similarity.ivfAssignments(spark, Sf),
+      "vec_pq" -> Similarity.vecPq(spark, Sf))) {
+      var joins = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case j: BroadcastNestedLoopJoinExec =>
+            joins += 1
+            val streamed = if (j.buildSide == BuildRight) j.left else j.right
+            def noShuffle(q: SparkPlan): Unit = {
+              assert(!q.isInstanceOf[ShuffleExchangeExec],
+                s"$name: the corpus side of the assignment must not shuffle")
+              q.children.foreach(noShuffle)
+            }
+            noShuffle(streamed)
+          case _ =>
+        }
+        p.children.foreach(walk)
       }
-      p.children.foreach(walk)
+      walk(physical(df))
+      assert(joins == 1, s"$name: expected exactly the one-row codebook broadcast join")
+      assert(physical(df).toString.toLowerCase.contains("nearestcell"),
+        s"$name: assignment must be the native NearestCell expression")
     }
-    walk(physical(df))
-    assert(joins == 1, "expected exactly the one-row centroid-matrix broadcast join")
-    assert(physical(df).toString.toLowerCase.contains("nearestcell"),
-      "assignment must be the native NearestCell expression")
   }
 
   test("global top-k queries plan as TakeOrderedAndProject (distributed partial top-k)") {
