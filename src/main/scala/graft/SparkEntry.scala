@@ -26,6 +26,10 @@ object SparkEntry {
     "q16_part_suppliers" -> ((s, d) => Tpch.q16PartSuppliers(s, d)),
     "q19_disjunct" -> ((s, d) => Tpch.q19Disjunct(s, d)),
     "q22_idle_customers" -> ((s, d) => Tpch.q22IdleCustomers(s, d)),
+    "q2_first_supplier" -> ((s, d) => Tpch.q2FirstSupplier(s, d)),
+    "q8_market_share" -> ((s, d) => Tpch.q8MarketShare(s, d)),
+    "q20_dominant_suppliers" -> ((s, d) => Tpch.q20DominantSuppliers(s, d)),
+    "q21_late_suppliers" -> ((s, d) => Tpch.q21LateSuppliers(s, d)),
     "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
     "q12_priority" -> ((s, d) => Tpch.q12Priority(s, d)),
     "q13_custdist" -> ((s, d) => Tpch.q13CustDist(s, d)),
@@ -202,6 +206,67 @@ object SparkEntry {
         |JOIN nation ON s_nationkey=n_nationkey
         |WHERE p_name LIKE '%a%'
         |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q2_first_supplier" ->
+      """WITH first AS (
+        |  SELECT p_partkey, p_name, l_suppkey, min(l_shipdate) AS first_ship
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |  ORDER BY first_ship, l_suppkey) AS rk FROM first)
+        |SELECT p_partkey, p_name, s_name, first_ship
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rk = 1 ORDER BY p_partkey""".stripMargin,
+    "q8_market_share" ->
+      """WITH asian AS (
+        |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |cust AS (SELECT c_custkey FROM customer JOIN asian ON c_nationkey = n_nationkey),
+        |supn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT cast(year(o_orderdate) AS int) AS o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_7'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 4) AS nation_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue,
+        |  round(100.0 * sum(CASE WHEN supp_nation = 'NATION_7'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share_pct
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cust ON o_custkey = c_custkey
+        |JOIN supn ON l_suppkey = s_suppkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2),
+        |t AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS tot,
+        |  count(*) OVER (PARTITION BY l_partkey) AS nsupp FROM ps)
+        |SELECT s_name, count(*) AS n_parts_dominated,
+        |  cast(sum(qty) AS bigint) AS qty_dominated
+        |FROM t JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * nsupp > tot * 2
+        |GROUP BY 1 ORDER BY n_parts_dominated DESC, s_name""".stripMargin,
+    "q21_late_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        |  FROM lineitem GROUP BY 1, 2),
+        |f0 AS (
+        |  SELECT l_orderkey, l_suppkey, smax,
+        |    max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+        |  FROM ps),
+        |f AS (
+        |  SELECT *, cast(sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY l_orderkey) AS bigint) AS nlast
+        |  FROM f0)
+        |SELECT s_name, count(*) AS waiting_orders
+        |FROM f JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE nsupp >= 2 AND nlast = 1 AND smax = omax
+        |GROUP BY 1 ORDER BY waiting_orders DESC, s_name LIMIT 10""".stripMargin,
     "q14_promo_share" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
         | round(sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END),4) AS promo_revenue,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational analytics core — TPC-H-shaped headline queries adapted to the
@@ -408,5 +409,111 @@ object Tpch {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q2 (adapted — no partsupp cost in the reduced schema): for each
+    * size-15 part, the supplier who shipped it FIRST (min shipdate,
+    * supplier-key tie-break) — Q2's per-group correlated-min shape via one
+    * rank window over the (part, supplier) aggregate; dims broadcast. */
+  def q2FirstSupplier(spark: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(spark, d).filter(col("p_size") === 15)
+      .select("p_partkey", "p_name")
+    val first = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_shipdate")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    first.withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_partkey"))
+          .orderBy(col("first_ship"), col("l_suppkey"))))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("first_ship"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q8 (adapted): one supplier nation's market share of a customer
+    * region's revenue, per order year — conditional-aggregate ratio over a
+    * fact join with every dimension broadcast. */
+  def q8MarketShare(spark: SparkSession, d: String): DataFrame = {
+    val nation = Tables.nation(spark, d)
+    val region = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val asianNations = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, d)
+      .join(broadcast(asianNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val supN = Tables.supplier(spark, d)
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val natRev = sum(when(col("supp_nation") === "NATION_7", rev).otherwise(lit(0.0)))
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(natRev, 4).as("nation_revenue"),
+        round(sum(rev), 4).as("total_revenue"),
+        round(lit(100.0) * natRev / sum(rev), 4).as("mkt_share_pct"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q20 (adapted — no partsupp): suppliers who DOMINATED shipment of
+    * a 'small …' part — more than TWICE the part's per-supplier average
+    * quantity (scale-robust: a fixed share threshold empties out as supplier
+    * counts grow with the corpus). Nested aggregate (per part-supplier,
+    * then per part via window) + broadcast semi chain. Quantities are
+    * integer-valued doubles and the threshold is a product comparison, so
+    * the arithmetic is exact in both engines. */
+  def q20DominantSuppliers(spark: SparkSession, d: String): DataFrame = {
+    val smallParts = Tables.part(spark, d)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val psQty = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    psQty
+      .withColumn("tot", sum(col("qty")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+      .filter(col("qty") * col("nsupp") > col("tot") * 2)
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        sum(col("qty")).cast("long").as("qty_dominated"))
+      .orderBy(col("n_parts_dominated").desc, col("s_name"))
+  }
+
+  /** TPC-H Q21 (adapted — the reduced schema has no commit/receipt dates):
+    * suppliers who UNIQUELY shipped the last line of a multi-supplier order
+    * ("kept the order waiting"). One groupBy to (order, supplier) shipping
+    * maxima, then the order-level profile via windows over the order key —
+    * high-cardinality partitions, no single reducer. */
+  def q21LateSuppliers(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    val perSupp = Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"))
+      .withColumn("omax", max(col("smax")).over(w))
+      .withColumn("nsupp", count(lit(1)).over(w))
+    perSupp
+      .withColumn("nlast", sum(when(col("smax") === col("omax"), 1L).otherwise(0L)).over(w))
+      .filter(col("nsupp") >= 2 && col("nlast") === 1 && col("smax") === col("omax"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("waiting_orders"))
+      .orderBy(col("waiting_orders").desc, col("s_name"))
+      .limit(10)
   }
 }
