@@ -30,6 +30,7 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Tpch.q8MarketShare(s, d)),
     "q20_dominant_suppliers" -> ((s, d) => Tpch.q20DominantSuppliers(s, d)),
     "q21_late_suppliers" -> ((s, d) => Tpch.q21LateSuppliers(s, d)),
+    "q11_important_parts" -> ((s, d) => Tpch.q11ImportantParts(s, d)),
     "q4_order_priority" -> ((s, d) => Tpch.q4OrderPriority(s, d)),
     "q12_priority" -> ((s, d) => Tpch.q12Priority(s, d)),
     "q13_custdist" -> ((s, d) => Tpch.q13CustDist(s, d)),
@@ -267,6 +268,20 @@ object SparkEntry {
         |FROM f JOIN supplier ON l_suppkey = s_suppkey
         |WHERE nsupp >= 2 AND nlast = 1 AND smax = omax
         |GROUP BY 1 ORDER BY waiting_orders DESC, s_name LIMIT 10""".stripMargin,
+    "q11_important_parts" ->
+      """WITH supn AS (
+        |  SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |pq AS (
+        |  SELECT n_name, l_partkey, cast(sum(l_quantity) AS bigint) AS qty
+        |  FROM lineitem JOIN supn ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT n_name, cast(sum(qty) AS bigint) AS tot,
+        |  count(*) AS nparts FROM pq GROUP BY 1)
+        |SELECT n_name AS nation, l_partkey, qty
+        |FROM pq JOIN tot USING (n_name)
+        |WHERE qty * nparts > tot * 3
+        |ORDER BY qty DESC, nation, l_partkey LIMIT 100""".stripMargin,
     "q14_promo_share" ->
       """SELECT date_trunc('month', l_shipdate) AS month,
         | round(sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END),4) AS promo_revenue,

@@ -494,6 +494,34 @@ object Tpch {
       .orderBy(col("n_parts_dominated").desc, col("s_name"))
   }
 
+  /** TPC-H Q11 (adapted — no partsupp): per supplier nation, the parts
+    * shipped at more than 3× the nation's per-part average quantity —
+    * Q11's group-vs-global-threshold HAVING shape with a scale-robust
+    * relative threshold (a fixed fraction of the nation total empties out
+    * as the part count grows). The per-nation totals ride a broadcast join
+    * (NOT a nation-partitioned window: |nations| is a fixed vocabulary, so
+    * a window there would bottleneck on 25 reducers at scale). All-integer
+    * quantities → exact product-comparison threshold. Global top-100 =
+    * TakeOrderedAndProject. */
+  def q11ImportantParts(spark: SparkSession, d: String): DataFrame = {
+    val supN = Tables.supplier(spark, d)
+      .join(broadcast(Tables.nation(spark, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val pq = Tables.lineitem(spark, d)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val tot = pq.groupBy(col("n_name"))
+      .agg(sum(col("qty")).as("tot"), count(lit(1)).as("nparts"))
+    pq.join(broadcast(tot), "n_name")
+      .filter(col("qty") * col("nparts") > col("tot") * 3)
+      .select(col("n_name").as("nation"), col("l_partkey"), col("qty"))
+      .orderBy(col("qty").desc, col("nation"), col("l_partkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q21 (adapted — the reduced schema has no commit/receipt dates):
     * suppliers who UNIQUELY shipped the last line of a multi-supplier order
     * ("kept the order waiting"). One groupBy to (order, supplier) shipping
