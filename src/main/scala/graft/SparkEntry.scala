@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
+    "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
@@ -426,6 +427,7 @@ object SparkEntry {
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
     "text_token_hist" -> Pipeline.tokenHistOracle,
     "docs_pack" -> Pipeline.packOracle,
+    "docs_mix_uniform" -> Pipeline.mixUniformOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,

@@ -285,6 +285,67 @@ object Pipeline {
       |  cast(sum(len(string_split(text, ' '))) AS bigint) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mixture balancing: downsample each source toward a UNIFORM target mix
+    * — the data-mixing step that stops one over-crawled source from
+    * dominating a training corpus. Per source s: keep rate = min(1,
+    * (N/k)/n_s) expressed as an integer per-10000 threshold
+    * (`min(10000, N·10000 div (k·n_s))` — exact in both engines), and a doc
+    * survives when its hash bucket falls under the threshold — the same
+    * deterministic hash(doc_id) decision as [[sampleStratified]], so the
+    * sample is stable across runs and engines. Publishes per source the
+    * before/after counts and the applied rate: one map pass + a tiny
+    * per-source aggregate broadcast back; document bodies never shuffle.
+    *
+    * The raw table is perfectly source-balanced, so the imbalance is
+    * PLANTED (src0 re-enters 4 extra times under shifted ids — an
+    * over-crawled source) and mirrored in the oracle: src0's threshold
+    * drops to ~1/5 while every other source keeps rate 10000/10000. */
+  def mixUniform(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("source"), col("doc_id"))
+    val planted = base.filter(col("source") === "src0")
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), lit(4L))).as("i"))
+      .select(col("source"), (col("doc_id") + col("i") * 7000000L).as("doc_id"))
+    val docs = base.unionAll(planted)
+      .select(col("source"), pmod(hash31(col("doc_id").cast("string")), lit(10000L)).as("b"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = perSource.groupBy()
+      .agg(sum(col("n_docs")).as("n_total"), count(lit(1)).as("k"))
+    val thresholds = perSource.join(broadcast(totals))
+      .withColumn("thresh",
+        least(lit(10000L), expr("n_total * 10000 div (k * n_docs)")))
+      .select(col("source"), col("n_docs"), col("thresh"))
+    docs.join(broadcast(thresholds), "source")
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("thresh")).as("keep_per_10k"),
+        sum(when(col("b") < col("thresh"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixUniformOracle: String = {
+    val b = s"(${sqlHash31("cast(doc_id AS varchar)")}) % 10000"
+    """WITH corpus AS (
+      |  SELECT source, doc_id FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id + i * 7000000 AS doc_id
+      |  FROM documents, generate_series(1, 4) g(i)
+      |  WHERE source = 'src0'),
+      |m AS (SELECT source, BUCKET AS b FROM corpus),
+      |ps AS (SELECT source, count(*) AS n_docs FROM m GROUP BY 1),
+      |tot AS (SELECT cast(sum(n_docs) AS bigint) AS n_total,
+      |  count(*) AS k FROM ps),
+      |th AS (
+      |  SELECT source, n_docs,
+      |    least(10000, n_total * 10000 // (k * n_docs)) AS thresh
+      |  FROM ps, tot)
+      |SELECT source, cast(max(n_docs) AS bigint) AS n_docs,
+      |  cast(max(thresh) AS bigint) AS keep_per_10k,
+      |  cast(sum(CASE WHEN b < thresh THEN 1 ELSE 0 END) AS bigint) AS n_kept
+      |FROM m JOIN th USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin.replace("BUCKET", b)
+  }
+
   /** Sequence packing: concatenate each shard's token stream in doc order
     * and chunk it into fixed token-budget training sequences — the
     * tokenizer-feed step of an LLM pretraining pipeline. A doc belongs to
