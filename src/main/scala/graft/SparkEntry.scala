@@ -95,6 +95,7 @@ object SparkEntry {
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
+    "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
@@ -404,6 +406,7 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
+    "text_langid_eval" -> TextAnalysis.langIdEvalOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
@@ -428,6 +431,7 @@ object SparkEntry {
     "text_token_hist" -> Pipeline.tokenHistOracle,
     "docs_pack" -> Pipeline.packOracle,
     "docs_mix_uniform" -> Pipeline.mixUniformOracle,
+    "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,

@@ -285,6 +285,68 @@ object Pipeline {
       |  cast(sum(len(string_split(text, ' '))) AS bigint) AS total_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** End-to-end pipeline accounting — the capstone composition: raw corpus
+    * → C4-style quality filter (word count in [30, 80], lexical diversity
+    * ≥ 0.45) → exact dedup (canonical = min doc id per md5 digest) — with
+    * per-language survivor counts at every stage, the funnel table a real
+    * corpus build publishes. Exact copies are PLANTED (every 5th doc
+    * re-enters under a shifted id) so the dedup stage provably drops them:
+    * a planted copy passes quality iff its original does, then loses the
+    * canonical race. Quality is a single map pass (array functions, no
+    * explode); dedup groups by the 128-bit digest via a window over
+    * md5(text) — high-cardinality partitions, 32-byte keys, bodies never
+    * shuffle beyond the digest grouping. */
+  def pipelineE2e(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = base.unionAll(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("lang"), col("text")))
+    val t = tokens(col("text"))
+    val staged = corpus.select(col("doc_id"), col("lang"), col("text"),
+        size(t).cast("long").as("nw"), size(array_distinct(t)).cast("long").as("nd"))
+      .withColumn("kept_q", col("nw") >= 30 && col("nw") <= 80 &&
+        col("nd").cast("double") / col("nw") >= 0.45)
+    val uniq = staged.filter(col("kept_q"))
+      .withColumn("canon",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("canon"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("u"))
+    staged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("kept_q"), 1L).otherwise(0L)).as("n_quality"))
+      .join(uniq, Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"), col("n_quality"),
+        coalesce(col("u"), lit(0L)).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineE2eOracle: String =
+    """WITH base AS (SELECT doc_id, lang, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, lang, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 9000000, lang, text FROM base WHERE doc_id % 5 = 0),
+      |st AS (
+      |  SELECT doc_id, lang, text,
+      |    cast(len(string_split(text, ' ')) AS bigint) AS nw,
+      |    cast(len(list_distinct(string_split(text, ' '))) AS bigint) AS nd
+      |  FROM corpus),
+      |flag AS (
+      |  SELECT *, (nw >= 30 AND nw <= 80 AND cast(nd AS double) / nw >= 0.45)
+      |    AS kept_q FROM st),
+      |kq AS (
+      |  SELECT lang, doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+      |  FROM flag WHERE kept_q),
+      |uniq AS (SELECT lang, count(*) AS u FROM kq WHERE doc_id = canon GROUP BY 1),
+      |g AS (
+      |  SELECT lang, count(*) AS n_raw,
+      |    cast(sum(CASE WHEN kept_q THEN 1 ELSE 0 END) AS bigint) AS n_quality
+      |  FROM flag GROUP BY 1)
+      |SELECT g.lang, n_raw, n_quality,
+      |  cast(coalesce(u, 0) AS bigint) AS n_unique
+      |FROM g LEFT JOIN uniq ON g.lang = uniq.lang
+      |ORDER BY 1""".stripMargin
+
   /** Mixture balancing: downsample each source toward a UNIFORM target mix
     * — the data-mixing step that stops one over-crawled source from
     * dominating a training corpus. Per source s: keep rate = min(1,

@@ -138,6 +138,30 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix against the table's ground-truth `lang`
+    * column — the eval that closes the langid loop (the [[langId]]
+    * heuristic is only as useful as its measured accuracy; a deployment
+    * publishes this matrix beside the classifier). Composes [[langId]] with
+    * one broadcast-size group-count; a diagonal cell is a correct call,
+    * off-diagonal cells show which languages the marker heuristic
+    * confuses. On the synthetic corpus the matrix is all off-diagonal
+    * (every lang label carries English-like tokens, so the heuristic
+    * collapses to en/unknown) — which is the point: the eval SURFACES that
+    * the classifier cannot separate this corpus, rather than letting the
+    * per-doc predictions pass unexamined. */
+  def langIdEval(spark: SparkSession, d: String): DataFrame =
+    langId(spark, d).select(col("doc_id"), col("predicted"))
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val langIdEvalOracle: String =
+    s"""WITH pred AS (SELECT doc_id, predicted FROM ($langIdOracle) p)
+       |SELECT lang, predicted, count(*) AS n_docs
+       |FROM pred JOIN documents USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Document fingerprints: md5 of normalized text, 60-bit md5-prefix
     * digest, and the native codegen'd polynomial rolling hash
     * ([[graft.functions.RollingHash]]). */
