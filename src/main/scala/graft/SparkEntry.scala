@@ -74,6 +74,7 @@ object SparkEntry {
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
     "shingle_stats_containment" -> ((s, d) => Dedup.shingleStatsContainment(s, d)),
     "docs_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -419,6 +420,7 @@ object SparkEntry {
     "shingle_stats" -> Dedup.shingleStatsOracle,
     "shingle_stats_containment" -> Dedup.shingleStatsContainmentOracle,
     "docs_decontaminate" -> Dedup.decontaminateOracle,
+    "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

@@ -674,6 +674,60 @@ object Dedup {
        |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Recall of the MinHash-LSH banding against the exact-Jaccard ground
+    * truth — the eval that closes the dedup loop the way [[ann_recall]]
+    * closes ANN's: banded LSH is probabilistic (P(candidate) =
+    * 1−(1−J^r)^b), so a deployment must publish how much of the true pair
+    * set the bands actually surface. Found pairs are confirmed with the
+    * SAME Jaccard definition on the SAME shingle sets, so precision is 1
+    * by construction and the single output row measures pure banding
+    * recall. The truth set comes from the full inverted-index self-join —
+    * feasible UNCAPPED here because the near-dup corpus has no planted
+    * corpus-wide boilerplate (shingle df stays small), unlike the capped
+    * [[ngramJaccard]] corpus where that join is the adversary. */
+  def minhashRecall(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docsWithNearDups(spark, d))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 4) >= minJac)
+      .select(col("doc_a"), col("doc_b"))
+    val found = minhashLsh(spark, d, minJac)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(col("hit")).as("n_found"),
+        round(count(col("hit")) / count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
+  val minhashRecallOracle: String =
+    s"""WITH $sqlNearDups,
+       |tsh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
+       |tsizes AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+       |tinter AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+       |  FROM tsh p JOIN tsh q ON p.s = q.s AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM tinter i
+       |  JOIN tsizes sa ON sa.doc_id = i.doc_a
+       |  JOIN tsizes sb ON sb.doc_id = i.doc_b
+       |  WHERE round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) >= 0.5),
+       |found AS (SELECT doc_a, doc_b FROM ($minhashLshOracle) f)
+       |SELECT count(*) AS n_true_pairs,
+       |  cast(count(f.doc_a) AS bigint) AS n_found,
+       |  round(count(f.doc_a) / cast(count(*) AS double), 4) AS recall
+       |FROM truth t
+       |LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin
+
   /** Benchmark decontamination: for each eval-set document, find training
     * documents sharing word-3-gram shingles — the train/test-leakage audit
     * every LLM data pipeline runs before training. Eval set = doc_id mod 97
