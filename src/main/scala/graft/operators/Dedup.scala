@@ -684,7 +684,13 @@ object Dedup {
     * recall. The truth set comes from the full inverted-index self-join —
     * feasible UNCAPPED here because the near-dup corpus has no planted
     * corpus-wide boilerplate (shingle df stays small), unlike the capped
-    * [[ngramJaccard]] corpus where that join is the adversary. */
+    * [[ngramJaccard]] corpus where that join is the adversary.
+    *
+    * Scale note: exact ground truth is inherently the expensive half of
+    * any recall eval — at 100 TB this runs on a SAMPLED subcorpus (the
+    * banding probability 1−(1−J^r)^b is per-pair, so a uniform doc sample
+    * estimates the same recall curve), while the banded index itself runs
+    * on the full corpus. */
   def minhashRecall(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
     val sh = shingleRows(docsWithNearDups(spark, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
