@@ -299,9 +299,14 @@ object Dedup {
        |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
   /** MinHash + LSH near-dup pairs, Jaccard-confirmed. */
-  def minhashLsh(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
-    val docs = docsWithNearDups(spark, d)
-    val sh = shingleRows(docs)
+  def minhashLsh(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame =
+    minhashLshOn(shingleRows(docsWithNearDups(spark, d)), minJac)
+
+  /** Same pipeline from a pre-built shingle relation — callers composing
+    * MinHash with other consumers of the same shingles (the recall eval)
+    * pass one shared `sh` so the distinct-shingle scan materializes once
+    * (exchange reuse needs shared lineage, not just equal plans). */
+  private def minhashLshOn(sh: DataFrame, minJac: Double): DataFrame = {
     // Signatures as a single hash-aggregate: explode shingle hashes, then 32
     // min-aggregates (one per permutation). Everything stays in whole-stage
     // codegen with map-side partial aggregation — the nested-array-lambda
@@ -703,7 +708,9 @@ object Dedup {
       .filter(round(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")), 4) >= minJac)
       .select(col("doc_a"), col("doc_b"))
-    val found = minhashLsh(spark, d, minJac)
+    // shared `sh` lineage: the distinct-shingle aggregate materializes once
+    // for the truth join AND the minhash pipeline (exchange reuse)
+    val found = minhashLshOn(sh, minJac)
       .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"),
