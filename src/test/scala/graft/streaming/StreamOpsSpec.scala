@@ -165,6 +165,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dd").head().getLong(0) == 2)
   }
 
+  test("streaming KMV sketch matches the batch sketch estimate on the whole events table") {
+    // same hash, same k, same estimator → the streaming state after one
+    // pass over the table must equal the batch query's estimate exactly
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.distinctSketch(in.toDS(), k = 64)
+      .writeStream.format("memory").queryName("kmvp").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(evRows: _*)
+      q.processAllAvailable()
+      val streamEst = spark.sql("SELECT event_type, n_distinct_est FROM kmvp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batchEst = graft.operators.Events.distinctSketch(spark, Sf)
+        .select(col("event_type"), col("sketch_estimate"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamEst.nonEmpty && streamEst == batchEst)
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch merges bucket counts across batches; estimate follows the batch rank rule") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
