@@ -187,6 +187,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer reproduces the gap-split sessions of an independent fold on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapSec = 1800L
+    val evRows = graft.Tables.events(spark, Sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    // independent reference: per user, sort by time and split on > gap
+    val expected = evRows.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(_.ts.getTime)
+      val sessions = sorted.foldLeft(List.empty[List[StreamEvent]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts.getTime - cur.head.ts.getTime <= gapSec * 1000) (e :: cur) :: done
+          else List(e) :: cur :: done
+      }
+      sessions.map(s => (u, s.size.toLong,
+        math.round(s.map(_.value).sum * 100), // cent-exact, order-free compare
+        s.map(_.ts.getTime).min, s.map(_.ts.getTime).max))
+    }.toSet
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionize(in.toDS(), gapSec = gapSec)
+      .writeStream.format("memory").queryName("sessp").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evRows: _*)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every session's
+      // timeout so the final open sessions close and emit
+      val sentinel = StreamEvent(999999L, "x", 0.0,
+        new Timestamp(evRows.map(_.ts.getTime).max + 86400000L))
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_events, sum_value, session_start, session_end FROM sessp WHERE user_id < 20")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch merges bucket counts across batches; estimate follows the batch rank rule") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
