@@ -224,6 +224,35 @@ object StreamOps {
     java.math.BigDecimal.valueOf(est).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** Streaming event-time disorder monitor — the live twin of the batch
+    * `ev_lateness` audit: keyed state per event type holds the running
+    * event-time maximum (exactly what a watermark tracks) plus cumulative
+    * late counts; each batch emits the refreshed disorder profile, so an
+    * operator can see out-of-order pressure building BEFORE a watermark
+    * delay starts dropping data. State is three numbers per type —
+    * constant — and arrival order inside a batch is made deterministic by
+    * the same (ts, user) sort the other stateful ops use. */
+  def latenessMonitor(events: Dataset[StreamEvent]): Dataset[LatenessProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[LateState, LatenessProfile](GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[LateState]) =>
+          var s = state.getOption.getOrElse(LateState(0L, 0L, 0L, Long.MinValue))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (t < s.runmax)
+              s = s.copy(n = s.n + 1, nLate = s.nLate + 1,
+                maxLateMs = math.max(s.maxLateMs, s.runmax - t))
+            else s = s.copy(n = s.n + 1, runmax = t)
+          }
+          state.update(s)
+          LatenessProfile(typ, s.n, s.nLate,
+            if (s.n == 0) 0.0 else math.floor(s.nLate.toDouble / s.n * 10000) / 10000,
+            s.maxLateMs)
+      }
+  }
+
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
     * Spark-native: a `topic` column to `partitionBy` at the sink, so each
@@ -244,6 +273,13 @@ case class DistinctEstimate(event_type: String, n_distinct_est: Long, n_in_sketc
 /** Per-type quantile estimates off the streaming log-linear sketch. */
 case class QuantileEstimate(event_type: String, n_events: Long, n_buckets: Int,
     p50_est: Double, p99_est: Double)
+
+/** Running disorder state for [[StreamOps.latenessMonitor]]. */
+case class LateState(n: Long, nLate: Long, maxLateMs: Long, runmax: Long)
+
+/** Per-type disorder profile emitted each batch. */
+case class LatenessProfile(event_type: String, n_events: Long, n_late: Long,
+    late_frac: Double, max_late_ms: Long)
 
 /** An emitted outlier. */
 case class Anomaly(event_type: String, user_id: Long, value: Double, z: Double,

@@ -248,6 +248,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lateness monitor tracks disorder against the cross-batch running event-time max") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.latenessMonitor(in.toDS())
+      .writeStream.format("memory").queryName("latm").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamEvent(1, "click", 1.0, ts(0)), StreamEvent(2, "click", 1.0, ts(30)))
+      q.processAllAvailable()
+      // 10:05 is 25 min behind the 10:30 max carried in state from batch 1
+      in.addData(StreamEvent(3, "click", 1.0, ts(5)), StreamEvent(4, "click", 1.0, ts(40)))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, n_late, late_frac, max_late_ms FROM latm ORDER BY n_events DESC LIMIT 1")
+        .head()
+      assert(last.getLong(0) == 4L && last.getLong(1) == 1L)
+      assert(last.getDouble(2) == 0.25)
+      assert(last.getLong(3) == 25L * 60000L)
+    } finally q.stop()
+  }
+
   test("watermark drop parity: the batch lateness audit predicts streaming loss at a candidate delay") {
     // The executable form of ev_lateness's contract (operators/Events
     // .lateness): an event whose lateness behind the running event-time max
