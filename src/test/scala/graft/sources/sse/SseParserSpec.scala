@@ -113,6 +113,17 @@ class SseConfigSpec extends AnyFunSuite {
       SseConfig.fromOptions(Map("path" -> "/tmp/x", "http.basic.auth" -> "true").asJava)
     }
   }
+  test("metrics.log.interval.ms parses and must be positive") {
+    val c = SseConfig.fromOptions(
+      Map("path" -> "/tmp/x", "metrics.log.interval.ms" -> "5000").asJava)
+    assert(c.metricsLogIntervalMs == 5000L)
+    assert(SseConfig.fromOptions(Map("path" -> "/tmp/x").asJava)
+      .metricsLogIntervalMs == SseConfig.DefaultMetricsLogIntervalMs)
+    assertThrows[IllegalArgumentException] {
+      SseConfig.fromOptions(
+        Map("path" -> "/tmp/x", "metrics.log.interval.ms" -> "0").asJava)
+    }
+  }
   test("missing path rejected") {
     assertThrows[IllegalArgumentException] {
       SseConfig.fromOptions(Map[String, String]().asJava)
