@@ -159,7 +159,9 @@ class PlanSpec extends SparkSpec {
       "ann_lsh" -> Similarity.lshTopK(spark, Sf),
       "ann_multiprobe" -> Similarity.multiprobeTopK(spark, Sf),
       "knn_join" -> Similarity.knnJoin(spark, Sf),
-      "text_tfidf" -> TextAnalysis.tfidf(spark, Sf))) {
+      "text_tfidf" -> TextAnalysis.tfidf(spark, Sf),
+      "q2_first_supplier" -> Tpch.q2FirstSupplier(spark, Sf),
+      "ann_ivf_probe2" -> Similarity.ivfProbeTopK(spark, Sf))) {
       assert(physical(df).toString.contains("WindowGroupLimit"),
         s"$name should plan a map-side WindowGroupLimit")
     }
