@@ -224,6 +224,45 @@ object StreamOps {
     java.math.BigDecimal.valueOf(est).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** Streaming funnel: per user, the ordered step sequence (default
+    * signup → click → purchase, each step at or after the previous step's
+    * time) tracked in keyed state; a conversion is emitted EXACTLY ONCE,
+    * the moment the final step lands — the streaming twin of the batch
+    * `ev_funnel`'s first-signup → first-click-after → first-purchase-after
+    * chain. State is one timestamp per step plus a done flag — O(steps)
+    * per user — and a completed funnel ignores further events, so replays
+    * cannot double-count a conversion. */
+  def funnel(events: Dataset[StreamEvent],
+      steps: Seq[String] = Seq("signup", "click", "purchase")): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    events
+      .filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[StreamEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(Nil, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+            if (!s.done) {
+              val idx = s.times.length
+              if (idx < steps.length && e.event_type == steps(idx) &&
+                (s.times.isEmpty || e.ts.getTime >= s.times.last)) {
+                s = s.copy(times = s.times :+ e.ts.getTime)
+                if (s.times.length == steps.length) {
+                  s = s.copy(done = true)
+                  out += Conversion(uid, new Timestamp(s.times.head),
+                    new Timestamp(s.times.last), s.times.last - s.times.head)
+                }
+              }
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming event-time disorder monitor — the live twin of the batch
     * `ev_lateness` audit: keyed state per event type holds the running
     * event-time maximum (exactly what a watermark tracks) plus cumulative
@@ -276,6 +315,13 @@ case class QuantileEstimate(event_type: String, n_events: Long, n_buckets: Int,
 
 /** Running disorder state for [[StreamOps.latenessMonitor]]. */
 case class LateState(n: Long, nLate: Long, maxLateMs: Long, runmax: Long)
+
+/** Funnel progress for [[StreamOps.funnel]]: completed step times. */
+case class FunnelState(times: Seq[Long], done: Boolean)
+
+/** A completed funnel, emitted once per user. */
+case class Conversion(user_id: Long, first_step_ts: Timestamp,
+    last_step_ts: Timestamp, duration_ms: Long)
 
 /** Per-type disorder profile emitted each batch. */
 case class LatenessProfile(event_type: String, n_events: Long, n_late: Long,

@@ -248,6 +248,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one conversion per user, in step order, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funl").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 signs up and clicks in batch 1; user 2's click PRECEDES
+      // their signup (wrong order — must never convert)
+      in.addData(
+        StreamEvent(1, "signup", 0.0, ts(0)), StreamEvent(1, "click", 0.0, ts(5)),
+        StreamEvent(2, "click", 0.0, ts(1)), StreamEvent(2, "signup", 0.0, ts(2)),
+        StreamEvent(2, "purchase", 0.0, ts(3)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM funl").head().getLong(0) == 0)
+      // user 1 purchases in batch 2 → exactly one conversion; the second
+      // purchase is ignored (completed funnels never re-emit)
+      in.addData(
+        StreamEvent(1, "purchase", 0.0, ts(20)),
+        StreamEvent(1, "purchase", 0.0, ts(30)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, duration_ms FROM funl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 20L * 60000L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("lateness monitor tracks disorder against the cross-batch running event-time max") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
