@@ -284,12 +284,28 @@ object GraftFunctions {
     exprs => DotProduct(exprs.head, exprs(1))
   val rollingHashBuilder: Seq[Expression] => Expression =
     exprs => RollingHash(exprs.head)
+  /** A config argument that must be a foldable literal of the expected
+    * type, checked BEFORE eval — a column reference or wrong-typed literal
+    * raises a clean AnalysisException naming the function and its
+    * signature, instead of a ClassCastException/NPE out of the resolver. */
+  private def foldableArg[T](fn: String, signature: String,
+      exprs: Seq[Expression], i: Int)(pf: PartialFunction[Any, T]): T = {
+    val e = exprs(i)
+    val v = if (e.foldable) e.eval() else null
+    pf.applyOrElse(v, (_: Any) =>
+      throw new org.apache.spark.sql.AnalysisException("_LEGACY_ERROR_TEMP_3100",
+        Map("message" -> (s"$fn: argument ${i + 1} must be a foldable " +
+          s"literal — expected signature $signature, got ${e.sql}")), None))
+  }
+
   /** Optional 2nd arg: plane count (foldable int literal); bucket count
     * 2^planes is the blocking parameter tuned to corpus size. */
   val lshBucketBuilder: Seq[Expression] => Expression =
     exprs =>
       if (exprs.size >= 2)
-        LshBucket(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+        LshBucket(exprs.head,
+          foldableArg[Int](LshBucketName, s"$LshBucketName(vec, nPlanes: int)",
+            exprs, 1) { case n: Number => n.intValue() })
       else LshBucket(exprs.head)
   /** Optional 3rd arg: metric — boolean foldable, true = squared-L2 argmin
     * (product-quantization codebooks), default false = cosine argmax. */
@@ -297,7 +313,10 @@ object GraftFunctions {
     exprs =>
       if (exprs.size >= 3)
         NearestCell(exprs.head, exprs(1),
-          exprs(2).eval().asInstanceOf[Boolean])
+          foldableArg[Boolean](NearestCellName,
+            s"$NearestCellName(vec, centroids, l2: boolean)", exprs, 2) {
+            case b: Boolean => b
+          })
       else NearestCell(exprs.head, exprs(1))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -351,7 +351,11 @@ object Events {
     * shuffle every group's values. */
   def quantileSketchCounts(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+        // cent values below 1 (zero/negative inputs) clamp into the lowest
+        // bucket (underflow bucket) — keeps every downstream operand
+        // non-negative so bit-length/shift/div agree across Spark, DuckDB,
+        // and the streaming JVM mirror (StreamOps.bucket31) by construction
+        greatest(floor(col("value") * 100.0 + 0.5).cast("long"), lit(1L)).as("vc"))
       .withColumn("e", length(bin(col("vc"))))
       .withColumn("lo", expr("shiftleft(cast(1 as bigint), e - 1)"))
       .withColumn("idx",
@@ -400,7 +404,8 @@ object Events {
         s" + (($i % $m) + 0.5) * (1::bigint << cast($i // $m AS int))" +
         s" / $m.0) / 100.0, 4)"
     s"""WITH v AS (
-       |  SELECT event_type, cast(floor(value * 100 + 0.5) AS bigint) AS vc
+       |  SELECT event_type,
+       |    greatest(cast(floor(value * 100 + 0.5) AS bigint), 1) AS vc
        |  FROM events),
        |b AS (
        |  SELECT event_type,

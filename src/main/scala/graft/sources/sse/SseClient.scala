@@ -60,8 +60,11 @@ final class SseClient(
   @volatile private var connectedSince = 0L
   @volatile private var lastReconnectTime = 0L
   @volatile private var lastConnectionCheck = clock()
-  // reference ServerSentEventsSourceTask.java:74 seeds the timer at start
-  @volatile private var lastMetricsLogTime = clock()
+  // reference ServerSentEventsSourceTask.java:74 seeds the timer at start;
+  // AtomicLong because BOTH the caller's poll() thread and the background
+  // pump call maybeLogMetrics — a plain check-then-set would let two
+  // threads observe the same elapsed interval and emit duplicate lines
+  private val lastMetricsLogTime = new java.util.concurrent.atomic.AtomicLong(clock())
 
   private val parser = new SseParser
   private val queue = new LinkedBlockingQueue[SseEvent]()
@@ -334,9 +337,12 @@ final class SseClient(
     * stream surfaces in the operator's logs without any extra wiring. */
   private def maybeLogMetrics(): Unit = {
     val now = clock()
-    if (now - lastMetricsLogTime > config.metricsLogIntervalMs) {
+    val last = lastMetricsLogTime.get()
+    // CAS claims the interval: of N racing threads exactly one wins and
+    // emits; the losers see the refreshed timestamp and skip
+    if (now - last > config.metricsLogIntervalMs &&
+        lastMetricsLogTime.compareAndSet(last, now)) {
       logMetrics(!isConnectionHealthy)
-      lastMetricsLogTime = now
     }
   }
 

@@ -201,10 +201,13 @@ object StreamOps {
   /** JVM mirror of the batch sketch's integer log-linear bucketing
     * (Events.quantileSketchCounts: octave = bit length of the cent value,
     * 16 linear sub-buckets) — batch and streaming sketches MUST bucket
-    * identically; QuantileSketchSpec pins the parity on real data. */
+    * identically; QuantileSketchSpec pins the parity on real data. Cent
+    * values below 1 (zero/negative inputs) clamp into the lowest bucket —
+    * the underflow bucket — in BOTH engines, so every operand stays
+    * non-negative and no floor-vs-truncate division divergence can occur. */
   private[graft] def bucket31(v: Double): Long = {
     val m = graft.operators.Events.QuantileSketchSubBuckets
-    val vc = math.floor(v * 100.0 + 0.5).toLong
+    val vc = math.max(math.floor(v * 100.0 + 0.5).toLong, 1L)
     val e = 64 - java.lang.Long.numberOfLeadingZeros(vc) // bit length (vc >= 1)
     val lo = 1L << (e - 1)
     (e.toLong - 1L) * m + (vc - lo) * m / lo
@@ -244,7 +247,12 @@ object StreamOps {
         (uid: Long, it: Iterator[StreamEvent], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(Nil, done = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+          // ts ties break by step index: a step sorts AFTER its predecessor
+          // at the same timestamp, matching the batch ev_funnel's
+          // at-or-after (>=) chain deterministically — (ts, user_id) alone
+          // leaves same-user equal-ts events in shuffle order, and a step
+          // sorted before its predecessor would be dropped forever.
+          it.toSeq.sortBy(e => (e.ts.getTime, steps.indexOf(e.event_type))).foreach { e =>
             if (!s.done) {
               val idx = s.times.length
               if (idx < steps.length && e.event_type == steps(idx) &&
@@ -286,8 +294,13 @@ object StreamOps {
             else s = s.copy(n = s.n + 1, runmax = t)
           }
           state.update(s)
+          // HALF_UP to 4 places — the SAME rounding as the batch ev_lateness
+          // audit's round(...,4), so the two profiles agree on identical
+          // data (floor here could sit one 1e-4 step below the batch row).
           LatenessProfile(typ, s.n, s.nLate,
-            if (s.n == 0) 0.0 else math.floor(s.nLate.toDouble / s.n * 10000) / 10000,
+            if (s.n == 0) 0.0
+            else java.math.BigDecimal.valueOf(s.nLate.toDouble / s.n)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(),
             s.maxLateMs)
       }
   }

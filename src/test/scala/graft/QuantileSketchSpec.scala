@@ -48,6 +48,23 @@ class QuantileSketchSpec extends SparkSpec {
     assert(batch.nonEmpty && viaScala == batch)
   }
 
+  test("zero and negative values clamp into the underflow bucket identically in batch and streaming") {
+    import spark.implicits._
+    // without the clamp, vc=0 hits 1L<<-1 (wraps to 1L<<63) on the JVM while
+    // the batch SQL's length(bin(0))=1 yields octave 1, and negative vc
+    // diverges on floor-vs-truncate division — the clamp makes all of these
+    // land in bucket 0 in BOTH engines by construction
+    val vals = Seq(0.0, -0.004, -3.2, 0.004, 0.005, 0.01)
+    val batch = Events.quantileSketchCounts(
+        vals.map(v => ("t", v)).toDF("event_type", "value"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val viaScala = vals.map(graft.streaming.StreamOps.bucket31)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(batch == viaScala)
+    // everything at or below one cent is the underflow bucket (idx 0)
+    assert(batch.keySet == Set(0L) && batch(0L) == vals.size.toLong)
+  }
+
   test("sketch state merges associatively: sum of split-corpus counts == full-corpus counts") {
     val ev = Tables.events(spark, Sf)
     val full = Events.quantileSketchCounts(ev)

@@ -172,6 +172,28 @@ class KernelsSpec extends SparkSpec {
     assert(sql == 1L)
   }
 
+  test("config args that are not foldable literals of the right type raise a clean AnalysisException") {
+    // a wrong-typed or column-valued tuning argument must fail analysis
+    // with the function's signature, not leak a ClassCastException/NPE out
+    // of the resolver
+    val df = Seq((Array(1.0, 0.0), Array(Array(1.0, 0.0)), true)).toDF("v", "m", "b")
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_nearest_cell(v, m, 5)").head()
+    }
+    assert(wrongType.getMessage.contains("graft_nearest_cell(vec, centroids, l2: boolean)"))
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_nearest_cell(v, m, b)").head()
+    }
+    assert(nonFoldable.getMessage.contains("graft_nearest_cell"))
+    val lshBad = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_lsh_bucket(v, 'eight')").head()
+    }
+    assert(lshBad.getMessage.contains("graft_lsh_bucket(vec, nPlanes: int)"))
+    // the valid literal forms still resolve
+    assert(df.selectExpr("graft_nearest_cell(v, m, true)").head().getLong(0) == 0L)
+    assert(df.selectExpr("graft_lsh_bucket(v, 4)").head().getLong(0) >= 0L)
+  }
+
   test("minhash permutation constants are in range and distinct") {
     val as = (0 until NumPerms).map(permA)
     val bs = (0 until NumPerms).map(permB)

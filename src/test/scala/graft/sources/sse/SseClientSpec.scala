@@ -296,6 +296,33 @@ class SseClientSpec extends AnyFunSuite {
     assert(!c.isConnectionHealthy)
   }
 
+  test("periodic metrics logging: racing threads emit exactly one line per interval") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    val vt = new VirtualTime
+    // the interval gate is a CAS on the last-log timestamp: the poll()
+    // caller and the background pump can race it, and only one may win —
+    // a plain check-then-set emitted duplicates for the same interval
+    val emissions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val c = new SseClient(ep, config(idleTimeoutMs = 600000L, checkIntervalMs = 600000L,
+      metricsIntervalMs = 60000L), vt.clock, vt.sleeper,
+      metricsSink = (_, _) => emissions.incrementAndGet())
+    c.start()
+    s1.push(frame("edit", 1, "x"))
+    c.pumpOnce(0)
+    vt.now += 60001
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() => { barrier.await(); c.poll(); () })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(emissions.get == 1, s"expected one emission, got ${emissions.get}")
+    vt.now += 60001
+    c.poll()
+    assert(emissions.get == 2, "the NEXT interval still fires")
+  }
+
   test("getMetric returns a single named metric (reference :805-813)") {
     val ep = new LoopbackEndpoint
     ep.scriptAccept()

@@ -275,6 +275,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel converts on timestamp-tied steps regardless of arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funltie").outputMode(OutputMode.Append()).start()
+    try {
+      // all three steps share ONE timestamp, added in reverse step order:
+      // the per-batch sort must order ties by step index (matching the
+      // batch funnel's at-or-after >= chain), not leave them in arrival /
+      // shuffle order where the chain would silently break
+      in.addData(
+        StreamEvent(7, "purchase", 0.0, ts(10)),
+        StreamEvent(7, "click", 0.0, ts(10)),
+        StreamEvent(7, "signup", 0.0, ts(10)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, duration_ms FROM funltie").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((7L, 0L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("lateness monitor rounds late_frac HALF_UP like the batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.latenessMonitor(in.toDS())
+      .writeStream.format("memory").queryName("latmr").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamEvent(1, "click", 1.0, ts(50)))
+      q.processAllAvailable()
+      // 1 late of 6 → 1/6 = 0.16666…, which floor-truncation would report
+      // as 0.1666 — one 1e-4 step below the batch round(...,4) HALF_UP
+      in.addData(
+        StreamEvent(2, "click", 1.0, ts(5)), // late vs the 10:50 running max
+        StreamEvent(3, "click", 1.0, ts(51)), StreamEvent(4, "click", 1.0, ts(52)),
+        StreamEvent(5, "click", 1.0, ts(53)), StreamEvent(6, "click", 1.0, ts(54)))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, n_late, late_frac FROM latmr ORDER BY n_events DESC LIMIT 1").head()
+      assert(last.getLong(0) == 6L && last.getLong(1) == 1L)
+      assert(last.getDouble(2) == 0.1667, s"got ${last.getDouble(2)}")
+    } finally q.stop()
+  }
+
   test("lateness monitor tracks disorder against the cross-batch running event-time max") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
