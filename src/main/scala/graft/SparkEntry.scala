@@ -84,6 +84,8 @@ object SparkEntry {
     "vec_pq" -> ((s, d) => Similarity.vecPq(s, d)),
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
+    "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -405,6 +407,8 @@ object SparkEntry {
     "vec_pq" -> Similarity.vecPqOracle,
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
+    "ann_pq_search" -> Similarity.pqSearchTopKOracle,
+    "ann_pq_recall" -> Similarity.pqRecallOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "text_langid_eval" -> TextAnalysis.langIdEvalOracle,

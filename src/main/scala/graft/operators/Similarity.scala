@@ -451,12 +451,11 @@ object Similarity {
       |  cast(list_max(c) AS bigint) AS code_max
       |FROM codes ORDER BY vec_id""".stripMargin
 
-  /** One-row DataFrame carrying the product-quantization codebook as an
-    * ordered `array<array<array<double>>>` (subspace → cell → subdim).
-    * Codebooks come from deterministic seed groups (vec_id mod k — one
-    * k-means init step) per subspace; shuffles are proportional to
-    * m·k·(dims/m) = k·dims only. */
-  private def pqCodebook(spark: SparkSession, d: String, m: Int, k: Int,
+  /** Product-quantization codebook in long format: one row per (subspace,
+    * cell, subdim) centroid component. Codebooks come from deterministic
+    * seed groups (vec_id mod k — one k-means init step) per subspace;
+    * shuffles are proportional to m·k·(dims/m) = k·dims only. */
+  private def pqCodebookLong(spark: SparkSession, d: String, m: Int, k: Int,
       dims: Int): DataFrame = {
     val sw = dims / m
     Tables.embeddings(spark, d)
@@ -466,6 +465,13 @@ object Similarity {
       .withColumn("cell", pmod(col("vec_id"), lit(k.toLong)))
       .groupBy(col("sub"), col("cell"), col("sd"))
       .agg(round(avg(col("v")), 6).as("c"))
+  }
+
+  /** One-row DataFrame carrying the product-quantization codebook as an
+    * ordered `array<array<array<double>>>` (subspace → cell → subdim). */
+  private def pqCodebook(spark: SparkSession, d: String, m: Int, k: Int,
+      dims: Int): DataFrame = {
+    pqCodebookLong(spark, d, m, k, dims)
       .groupBy(col("sub"), col("cell"))
       .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("dc"))
       .select(col("sub"), col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
@@ -490,7 +496,15 @@ object Similarity {
     * expression calls per row, no explode. The oracle computes the same
     * argmin relationally (round-6 squared distances, ties to lower cell). */
   def vecPq(spark: SparkSession, d: String, m: Int = 4, k: Int = 16,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    pqCodes(spark, d, m, k, dims).orderBy(col("vec_id"))
+
+  /** Every vector's m PQ codes (vec_id, code_0..code_{m-1}) — the compact
+    * corpus representation [[pqSearchTopK]] searches over. Shared by
+    * [[vecPq]]; codes are map-side [[graft.functions.NearestCell]] argmins
+    * against the one-row broadcast codebook — zero corpus-side exchange. */
+  private def pqCodes(spark: SparkSession, d: String, m: Int, k: Int,
+      dims: Int): DataFrame = {
     val sw = dims / m
     val base = Tables.embeddings(spark, d)
       .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
@@ -500,7 +514,6 @@ object Similarity {
         nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
     }
     coded.select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
-      .orderBy(col("vec_id"))
   }
 
   val vecPqOracle: String =
@@ -527,6 +540,145 @@ object Similarity {
       |  max(CASE WHEN sub = 2 THEN cell END) AS code_2,
       |  max(CASE WHEN sub = 3 THEN cell END) AS code_3
       |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ANN search over PQ codes via asymmetric distance computation (ADC) —
+    * the query path that makes [[vecPq]]'s compression an index: each
+    * query precomputes an m×k table of squared distances from its
+    * subvectors to every codebook cell, and a vector's approximate
+    * distance is the sum of m table lookups on its codes — the corpus's
+    * raw floats are never touched at search time.
+    *
+    * Scale shape: the per-query tables collapse to nQueries broadcast rows
+    * (m·k doubles each, built relationally with shuffles proportional to
+    * nQueries·dims·k — query-sized, not corpus-sized); the corpus side
+    * carries only the m small codes per vector, scores each candidate with
+    * m `element_at` lookups inside whole-stage codegen, and the only
+    * corpus-sized movement is the final per-query top-k (rank ≤ k →
+    * WindowGroupLimit prunes per partition before the shuffle). At 100 TB
+    * the search reads m bytes per vector instead of dims·4 — the ~64×
+    * scan reduction that makes billion-vector sweeps interactive.
+    *
+    * Determinism: sub-distances are round-6 (matching the codebook's
+    * round-6 centroids and [[vecPq]]'s argmin convention) and the m-term
+    * total is summed in fixed subspace order — the oracle writes the same
+    * left-associative chain, so adist matches bit-for-bit. */
+  def pqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64): DataFrame = {
+    val sw = dims / m
+    val codes = pqCodes(spark, d, m, kCells, dims)
+    val qcomp = Tables.embeddings(spark, d)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("sub", expr(s"dim div $sw"))
+      .withColumn("sd", pmod(col("dim"), lit(sw)))
+    val dt = qcomp
+      .join(pqCodebookLong(spark, d, m, kCells, dims), Seq("sub", "sd"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        ((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
+      .groupBy(col("query_id"), col("sub"), col("cell"))
+      .agg(round(sum(col("sq")), 6).as("d2"))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("d2")))).as("cd"))
+      .select(col("query_id"), col("sub"),
+        transform(col("cd"), x => x.getField("d2")).as("darr"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("darr")))).as("sd2"))
+      .select(col("query_id"), transform(col("sd2"), x => x.getField("darr")).as("tab"))
+    val adist = (0 until m)
+      .map(s => element_at(element_at(col("tab"), s + 1), col(s"code_$s").cast("int") + 1))
+      .reduce(_ + _) // fixed left-assoc order: (((d0+d1)+d2)+d3, oracle-identical
+    codes.join(broadcast(dt), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adist, 4).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val pqSearchTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (
+      |  SELECT vec_id, (j-1) // 16 AS sub, (j-1) % 16 AS sd, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+      |  FROM comp GROUP BY 1, 2, 3),
+      |dists AS (
+      |  SELECT comp.vec_id, comp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+      |    FROM dists) WHERE r = 1),
+      |qdt AS (
+      |  SELECT vec_id AS query_id, sub, cell, d2 FROM dists WHERE vec_id < 10),
+      |persub AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub, q.d2
+      |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.cell = q.cell
+      |  WHERE c.vec_id != q.query_id),
+      |tot AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(((max(CASE WHEN sub = 0 THEN d2 END)
+      |      + max(CASE WHEN sub = 1 THEN d2 END))
+      |      + max(CASE WHEN sub = 2 THEN d2 END))
+      |      + max(CASE WHEN sub = 3 THEN d2 END), 4) AS adist
+      |  FROM persub GROUP BY 1, 2),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adist, neighbor_id) AS int) AS rank
+      |  FROM tot)
+      |SELECT query_id, neighbor_id, adist, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of the ADC/PQ search against exact squared-L2 ground truth —
+    * the compression-quality eval that justifies (or vetoes) the 64× scan
+    * reduction with a number, mirroring [[annRecall]]'s pattern for LSH.
+    * Truth uses the dot-product identity ‖q−x‖² = q·q + x·x − 2·q·x with
+    * every dot a fixed left-fold, so the oracle reproduces it exactly. */
+  def pqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val truth = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = pqSearchTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val pqRecallOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(v.e, v.e)
+       |      - 2 * list_dot_product(qe, v.e), 4) AS d2
+       |  FROM q, v WHERE v.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY d2, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5),
+       |approx AS (SELECT query_id, neighbor_id FROM ($pqSearchTopKOracle) s)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** k-NN self-join within LSH buckets: each vector's k nearest bucket
     * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a

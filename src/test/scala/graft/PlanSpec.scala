@@ -142,6 +142,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq ADC search: corpus-side shuffles only at the per-query top-k; tables ride broadcasts") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val df = Similarity.pqSearchTopK(spark, Sf)
+    // the codebook and the per-query distance tables are built with
+    // query-sized shuffles INSIDE broadcast build sides; on the corpus
+    // side the only permitted shuffle is the final rank partitioning —
+    // count shuffles outside any broadcast subtree
+    var corpusShuffles = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: BroadcastExchangeExec => // build side: its shuffles are query-sized
+      case s: ShuffleExchangeExec => corpusShuffles += 1; s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(physical(df))
+    assert(corpusShuffles <= 2,
+      s"ADC scoring must be map-side: only the top-k rank shuffle and the " +
+        s"(output-sized) final ordering may move corpus-derived rows, got $corpusShuffles")
+    val s = physical(df).toString
+    assert(s.toLowerCase.contains("nearestcell"),
+      "codes must come from the native NearestCell argmin")
+    // the Partial WindowGroupLimit must run BEFORE the rank exchange so each
+    // scan partition forwards at most k rows per query into the shuffle
+    val lines = s.split("\n")
+    val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val rankShuffleIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning(query_id"))
+    assert(partialIdx > rankShuffleIdx && rankShuffleIdx >= 0,
+      "rank <= k must prune per-partition (Partial WindowGroupLimit) before the rank shuffle")
+  }
+
   test("global top-k queries plan as TakeOrderedAndProject (distributed partial top-k)") {
     for ((name, df) <- Seq(
       "ev_anomalies" -> Events.anomalies(spark, Sf),
