@@ -58,6 +58,7 @@ object SparkEntry {
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
     "ev_distinct_sketch" -> ((s, d) => Events.distinctSketch(s, d)),
+    "ev_hll_distinct" -> ((s, d) => Events.hllDistinct(s, d)),
     "ev_value_quantiles" -> ((s, d) => Events.valueQuantiles(s, d)),
     "ev_lateness" -> ((s, d) => Events.lateness(s, d)),
     "ev_quantile_sketch" -> ((s, d) => Events.quantileSketch(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
+    "docs_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -398,6 +400,7 @@ object SparkEntry {
     "ev_anomalies" -> Events.anomaliesOracle,
     "ev_user_paths" -> Events.userPathsOracle,
     "ev_distinct_sketch" -> Events.distinctSketchOracle,
+    "ev_hll_distinct" -> Events.hllDistinctOracle,
     "ev_value_quantiles" -> Events.valueQuantilesOracle,
     "ev_lateness" -> Events.latenessOracle,
     "ev_quantile_sketch" -> Events.quantileSketchOracle,
@@ -437,6 +440,7 @@ object SparkEntry {
     "text_token_hist" -> Pipeline.tokenHistOracle,
     "docs_pack" -> Pipeline.packOracle,
     "docs_mix_uniform" -> Pipeline.mixUniformOracle,
+    "docs_mix_temperature" -> Pipeline.mixTemperatureOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

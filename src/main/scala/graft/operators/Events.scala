@@ -488,6 +488,88 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** HyperLogLog distinct-count sketch per event type, beside the KMV
+    * sketch (same 64-slot budget) and the exact count so the estimate
+    * error is visible. Registers are all-integer: bucket = low 6 bits of
+    * the 60-bit md5 hash, rho = leading-zero rank of the remaining 54-bit
+    * word (1 + 54 − bit length, zero word → 55), register = max(rho).
+    *
+    * The harmonic sum is kept in INTEGER form: S = Σ_j 2^(55−M_j) — a
+    * bigint bounded by 64·2^55 < 2^63, exact and order-independent, where
+    * summing the float 2^−M terms directly could round differently per
+    * shuffle order (the partial sums span > 53 mantissa bits). Empty
+    * registers contribute 2^55 (M = 0). The single float step is the final
+    * α·m²·2^55 / S in fixed literal order, so DuckDB reproduces the
+    * estimate bit-for-bit.
+    *
+    * Raw estimator only — deliberately NO small-range linear-counting
+    * branch: that branch needs ln(), whose last ulp is not contracted
+    * across engines; the exact count sits beside the estimate so small-n
+    * bias is visible rather than silently corrected.
+    *
+    * Scale story: registers are a 64-slot max-merge — partial aggregation
+    * combines map-side, the shuffle carries ≤ |types|·64 rows, and two
+    * corpora's sketches merge by register max, which also makes the sketch
+    * idempotent under replay (the property the streaming twin
+    * [[graft.streaming.StreamOps.hllSketch]] spec pins). */
+  def hllDistinct(spark: SparkSession, d: String, m: Int = 64): DataFrame = {
+    import graft.functions.Kernels.hash60
+    require(m == 64, "register math below is specialized to m=64")
+    val ev = Tables.events(spark, d)
+    val regs = ev
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("M"))
+    val sketch = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_regs_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - M as int))")).as("s_ne"))
+      .withColumn("S", col("s_ne") + (lit(m.toLong) - col("n_regs_used")) * lit(1L << 55))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        round(lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble) / col("S"), 4)
+          .as("hll_estimate"),
+        col("n_regs_used"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${sqlHash60("cast(user_id AS varchar)")} AS h
+       |  FROM events),
+       |rb AS (
+       |  SELECT event_type, h % 64 AS bucket,
+       |    CASE WHEN h // 64 = 0 THEN 55
+       |         ELSE 55 - length(bin(h // 64)) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT event_type, bucket, max(rho) AS M FROM rb GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT event_type, count(*) AS n_regs_used,
+       |    sum(1::bigint << (55 - M)) AS s_ne
+       |  FROM regs GROUP BY 1),
+       |st AS (
+       |  SELECT event_type, n_regs_used,
+       |    cast(s_ne + (64 - n_regs_used) * (1::bigint << 55) AS bigint) AS S
+       |  FROM sk),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT st.event_type, exact_distinct,
+       |  round(0.709::DOUBLE * 4096::DOUBLE * (1::bigint << 55)::DOUBLE / S, 4)
+       |    AS hll_estimate,
+       |  cast(n_regs_used AS bigint) AS n_regs_used
+       |FROM st JOIN ex ON st.event_type = ex.event_type
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Top-k users per hour window by value sum — per-group top-k over a
     * time-bucketed aggregate. Ranking runs on the ROUNDED sums (identical
     * in both engines) with a user tie-break; the rank filter plans a

@@ -408,6 +408,59 @@ object Pipeline {
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace("BUCKET", b)
   }
 
+  /** Temperature-based mixture weights: w_s = n_s^α / Σ_t n_t^α with
+    * α = 0.5 — the multinomial sampling rule multilingual/multi-source
+    * pretraining uses to lift low-resource sources without letting the
+    * over-crawled head dominate (α→1 is proportional, α→0 uniform;
+    * [[mixUniform]] is the α=0 endpoint of the same knob). α is FIXED at
+    * 0.5 because n^0.5 = sqrt(n) is IEEE-correctly-rounded in both
+    * engines, where a general pow() is not contracted to the last ulp.
+    *
+    * Determinism: each sqrt is scaled to an integer (floor-form round-6),
+    * so the denominator is an exact order-independent BIGINT sum — a float
+    * Σ sqrt(n_t) would round differently per aggregation order. The only
+    * float step is the final per-source division. Expected draws per 10k
+    * samples come out of integer division — exact.
+    *
+    * Scale shape: one per-source count (map-side partial agg), a one-row
+    * broadcast total; nothing corpus-sized moves. */
+  def mixTemperature(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d).select(col("source"), col("doc_id"))
+      .filter(col("source") === "src0")
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), lit(4L))).as("i"))
+      .select(col("source"), (col("doc_id") + col("i") * 7000000L).as("doc_id"))
+    val perSource = Tables.documents(spark, d).select(col("source"), col("doc_id"))
+      .unionAll(planted) // same over-crawled src0 as mixUniform: α must damp it
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val scaled = perSource
+      .withColumn("sq", floor(sqrt(col("n_docs")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = scaled.groupBy().agg(sum(col("sq")).as("sq_total"))
+    scaled.join(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("sq").cast("double") / col("sq_total"), 6).as("weight"),
+        expr("sq * 10000 div sq_total").as("expected_per_10k"))
+      .orderBy(col("source"))
+  }
+
+  val mixTemperatureOracle: String =
+    """WITH corpus AS (
+      |  SELECT source, doc_id FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id + i * 7000000 AS doc_id
+      |  FROM documents, generate_series(1, 4) g(i)
+      |  WHERE source = 'src0'),
+      |ps AS (SELECT source, count(*) AS n_docs FROM corpus GROUP BY 1),
+      |sc AS (
+      |  SELECT source, n_docs,
+      |    cast(floor(sqrt(n_docs) * 1000000 + 0.5) AS bigint) AS sq
+      |  FROM ps),
+      |tot AS (SELECT cast(sum(sq) AS bigint) AS sq_total FROM sc)
+      |SELECT source, cast(n_docs AS bigint) AS n_docs,
+      |  round(sq::DOUBLE / sq_total, 6) AS weight,
+      |  sq * 10000 // sq_total AS expected_per_10k
+      |FROM sc, tot ORDER BY 1""".stripMargin
+
   /** Sequence packing: concatenate each shard's token stream in doc order
     * and chunk it into fixed token-budget training sequences — the
     * tokenizer-feed step of an LLM pretraining pipeline. A doc belongs to

@@ -171,6 +171,50 @@ object StreamOps {
     v % 2147483647L
   }
 
+  /** JVM mirror of Kernels.hash60 (first 15 md5 hex digits = 60 bits). */
+  private[streaming] def hash60(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex digits = first 7 bytes + the high nibble of byte 8
+    val top14 = (0 until 7).foldLeft(0L)((acc, i) => (acc << 8) | (dig(i) & 0xFFL))
+    (top14 << 4) | ((dig(7) & 0xF0L) >> 4)
+  }
+
+  /** Streaming HyperLogLog distinct-count sketch per event type: keyed
+    * state holds the 64 registers of the batch
+    * [[graft.operators.Events.hllDistinct]] (same md5-derived hash, same
+    * bucket/rho arithmetic — parity spec-pinned), merged by register max
+    * each batch. State is 64 small ints per type — constant — and
+    * max-merge makes the sketch IDEMPOTENT under replay: re-delivered
+    * events cannot move the estimate, the property a counter lacks. The
+    * integer harmonic sum and the fixed-order float finish reproduce the
+    * batch estimate exactly on the same data. */
+  def hllSketch(events: Dataset[StreamEvent]): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, HllEstimate](GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.regs.toArray).getOrElse(Array.fill(64)(0))
+          it.foreach { e =>
+            val h = StreamOps.hash60(e.user_id.toString)
+            val b = (h % 64).toInt
+            val w = h / 64
+            val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(b)) regs(b) = rho
+          }
+          state.update(HllState(regs.toSeq))
+          // integer harmonic sum, exactly as the batch query: empty
+          // registers (0) contribute 2^55; the only float step is the
+          // final fixed-order alpha*m^2*2^55 / S
+          val s = regs.map(r => 1L << (55 - r)).sum
+          val est = java.math.BigDecimal
+            .valueOf(0.709 * 4096.0 * (1L << 55).toDouble / s)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          HllEstimate(typ, est, regs.count(_ > 0))
+      }
+  }
+
   /** Streaming log-linear quantile sketch per event type: keyed state holds
     * the (bucket → count) map of graft.operators.Events.quantileSketchCounts
     * (same integer bucketing — [[bucket31]] mirrors it exactly, parity
@@ -318,6 +362,12 @@ case class TypeStats(n: Long, mean: Double, m2: Double)
 
 /** KMV sketch state: the k smallest distinct hashes seen for a key. */
 case class KmvSketch(hashes: Seq[Long])
+
+/** HLL register state: 64 max-merged leading-zero ranks. */
+case class HllState(regs: Seq[Int])
+
+/** Per-type HLL estimate emitted each batch. */
+case class HllEstimate(event_type: String, hll_estimate: Double, n_regs_used: Int)
 
 /** Per-type distinct estimate emitted each batch. */
 case class DistinctEstimate(event_type: String, n_distinct_est: Long, n_in_sketch: Int)

@@ -187,6 +187,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL matches the batch estimate on real events; replay cannot move it") {
+    // same hash, bucket/rho arithmetic, and integer harmonic sum → the
+    // streaming registers after one pass equal the batch query's exactly;
+    // a full REPLAY of the table then merges by register max into the
+    // same state — the idempotence a counter lacks
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.hllSketch(in.toDS())
+      .writeStream.format("memory").queryName("hllp").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(evRows: _*)
+      q.processAllAvailable()
+      def latest(): Map[String, (Double, Int)] = {
+        // Update mode appends a row per batch: the LAST row per type is
+        // the current state
+        val all = spark.sql("SELECT event_type, hll_estimate, n_regs_used FROM hllp").collect()
+        all.zipWithIndex.groupBy(_._1.getString(0))
+          .map { case (t, rs) =>
+            val r = rs.maxBy(_._2)._1; t -> (r.getDouble(1), r.getInt(2)) }
+      }
+      val batch = graft.operators.Events.hllDistinct(spark, Sf)
+        .select(col("event_type"), col("hll_estimate"), col("n_regs_used"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2).toInt)).toMap
+      val afterPass = latest()
+      assert(afterPass.nonEmpty && afterPass == batch)
+      in.addData(evRows: _*) // replay the WHOLE table
+      q.processAllAvailable()
+      assert(latest() == batch, "replayed events must not move a max-merged sketch")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer reproduces the gap-split sessions of an independent fold on real events") {
     implicit val sqlCtx = spark.sqlContext
     val gapSec = 1800L
