@@ -87,6 +87,8 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "vec_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
+    "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -412,6 +414,8 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
+    "vec_kmeans_step" -> Similarity.kmeansStepOracle,
+    "vec_drift" -> Similarity.driftOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "text_langid_eval" -> TextAnalysis.langIdEvalOracle,

@@ -413,6 +413,122 @@ object Similarity {
        |LEFT JOIN a2 ON t.query_id = a2.query_id AND t.neighbor_id = a2.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One Lloyd iteration of the IVF coarse quantizer: re-assign every
+    * vector to its nearest centroid (the map-side [[ivfAssignments]]
+    * argmin — zero corpus-side exchange), recompute each cell's centroid
+    * from its members, and report per-cell membership plus how far the
+    * centroid moved — the convergence signal a k-means loop watches. The
+    * engine-level point: an ITERATIVE ML step is two corpus passes (one
+    * map-side assignment + one explode/agg) with nothing quadratic; at
+    * 100 TB each iteration stays a linear scan with a \|cells\|·dims
+    * shuffle. Movement = L2 distance between old and new centroids on
+    * round-6 components (engine-identical). */
+  def kmeansStep(spark: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+    val assigned = ivfAssignments(spark, d, nCells)
+      .select(col("vec_id"), col("e"), col("cell"))
+    val newc = assigned
+      .select(col("cell"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("nc"))
+    val oldc = Tables.embeddings(spark, d)
+      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("oc"))
+    val movement = newc.join(oldc, Seq("cell", "dim"))
+      .groupBy(col("cell"))
+      .agg(round(sqrt(round(sum((col("nc") - col("oc")) * (col("nc") - col("oc"))), 6)), 4)
+        .as("movement"))
+    val members = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    members.join(movement, "cell").orderBy(col("cell"))
+  }
+
+  val kmeansStepOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT vec_id % 16 AS cell, j, round(avg(e2[j]), 6) AS c
+      |  FROM (SELECT vec_id, e AS e2, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+      |  GROUP BY 1, 2),
+      |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |dots AS (
+      |  SELECT comp.vec_id, cents.cell, sum(val * c) AS dot
+      |  FROM comp JOIN cents ON comp.j = cents.j
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+      |    FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |newc AS (
+      |  SELECT a.cell, comp.j, round(avg(val), 6) AS nc
+      |  FROM comp JOIN assigned a ON comp.vec_id = a.vec_id
+      |  GROUP BY 1, 2),
+      |mv AS (
+      |  SELECT newc.cell,
+      |    round(sqrt(round(sum((nc - c) * (nc - c)), 6)), 4) AS movement
+      |  FROM newc JOIN cents ON newc.cell = cents.cell AND newc.j = cents.j
+      |  GROUP BY 1),
+      |mem AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY 1)
+      |SELECT mem.cell, cast(n_members AS bigint) AS n_members, movement
+      |FROM mem JOIN mv ON mem.cell = mv.cell ORDER BY 1""".stripMargin
+
+  /** Per-label cohesion/drift against the GLOBAL embedding centroid: mean,
+    * min, and max cosine of each label's vectors to the corpus centroid —
+    * the embedding-space monitor a production pipeline tracks per snapshot
+    * (a label whose cohesion falls is drifting; one whose max cosine sinks
+    * has no core). Per-vector cosines are map-side against the one-row
+    * broadcast centroid, rounded to 6 and SCALED TO INTEGERS so the
+    * per-label mean is an exact bigint sum (order-independent) with one
+    * final float division — the [[graft.operators.Pipeline.mixTemperature]]
+    * determinism pattern. Nothing corpus-sized shuffles: the group row
+    * count is \|labels\|. */
+  def drift(spark: SparkSession, d: String): DataFrame = {
+    val gc = Tables.embeddings(spark, d)
+      .select(posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(round(avg(col("v")), 6).as("c"))
+      .groupBy().agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(transform(col("dc"), x => x.getField("c")).as("gc"))
+    normed(spark, d)
+      .join(broadcast(gc))
+      .select(col("label"),
+        floor(round(dot(col("e"), col("gc")) / (col("norm") * vecNorm(col("gc"))), 6)
+          * 1000000.0 + 0.5).cast("long").as("ci"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ci")).as("sci"),
+        min(col("ci")).as("minci"), max(col("ci")).as("maxci"))
+      .select(col("label"), col("n_vecs"),
+        round(col("sci").cast("double") / col("n_vecs") / lit(1000000.0), 6).as("avg_cos"),
+        round(col("minci").cast("double") / lit(1000000.0), 6).as("min_cos"),
+        round(col("maxci").cast("double") / lit(1000000.0), 6).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
+  val driftOracle: String =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |gc AS (SELECT j, round(avg(e[j]), 6) AS c FROM x GROUP BY 1),
+      |gn AS (SELECT sqrt(sum(c*c)) AS gnorm FROM gc),
+      |dots AS (
+      |  SELECT x.vec_id, sum(e[j] * c) AS dot
+      |  FROM x JOIN gc USING (j) GROUP BY 1),
+      |vn AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |ci AS (
+      |  SELECT v.label,
+      |    cast(floor(round(dot / (norm * gnorm), 6) * 1000000 + 0.5) AS bigint) AS ci
+      |  FROM dots JOIN vn USING (vec_id) JOIN v USING (vec_id), gn)
+      |SELECT label, cast(count(*) AS bigint) AS n_vecs,
+      |  round(cast(sum(ci) AS double) / count(*) / 1000000.0, 6) AS avg_cos,
+      |  round(min(ci)::DOUBLE / 1000000.0, 6) AS min_cos,
+      |  round(max(ci)::DOUBLE / 1000000.0, 6) AS max_cos
+      |FROM ci GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-vector symmetric int8 quantization accounting — the storage-scale
     * step of an embedding pipeline (4× smaller than f32 before any index).
     * scale = max|x|/127; code_j = floor(x_j·127/max + 0.5) (floor-form
@@ -468,10 +584,12 @@ object Similarity {
   }
 
   /** One-row DataFrame carrying the product-quantization codebook as an
-    * ordered `array<array<array<double>>>` (subspace → cell → subdim). */
-  private def pqCodebook(spark: SparkSession, d: String, m: Int, k: Int,
-      dims: Int): DataFrame = {
-    pqCodebookLong(spark, d, m, k, dims)
+    * ordered `array<array<array<double>>>` (subspace → cell → subdim).
+    * Takes the LONG-format codebook so callers needing both forms (ADC
+    * search) build the corpus-sized aggregate once — sharing the lineage
+    * lets Spark reuse the exchange instead of re-scanning the corpus. */
+  private def pqCodebook(cbLong: DataFrame): DataFrame = {
+    cbLong
       .groupBy(col("sub"), col("cell"))
       .agg(array_sort(collect_list(struct(col("sd"), col("c")))).as("dc"))
       .select(col("sub"), col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
@@ -497,18 +615,19 @@ object Similarity {
     * argmin relationally (round-6 squared distances, ties to lower cell). */
   def vecPq(spark: SparkSession, d: String, m: Int = 4, k: Int = 16,
       dims: Int = 64): DataFrame =
-    pqCodes(spark, d, m, k, dims).orderBy(col("vec_id"))
+    pqCodes(spark, d, m, dims, pqCodebookLong(spark, d, m, k, dims))
+      .orderBy(col("vec_id"))
 
   /** Every vector's m PQ codes (vec_id, code_0..code_{m-1}) — the compact
     * corpus representation [[pqSearchTopK]] searches over. Shared by
     * [[vecPq]]; codes are map-side [[graft.functions.NearestCell]] argmins
     * against the one-row broadcast codebook — zero corpus-side exchange. */
-  private def pqCodes(spark: SparkSession, d: String, m: Int, k: Int,
-      dims: Int): DataFrame = {
+  private def pqCodes(spark: SparkSession, d: String, m: Int,
+      dims: Int, cbLong: DataFrame): DataFrame = {
     val sw = dims / m
     val base = Tables.embeddings(spark, d)
       .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
-      .join(broadcast(pqCodebook(spark, d, m, k, dims)))
+      .join(broadcast(pqCodebook(cbLong)))
     val coded = (0 until m).foldLeft(base) { (df, s) =>
       df.withColumn(s"code_$s",
         nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
@@ -565,7 +684,11 @@ object Similarity {
   def pqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64): DataFrame = {
     val sw = dims / m
-    val codes = pqCodes(spark, d, m, kCells, dims)
+    // ONE long-format codebook val feeds both the code assignment and the
+    // distance tables — same lineage → the corpus-sized aggregate's
+    // exchange is reused, not recomputed
+    val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
+    val codes = pqCodes(spark, d, m, dims, cbLong)
     val qcomp = Tables.embeddings(spark, d)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
@@ -573,7 +696,7 @@ object Similarity {
       .withColumn("sub", expr(s"dim div $sw"))
       .withColumn("sd", pmod(col("dim"), lit(sw)))
     val dt = qcomp
-      .join(pqCodebookLong(spark, d, m, kCells, dims), Seq("sub", "sd"))
+      .join(cbLong, Seq("sub", "sd"))
       .select(col("query_id"), col("sub"), col("cell"),
         ((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
       .groupBy(col("query_id"), col("sub"), col("cell"))

@@ -349,6 +349,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming heavy hitters per event type (Misra–Gries): keyed state
+    * holds at most k (user → lower-bound count) counters — a new user past
+    * the budget decrements ALL counters instead of growing state, so
+    * memory is O(k) per type forever, the property an exact per-user count
+    * (O(users)) lacks on an unbounded stream.
+    *
+    * The classic guarantees survive batching/merging and are what the spec
+    * pins (bit-level state depends on arrival order, the guarantees do
+    * not): every user with true count > n/(k+1) IS tracked, and each
+    * tracked counter is a lower bound within n/(k+1) of the true count.
+    * Each batch emits the refreshed per-type summary, counters sorted by
+    * (count desc, user asc). */
+  def heavyHitters(events: Dataset[StreamEvent], k: Int = 8): Dataset[HeavyHittersProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HhState, HeavyHittersProfile](GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[HhState]) =>
+          var s = state.getOption.getOrElse(HhState(0L, Map.empty))
+          var counters = s.counters
+          var n = s.n
+          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+            n += 1
+            counters.get(e.user_id) match {
+              case Some(c) => counters = counters.updated(e.user_id, c + 1)
+              case None if counters.size < k =>
+                counters = counters.updated(e.user_id, 1L)
+              case None => // budget full: decrement everything, drop zeros
+                counters = counters.map { case (u, c) => u -> (c - 1) }.filter(_._2 > 0)
+            }
+          }
+          s = HhState(n, counters)
+          state.update(s)
+          val sorted = counters.toSeq.sortBy { case (u, c) => (-c, u) }
+          HeavyHittersProfile(typ, n, sorted.map(_._1), sorted.map(_._2))
+      }
+  }
+
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
     * Spark-native: a `topic` column to `partitionBy` at the sink, so each
@@ -365,6 +403,14 @@ case class KmvSketch(hashes: Seq[Long])
 
 /** HLL register state: 64 max-merged leading-zero ranks. */
 case class HllState(regs: Seq[Int])
+
+/** Misra–Gries state: events seen + at most k lower-bound counters. */
+case class HhState(n: Long, counters: Map[Long, Long])
+
+/** Per-type heavy-hitter summary emitted each batch (parallel arrays
+  * sorted by count desc, user asc). */
+case class HeavyHittersProfile(event_type: String, n_events: Long,
+    users: Seq[Long], count_lower_bounds: Seq[Long])
 
 /** Per-type HLL estimate emitted each batch. */
 case class HllEstimate(event_type: String, hll_estimate: Double, n_regs_used: Int)

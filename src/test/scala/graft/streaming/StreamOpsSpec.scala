@@ -221,6 +221,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters keep the Misra-Gries guarantees on real events across batches") {
+    // bit-level MG state depends on arrival order; its GUARANTEES do not —
+    // pin those: bounded state, every heavy user tracked, counters are
+    // lower bounds within n/(k+1) of the truth
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.heavyHitters(in.toDS(), k)
+      .writeStream.format("memory").queryName("hh").outputMode(OutputMode.Update()).start()
+    try {
+      val (b1, b2) = evRows.splitAt(evRows.size / 2) // two batches: state must carry
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, users, count_lower_bounds FROM hh").collect()
+      val byType = rows.zipWithIndex.groupBy(_._1.getString(0))
+        .map { case (t, rs) => t -> rs.maxBy(_._1.getLong(1))._1 }
+      val truth = evRows.groupBy(e => (e.event_type, e.user_id))
+        .map { case ((t, u), es) => (t, u) -> es.size.toLong }
+      for ((t, r) <- byType) {
+        val n = r.getLong(1)
+        val users = r.getSeq[Long](2)
+        val lbs = r.getSeq[Long](3)
+        assert(users.size <= k && users.size == lbs.size)
+        assert(lbs == lbs.sorted.reverse, "counters must be sorted desc")
+        val err = n / (k + 1)
+        // every user over the frequency threshold must be tracked
+        val heavy = truth.collect { case ((`t`, u), c) if c > err => u }.toSet
+        assert(heavy.subsetOf(users.toSet),
+          s"$t: heavy users $heavy must all be tracked in ${users.toSet}")
+        // each counter is a lower bound within n/(k+1)
+        for ((u, lb) <- users.zip(lbs)) {
+          val c = truth((t, u))
+          assert(lb <= c && c - lb <= err, s"$t/$u: lb $lb vs true $c (err bound $err)")
+        }
+      }
+      assert(byType.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionizer reproduces the gap-split sessions of an independent fold on real events") {
     implicit val sqlCtx = spark.sqlContext
     val gapSec = 1800L
