@@ -62,6 +62,7 @@ object SparkEntry {
     "ev_value_quantiles" -> ((s, d) => Events.valueQuantiles(s, d)),
     "ev_lateness" -> ((s, d) => Events.lateness(s, d)),
     "ev_quantile_sketch" -> ((s, d) => Events.quantileSketch(s, d)),
+    "ev_burstiness" -> ((s, d) => Events.burstiness(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -406,6 +407,7 @@ object SparkEntry {
     "ev_value_quantiles" -> Events.valueQuantilesOracle,
     "ev_lateness" -> Events.latenessOracle,
     "ev_quantile_sketch" -> Events.quantileSketchOracle,
+    "ev_burstiness" -> Events.burstinessOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,

@@ -117,6 +117,66 @@ object Events {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Traffic burstiness per event type over hourly buckets: Fano factor
+    * (variance/mean of per-hour counts — 1 for a Poisson arrival process,
+    * higher = bursty) and peak-to-mean ratio — the load-profile audit that
+    * sizes streaming capacity (a type with Fano 10 needs 10× headroom, not
+    * avg×safety). Hours with zero events count as empty buckets over the
+    * type's FULL observed span (otherwise quiet types look smooth).
+    *
+    * Determinism: per-hour counts are integers, and the variance comes off
+    * exact bigint power sums (n, Σx, Σx²) via var = (Σx² − Σx²/n)/(n−1)
+    * in fixed operation order — no float accumulation anywhere, so the
+    * oracle matches bit-for-bit. Scale: two small aggregates (corpus →
+    * \|types×hours\| → \|types\|), partial-agg friendly. */
+  def burstiness(spark: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+        count(lit(1)).as("n_active_hours"),
+        sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"),
+        max(col("c")).as("peak"))
+      // span in hours INCLUDING empty buckets; integer hour arithmetic
+      .withColumn("n_hours",
+        expr("(unix_timestamp(h1) - unix_timestamp(h0)) div 3600 + 1"))
+      .select(col("event_type"), col("n_hours"), col("n_active_hours"),
+        col("sx").as("n_events"), col("peak"),
+        round(col("sx").cast("double") / col("n_hours"), 4).as("mean_per_hour"),
+        // var = (sxx - sx^2/n) / (n-1), fixed order; empty buckets add 0 to
+        // both power sums so only n changes
+        round((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx") / col("n_hours"))
+          / (col("n_hours") - 1L)
+          / (col("sx").cast("double") / col("n_hours")), 4).as("fano"),
+        round(col("peak").cast("double") / (col("sx").cast("double") / col("n_hours")), 4)
+          .as("peak_to_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type, min(h) AS h0, max(h) AS h1,
+      |    count(*) AS n_active_hours,
+      |    cast(sum(c) AS bigint) AS sx,
+      |    cast(sum(c * c) AS bigint) AS sxx,
+      |    cast(max(c) AS bigint) AS peak
+      |  FROM hourly GROUP BY 1),
+      |sp AS (
+      |  SELECT *, (epoch(h1)::BIGINT - epoch(h0)::BIGINT) // 3600 + 1 AS n_hours
+      |  FROM agg)
+      |SELECT event_type, n_hours, cast(n_active_hours AS bigint) AS n_active_hours,
+      |  sx AS n_events, peak,
+      |  round(sx::DOUBLE / n_hours, 4) AS mean_per_hour,
+      |  round((sxx::DOUBLE - sx::DOUBLE * sx / n_hours) / (n_hours - 1)
+      |    / (sx::DOUBLE / n_hours), 4) AS fano,
+      |  round(peak::DOUBLE / (sx::DOUBLE / n_hours), 4) AS peak_to_mean
+      |FROM sp ORDER BY 1""".stripMargin
+
   /** 30-minute-gap sessionization per user. Two shuffles total: one to
     * co-locate each user's events (window function), then the session agg
     * reuses that partitioning. At 100 TB the window shuffle is per-user —

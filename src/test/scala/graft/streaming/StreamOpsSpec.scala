@@ -221,6 +221,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed state survives a checkpointed stop/restart: resumed HLL equals the batch answer") {
+    // the production property: an operator can be stopped (deploy, crash)
+    // and a NEW query resumed from the checkpoint continues from the same
+    // keyed state — registers accumulated before the stop are not lost
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile.getAbsolutePath
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val (b1, b2) = evRows.splitAt(evRows.size / 2)
+    val in = MemoryStream[StreamEvent]
+    // foreachBatch is the sink shape that supports checkpoint recovery
+    // (the memory sink refuses to resume); the latest row per type wins
+    val results = new scala.collection.concurrent.TrieMap[String, (Double, Int)]()
+    def start() = StreamOps.hllSketch(in.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[HllEstimate], _: Long) =>
+        ds.collect().foreach(h => results(h.event_type) = (h.hll_estimate, h.n_regs_used))
+      }
+      .start()
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start() // NEW query, same checkpoint → resumes state
+    try {
+      in.addData(b2: _*)
+      q2.processAllAvailable()
+      val resumed = results.toMap
+      val batch = graft.operators.Events.hllDistinct(spark, Sf)
+        .select(col("event_type"), col("hll_estimate"), col("n_regs_used"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2).toInt)).toMap
+      assert(resumed.keySet == batch.keySet,
+        s"every type must appear in the post-restart batch: ${resumed.keySet} vs ${batch.keySet}")
+      assert(resumed == batch,
+        "state resumed from the checkpoint must land on the full-corpus answer")
+    } finally q2.stop()
+  }
+
   test("streaming heavy hitters keep the Misra-Gries guarantees on real events across batches") {
     // bit-level MG state depends on arrival order; its GUARANTEES do not —
     // pin those: bounded state, every heavy user tracked, counters are
