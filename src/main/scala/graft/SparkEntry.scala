@@ -63,6 +63,7 @@ object SparkEntry {
     "ev_lateness" -> ((s, d) => Events.lateness(s, d)),
     "ev_quantile_sketch" -> ((s, d) => Events.quantileSketch(s, d)),
     "ev_burstiness" -> ((s, d) => Events.burstiness(s, d)),
+    "ev_watermark_recommend" -> ((s, d) => Events.watermarkRecommend(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -408,6 +409,7 @@ object SparkEntry {
     "ev_lateness" -> Events.latenessOracle,
     "ev_quantile_sketch" -> Events.quantileSketchOracle,
     "ev_burstiness" -> Events.burstinessOracle,
+    "ev_watermark_recommend" -> Events.watermarkRecommendOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,

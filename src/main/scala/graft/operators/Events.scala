@@ -722,6 +722,76 @@ object Events {
       |  max(CASE WHEN us2 < runmax THEN runmax - us2 ELSE 0 END) AS max_late_us
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Watermark-delay recommendation per event type — the decision query on
+    * top of the [[lateness]] audit: the smallest delay that would lose
+    * under 1% / under 0.1% / nothing, as EXACT order statistics of the
+    * per-event lateness distribution (value at rank ceil(q·n)). Rank
+    * thresholds use integer arithmetic — ceil(99n/100) = (99n+99) div 100 —
+    * because 0.99·n in floats is not binary-exact and could ceil apart
+    * across engines. Same planted disorder and shard structure as the
+    * audit; ties in lateness cannot affect the selected value. At 100 TB
+    * the rank walk shares the per-type window partitioning — nothing new
+    * shuffles. */
+  def watermarkRecommend(spark: SparkSession, d: String, nShards: Int = 64): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("event_id"), lit(nShards.toLong)).as("shard"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("us2",
+        when(pmod(col("event_id"), lit(7L)) === 3L,
+          col("us") - (pmod(col("event_id"), lit(13L)) + 1L) * 1800000000L)
+          .otherwise(col("us")))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.withColumn("runmax", max(col("us2")).over(byShard))
+      .select(col("event_type"),
+        greatest(coalesce(col("runmax") - col("us2"), lit(0L)), lit(0L)).as("late_us"))
+    late
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("late_us"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        min(when(col("rn") >= expr("(99 * n + 99) div 100"), col("late_us")))
+          .as("delay_p99_us"),
+        min(when(col("rn") >= expr("(999 * n + 999) div 1000"), col("late_us")))
+          .as("delay_p999_us"),
+        max(col("late_us")).as("delay_max_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val watermarkRecommendOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, event_id % 64 AS shard, epoch_us(ts) AS us
+      |  FROM events),
+      |adj AS (
+      |  SELECT event_id, event_type, shard,
+      |    CASE WHEN event_id % 7 = 3
+      |         THEN us - ((event_id % 13) + 1) * 1800000000
+      |         ELSE us END AS us2
+      |  FROM ev),
+      |w AS (
+      |  SELECT event_type, us2,
+      |    max(us2) OVER (PARTITION BY shard ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      |  FROM adj),
+      |l AS (
+      |  SELECT event_type,
+      |    greatest(coalesce(runmax - us2, 0), 0) AS late_us
+      |  FROM w),
+      |r AS (
+      |  SELECT event_type, late_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY late_us) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM l)
+      |SELECT event_type, cast(max(n) AS bigint) AS n_events,
+      |  cast(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN late_us END)
+      |    AS bigint) AS delay_p99_us,
+      |  cast(min(CASE WHEN rn >= (999 * n + 999) // 1000 THEN late_us END)
+      |    AS bigint) AS delay_p999_us,
+      |  cast(max(late_us) AS bigint) AS delay_max_us
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Latest event per user — Kafka log-compaction / upsert-view semantics. */
   def dedupLatest(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))

@@ -372,13 +372,7 @@ object StreamOps {
           var n = s.n
           it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
             n += 1
-            counters.get(e.user_id) match {
-              case Some(c) => counters = counters.updated(e.user_id, c + 1)
-              case None if counters.size < k =>
-                counters = counters.updated(e.user_id, 1L)
-              case None => // budget full: decrement everything, drop zeros
-                counters = counters.map { case (u, c) => u -> (c - 1) }.filter(_._2 > 0)
-            }
+            counters = StreamOps.mgUpdate(counters, k, e.user_id)
           }
           s = HhState(n, counters)
           state.update(s)
@@ -386,6 +380,19 @@ object StreamOps {
           HeavyHittersProfile(typ, n, sorted.map(_._1), sorted.map(_._2))
       }
   }
+
+  /** One Misra–Gries counter update — the whole algorithm, exposed so a
+    * property suite can fold it over arbitrary streams and check the
+    * guarantees (every item with count > n/(k+1) tracked; counters are
+    * lower bounds within n/(k+1)) hold for ALL inputs, not just the
+    * events corpus. */
+  private[graft] def mgUpdate(counters: Map[Long, Long], k: Int, u: Long): Map[Long, Long] =
+    counters.get(u) match {
+      case Some(c) => counters.updated(u, c + 1)
+      case None if counters.size < k => counters.updated(u, 1L)
+      case None => // budget full: decrement everything, drop zeros
+        counters.map { case (uu, c) => uu -> (c - 1) }.filter(_._2 > 0)
+    }
 
   /** Topic routing for the streaming sink — the reference's core job
     * (SSE record → topic, ServerSentEventsSourceTask.java:108-135),
