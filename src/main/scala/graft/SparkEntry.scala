@@ -104,6 +104,7 @@ object SparkEntry {
     "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
     "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
     "docs_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
+    "docs_gopher_audit" -> ((s, d) => Pipeline.gopherAudit(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -449,6 +450,7 @@ object SparkEntry {
     "docs_pack" -> Pipeline.packOracle,
     "docs_mix_uniform" -> Pipeline.mixUniformOracle,
     "docs_mix_temperature" -> Pipeline.mixTemperatureOracle,
+    "docs_gopher_audit" -> Pipeline.gopherAuditOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

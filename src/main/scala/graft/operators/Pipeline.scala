@@ -408,6 +408,61 @@ object Pipeline {
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace("BUCKET", b)
   }
 
+  /** Gopher-style rule audit (Rae et al. 2021, MassiveText heuristics,
+    * reduced to the signals this corpus exercises): per source, how many
+    * docs fail each gate — word count in [20,100], mean word length in
+    * [3,10], ≥2 stopwords — plus how many pass all. A real pipeline
+    * publishes exactly this rejection-reason histogram before deleting
+    * anything. (On this synthetic corpus the word-length gate never fires;
+    * the column stays because the audit's value is showing WHICH rules do.)
+    *
+    * Determinism: the mean-word-length bounds are integer
+    * cross-multiplications (3·nw ≤ wordchars ≤ 10·nw) — no division
+    * anywhere; word chars = n_chars − (nw−1) separators, exact. Scale:
+    * one map pass over bodies, per-source integer aggregate — bodies
+    * never shuffle. */
+  def gopherAudit(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(spark, d)
+      .select(col("source"), split(col("text"), " ").as("w"), col("n_chars"))
+      .select(col("source"), size(col("w")).cast("long").as("nw"),
+        (col("n_chars") - (size(col("w")) - 1)).as("wchars"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).cast("long").as("nstop"))
+      .withColumn("ok_wc", col("nw") >= 20 && col("nw") <= 100)
+      .withColumn("ok_mwl",
+        col("wchars") >= lit(3L) * col("nw") && col("wchars") <= lit(10L) * col("nw"))
+      .withColumn("ok_stop", col("nstop") >= 2)
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok_wc"), 0L).otherwise(1L)).as("n_fail_wordcount"),
+        sum(when(col("ok_mwl"), 0L).otherwise(1L)).as("n_fail_wordlen"),
+        sum(when(col("ok_stop"), 0L).otherwise(1L)).as("n_fail_stopwords"),
+        sum(when(col("ok_wc") && col("ok_mwl") && col("ok_stop"), 1L).otherwise(0L))
+          .as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  val gopherAuditOracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS w, n_chars FROM documents),
+      |m AS (
+      |  SELECT source, len(w) AS nw,
+      |    n_chars - (len(w) - 1) AS wchars,
+      |    len(list_filter(w, x -> x IN ('the', 'a'))) AS nstop
+      |  FROM t),
+      |f AS (
+      |  SELECT source,
+      |    (nw >= 20 AND nw <= 100) AS ok_wc,
+      |    (wchars >= 3 * nw AND wchars <= 10 * nw) AS ok_mwl,
+      |    (nstop >= 2) AS ok_stop
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(CASE WHEN ok_wc THEN 0 ELSE 1 END) AS bigint) AS n_fail_wordcount,
+      |  cast(sum(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS bigint) AS n_fail_wordlen,
+      |  cast(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS bigint) AS n_fail_stopwords,
+      |  cast(sum(CASE WHEN ok_wc AND ok_mwl AND ok_stop THEN 1 ELSE 0 END) AS bigint)
+      |    AS n_pass
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Temperature-based mixture weights: w_s = n_s^α / Σ_t n_t^α with
     * α = 0.5 — the multinomial sampling rule multilingual/multi-source
     * pretraining uses to lift low-resource sources without letting the
