@@ -78,6 +78,7 @@ object SparkEntry {
     "shingle_stats_containment" -> ((s, d) => Dedup.shingleStatsContainment(s, d)),
     "docs_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
+    "dedup_cross_source" -> ((s, d) => Dedup.crossSource(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
     "docs_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     "docs_gopher_audit" -> ((s, d) => Pipeline.gopherAudit(s, d)),
+    "docs_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -437,6 +439,7 @@ object SparkEntry {
     "shingle_stats_containment" -> Dedup.shingleStatsContainmentOracle,
     "docs_decontaminate" -> Dedup.decontaminateOracle,
     "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
+    "dedup_cross_source" -> Dedup.crossSourceOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
@@ -451,6 +454,7 @@ object SparkEntry {
     "docs_mix_uniform" -> Pipeline.mixUniformOracle,
     "docs_mix_temperature" -> Pipeline.mixTemperatureOracle,
     "docs_gopher_audit" -> Pipeline.gopherAuditOracle,
+    "docs_token_budget" -> Pipeline.tokenBudgetOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Kernels._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline.
@@ -40,6 +41,62 @@ object Dedup {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id+2000000, text FROM documents WHERE doc_id % 2 = 0)""".stripMargin
+
+  /** Cross-source duplication accounting — the provenance question exact
+    * dedup alone doesn't answer: per source, how many of its docs ALSO
+    * appear verbatim under another source (syndication / mirror
+    * contamination — at pipeline scale the argument for deduping BEFORE
+    * mixing, since cross-source copies silently re-weight the mix) vs how
+    * many are plain within-source repeats. Planted ground truth covers
+    * both kinds: every id%4==0 doc re-enters under the ROTATED source
+    * label, every id%4==2 doc re-enters under its own.
+    *
+    * Scale shape: bodies collapse to digests BEFORE the windows — the
+    * digest-partitioned counts shuffle (md5, source) pairs only. The
+    * distinct-source count per digest group is `collect_set` over the
+    * digest window (Spark windows don't take DISTINCT aggregates; DuckDB's
+    * does — the oracle uses it directly). */
+  def crossSource(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("source"), col("text"))
+    val cross = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("concat('src', (cast(substr(source, 4, 10) AS int) + 1) % 20)").as("source"),
+        col("text"))
+    val within = base.filter(col("doc_id") % 4 === 2)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("source"), col("text"))
+    val hashed = base.unionAll(cross).unionAll(within)
+      .select(md5(col("text")).as("h"), col("source"))
+    val byDigest = Window.partitionBy(col("h"))
+    val byDigestSource = Window.partitionBy(col("h"), col("source"))
+    hashed
+      .withColumn("n_src", size(collect_set(col("source")).over(byDigest)))
+      .withColumn("n_same", count(lit(1)).over(byDigestSource))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_src") > 1, 1L).otherwise(0L)).as("n_cross_dups"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_within_dups"))
+      .orderBy(col("source"))
+  }
+
+  val crossSourceOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    'src' || ((substr(source, 4)::INT + 1) % 20), text
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, source, text
+      |  FROM documents WHERE doc_id % 4 = 2),
+      |w AS (
+      |  SELECT source,
+      |    count(DISTINCT source) OVER (PARTITION BY md5(text)) AS n_src,
+      |    count(*) OVER (PARTITION BY md5(text), source) AS n_same
+      |  FROM corpus)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS bigint) AS n_cross_dups,
+      |  cast(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS bigint) AS n_within_dups
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Originals + an uppercased, padded variant of every even-id doc —
     * identical only after normalization. */

@@ -408,6 +408,55 @@ object Pipeline {
       |GROUP BY 1 ORDER BY 1""".stripMargin.replace("BUCKET", b)
   }
 
+  /** Token-budget allocation under temperature sampling — the epoch
+    * planner on top of [[mixTemperature]]: given a total training budget B
+    * (= the corpus's own token count here), each source's target is its
+    * α=0.5 share of B; a source whose target EXCEEDS its stock must repeat
+    * tokens (multi-epoch — exactly what sqrt-upweighting does to
+    * low-resource sources), one whose target falls short contributes fresh
+    * tokens only. Reports stock / target / fresh / repeat per source — the
+    * table a data-mixing plan is reviewed on.
+    *
+    * All integer: stocks are exact token counts, sqrt weights are scaled
+    * to bigints (the [[mixTemperature]] pattern), targets come from bigint
+    * multiply-then-div, and fresh/repeat are least/greatest of bigints. */
+  def tokenBudget(spark: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(spark, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens_available"))
+    val scaled = perSource
+      .withColumn("sq",
+        floor(sqrt(col("tokens_available")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = scaled.groupBy()
+      .agg(sum(col("sq")).as("sq_total"), sum(col("tokens_available")).as("budget"))
+    scaled.join(broadcast(tot))
+      .select(col("source"), col("tokens_available"),
+        expr("sq * budget div sq_total").as("target_tokens"))
+      .withColumn("fresh_tokens", least(col("target_tokens"), col("tokens_available")))
+      .withColumn("repeat_tokens",
+        greatest(col("target_tokens") - col("tokens_available"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetOracle: String =
+    """WITH ps AS (
+      |  SELECT source,
+      |    cast(sum(len(string_split(text, ' '))) AS bigint) AS tokens_available
+      |  FROM documents GROUP BY 1),
+      |sc AS (
+      |  SELECT source, tokens_available,
+      |    cast(floor(sqrt(tokens_available) * 1000000 + 0.5) AS bigint) AS sq
+      |  FROM ps),
+      |tot AS (
+      |  SELECT cast(sum(sq) AS bigint) AS sq_total,
+      |    cast(sum(tokens_available) AS bigint) AS budget
+      |  FROM sc)
+      |SELECT source, tokens_available,
+      |  sq * budget // sq_total AS target_tokens,
+      |  least(sq * budget // sq_total, tokens_available) AS fresh_tokens,
+      |  greatest(sq * budget // sq_total - tokens_available, 0) AS repeat_tokens
+      |FROM sc, tot ORDER BY 1""".stripMargin
+
   /** Gopher-style rule audit (Rae et al. 2021, MassiveText heuristics,
     * reduced to the signals this corpus exercises): per source, how many
     * docs fail each gate — word count in [20,100], mean word length in
