@@ -37,6 +37,7 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) => Tpch.q15TopSupplier(s, d)),
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q_running_totals" -> ((s, d) => Tpch.qRunningTotals(s, d)),
+    "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -64,6 +65,7 @@ object SparkEntry {
     "ev_quantile_sketch" -> ((s, d) => Events.quantileSketch(s, d)),
     "ev_burstiness" -> ((s, d) => Events.burstiness(s, d)),
     "ev_watermark_recommend" -> ((s, d) => Events.watermarkRecommend(s, d)),
+    "ev_pivot_hour" -> ((s, d) => Events.pivotHour(s, d)),
     // §2.3 deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
@@ -79,6 +81,8 @@ object SparkEntry {
     "docs_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSource(s, d)),
+    "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -122,6 +126,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
+    "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
@@ -333,6 +338,7 @@ object SparkEntry {
     "q15_top_supplier" -> Tpch.q15Oracle,
     "q17_small_qty" -> Tpch.q17Oracle,
     "q_running_totals" -> Tpch.qRunningTotalsOracle,
+    "q_rollup_revenue" -> Tpch.qRollupRevenueOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -413,6 +419,7 @@ object SparkEntry {
     "ev_quantile_sketch" -> Events.quantileSketchOracle,
     "ev_burstiness" -> Events.burstinessOracle,
     "ev_watermark_recommend" -> Events.watermarkRecommendOracle,
+    "ev_pivot_hour" -> Events.pivotHourOracle,
     "ann_ivf" -> Similarity.ivfTopKOracle,
     "vec_centroids" -> Similarity.centroidsOracle,
     "vec_quantize" -> Similarity.vecQuantizeOracle,
@@ -426,6 +433,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "text_langid_eval" -> TextAnalysis.langIdEvalOracle,
+    "text_pmi_bigrams" -> TextAnalysis.pmiBigramsOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
@@ -440,6 +448,8 @@ object SparkEntry {
     "docs_decontaminate" -> Dedup.decontaminateOracle,
     "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
     "dedup_cross_source" -> Dedup.crossSourceOracle,
+    "dedup_lines" -> Dedup.lineDedupOracle,
+    "dedup_semantic" -> Dedup.semanticOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

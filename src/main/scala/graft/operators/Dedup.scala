@@ -536,8 +536,9 @@ object Dedup {
     * themselves. The BSP loop [[clusters]] aggregates. */
   def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
-    val vertices = docsWithNearDups(spark, d).select(col("doc_id"))
-    connectedComponents(pairs, vertices, maxIter)
+    // edge-induced vertices: the BSP label state is O(dup endpoints), not
+    // O(corpus) — docs with no near-dup pair never ride a superstep join
+    connectedComponentsOfEdges(pairs, maxIter)
   }
 
   /** Distributed connected components over an undirected edge list:
@@ -555,6 +556,27 @@ object Dedup {
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    componentsLoop(edges, vertices, maxIter)
+  }
+
+  /** Components over the EDGE-INDUCED vertex set: vertices are derived from
+    * the (already materialized) edge list, so isolated vertices never enter
+    * the BSP state at all. This is the scale form — in a 100 TB corpus the
+    * overwhelming majority of docs touch no near-dup pair, and carrying
+    * them through every superstep join would make the label table O(corpus)
+    * instead of O(dup endpoints). Callers that need singleton labels
+    * left-join and coalesce(label, doc_id) (see [[dedupApply]]). */
+  def connectedComponentsOfEdges(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    // distinct endpoints off the checkpointed edges — the minhash lineage
+    // behind `pairs` is NOT re-executed for the vertex set
+    componentsLoop(edges, edges.select(col("doc_a").as("doc_id")).distinct(), maxIter)
+  }
+
+  private def componentsLoop(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int): DataFrame = {
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var converged = false
@@ -592,8 +614,12 @@ object Dedup {
     * kept/dropped accounting is what a corpus build publishes. */
   def dedupApply(spark: SparkSession, d: String): DataFrame = {
     val labels = clusterLabels(spark, d)
+    // labels cover dup endpoints only; a doc with no near-dup pair keeps
+    // itself (label = own id via coalesce) without ever having entered the
+    // component computation
     docsWithNearDups(spark, d).select(col("doc_id"), col("lang"))
-      .join(labels, "doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("n_kept"),
@@ -855,4 +881,156 @@ object Dedup {
        |  max(round(cast(n_shared AS double) / n_eval, 4)) AS max_overlap
        |FROM hits JOIN esizes ON esizes.doc_id = hits.eval_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- line-level dedup (RefinedWeb/CCNet-style boilerplate-line removal) ----
+
+  /** The planted boilerplate "line" (10 tokens = exactly one chunk). */
+  private val BoilerLine = "nav home about contact login search footer terms privacy copyright"
+
+  /** Line-level dedup audit: the corpus-wide repeated-LINE accounting that
+    * whole-document dedup cannot see (a navigation header pasted into
+    * thousands of otherwise-unique pages). The testdata's documents carry
+    * no newlines, so "lines" are the deterministic 10-token chunking of
+    * each doc, and a 10-token boilerplate line is PREPENDED to every 3rd
+    * doc (prepended, not appended — chunking is position-aligned from
+    * token 1, so only a prefix plant is guaranteed chunk-aligned). Reports
+    * per source: docs, total lines, and how many line instances belong to
+    * a line duplicated ≥ minOcc times corpus-wide.
+    *
+    * Scale shape: lines shuffle as md5 digests (never text) for the global
+    * count; the hot-line table (count ≥ minOcc — boilerplate is by
+    * definition a SMALL set of distinct lines however many instances) then
+    * BROADCASTS back against the line stream, so flagging each instance is
+    * a map-side semi-join, not a second corpus-wide shuffle. */
+  def lineDedup(spark: SparkSession, d: String, minOcc: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 === 0, concat(lit(BoilerLine + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val lines = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 10)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), (size(col("t")) / 10).cast("int") - 1),
+          k => md5(concat_ws(" ", slice(col("t"), k * 10 + 1, lit(10)))))).as("line_md5"))
+    val hot = lines.groupBy(col("line_md5"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select("line_md5")
+    lines.join(broadcast(hot.withColumn("is_hot", lit(1))), Seq("line_md5"), "left")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_hot"), lit(0)).cast("long")).as("n_boiler_lines"))
+      .orderBy(col("source"))
+  }
+
+  val lineDedupOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$BoilerLine ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS a FROM docs
+       |  WHERE len(string_split(text, ' ')) >= 10),
+       |ln0 AS (SELECT doc_id, source, a, unnest(range(0, len(a) // 10)) AS k FROM tk),
+       |lines AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(a[k*10+1:k*10+10], ' ')) AS line_md5
+       |  FROM ln0),
+       |hot AS (
+       |  SELECT line_md5 FROM lines GROUP BY 1 HAVING count(*) >= 3)
+       |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
+       |  cast(sum(CASE WHEN hot.line_md5 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+       |    AS n_boiler_lines
+       |FROM lines LEFT JOIN hot USING (line_md5)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- semantic dedup (SemDeDup-style: cluster, then prune within cluster) ----
+
+  /** Semantic dedup over the embedding space (the SemDeDup recipe): coarse
+    * k-means-style cells bound the search, then any vector with a
+    * same-cell, lower-id neighbor at cosine ≥ minCos is pruned. Catches
+    * paraphrase-level duplicates that no lexical (shingle/MinHash) pass
+    * can see. Planted: every 10th vector re-enters at ×2 scale — cosine
+    * exactly 1 against its original, and power-of-2 scaling is exact in
+    * FP, so the copy's rounded cosine to EVERY centroid equals the
+    * original's and they always share a cell.
+    *
+    * Scale shape: the centroid matrix (seeded vec_id-mod groups — one
+    * k-means init step over cells×dims partial averages) collapses to one
+    * broadcast row; assignment is the codegen'd `graft_nearest_cell`
+    * argmax, ZERO exchange on the corpus side. The only corpus-scale
+    * shuffle is the within-cell self-join, Σ|cell|² pairs with |cells|
+    * sized to √n — the same envelope as the shingle-index joins. Emits the
+    * pruned vector, its keeper (lowest qualifying lower-id neighbor), how
+    * many near-dups it had, and its best cosine. */
+  def semantic(spark: SparkSession, d: String, nCells: Int = 32,
+      minCos: Double = 0.95): DataFrame = {
+    val base = Tables.embeddings(spark, d)
+    val all = base.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+      .unionAll(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(vecDouble(col("embedding")), x => x * lit(2.0)).as("e")))
+    val v = all.withColumn("norm", vecNorm(col("e")))
+    val cents = v
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
+      .groupBy(col("cell"), col("dim")).agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), s => s.getField("c")).as("carr"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
+      .select(transform(col("cc"), s => s.getField("carr")).as("cents"))
+    val members = v.join(broadcast(cents))
+      .withColumn("cell", nearestCell(col("e"), col("cents"))).drop("cents")
+    members.as("p").join(members.as("q"),
+      col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("p.vec_id").as("keeper"),
+        round(dot(col("p.e"), col("q.e")) / (col("p.norm") * col("q.norm")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(min(col("keeper")).as("kept_by"), count(lit(1)).as("n_dups"),
+        max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(embedding::DOUBLE[], x -> x * 2)
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM base),
+      |cents AS (
+      |  SELECT vec_id % 32 AS cell, j AS cj, round(avg(e[j]), 6) AS c
+      |  FROM x GROUP BY 1, 2),
+      |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM base),
+      |dots AS (
+      |  SELECT x.vec_id, cents.cell, sum(e[j] * c) AS dot
+      |  FROM x JOIN cents ON x.j = cents.cj GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+      |    FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |members AS (
+      |  SELECT b.vec_id, b.e, vn.norm, a.cell
+      |  FROM base b JOIN vnorms vn ON b.vec_id = vn.vec_id
+      |  JOIN assigned a ON b.vec_id = a.vec_id),
+      |pairs AS (
+      |  SELECT q.vec_id AS vec_id, p.vec_id AS keeper,
+      |    round(list_dot_product(p.e, q.e) / (p.norm * q.norm), 4) AS cos
+      |  FROM members p JOIN members q
+      |    ON p.cell = q.cell AND p.vec_id < q.vec_id)
+      |SELECT vec_id, min(keeper) AS kept_by, count(*) AS n_dups,
+      |  max(cos) AS max_cos
+      |FROM pairs WHERE cos >= 0.95
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

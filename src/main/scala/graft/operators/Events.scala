@@ -117,6 +117,39 @@ object Events {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Known event-type vocabulary for pivoted reports. Pivot REQUIRES an
+    * explicit value list at scale: without one Spark runs a distinct-values
+    * job over the full fact table first, and an unbounded vocabulary would
+    * make an unbounded-width row. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Hour-of-day × event-type count matrix — the pivoted load-profile
+    * report, written as one conditional count per type under a single
+    * groupBy(hour). This is what `pivot(col, values)` means, minus one
+    * exchange: Spark's pivot plans TWO aggregates (pre-agg on
+    * (group, pivot) then PivotFirst on (group)), while the conditional
+    * form is a single partial-agg pass — and missing combinations surface
+    * as 0, not null, so downstream arithmetic is total. The vocabulary
+    * must be an explicit list either way: pivot without one runs a
+    * distinct-values job over the full fact table and yields
+    * unbounded-width rows. */
+  def pivotHour(spark: SparkSession, d: String): DataFrame = {
+    val perType = EventTypes.map(t => count(when(col("event_type") === t, 1)).as(t))
+    Tables.events(spark, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(perType.head, perType.tail: _*)
+      .orderBy(col("hour_of_day"))
+  }
+
+  val pivotHourOracle: String =
+    """SELECT cast(hour(ts) AS int) AS hour_of_day,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Traffic burstiness per event type over hourly buckets: Fano factor
     * (variance/mean of per-hour counts — 1 for a Poisson arrival process,
     * higher = bursty) and peak-to-mean ratio — the load-profile audit that

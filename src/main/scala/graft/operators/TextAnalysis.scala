@@ -310,4 +310,56 @@ object TextAnalysis {
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT md5(text)) AS n_unique
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Collocation extraction: pointwise mutual information for every bigram
+    * seen ≥ minCount times — PMI = ln(p(xy) / (p(x)·p(y))), the standard
+    * phrase-mining signal (high-PMI pairs are multiword units a tokenizer
+    * or phrase table should keep together). Bigrams come from one
+    * `slice`+`arrays_zip` pass per doc (no window, no self-join); unigram
+    * and bigram counts are map-side partial aggregations, and the unigram
+    * frequency table broadcasts twice (w1, w2) — |vocabulary| rows, the
+    * only data that moves besides the bigram groups themselves. The PMI
+    * argument is computed as one fixed multiplication/division sequence of
+    * count-valued doubles, so both engines produce the identical IEEE
+    * value; ln-then-round-4 follows the [[Pipeline.unigramLogProb]]
+    * convention. */
+  def pmiBigrams(spark: SparkSession, d: String, minCount: Int = 5): DataFrame = {
+    val toks = Tables.documents(spark, d).select(tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val utot = uni.groupBy().agg(count(lit(1)).as("nu"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val btot = bg.groupBy().agg(count(lit(1)).as("nb"))
+    bf.filter(col("c_xy") >= minCount)
+      .join(broadcast(uf.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uf.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .join(broadcast(utot)).join(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        // + 0.0 canonicalizes a rounded −0.0 to +0.0 (IEEE): DuckDB's round
+        // keeps the sign of a tiny negative, Spark's drops it, and the
+        // driver's stringified row sort would misalign on "-0.0" vs "0.0"
+        (round(log((col("c_xy").cast("double") * col("nu") * col("nu")) /
+          ((col("c1").cast("double") * col("c2")) * col("nb"))), 4) + lit(0.0)).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val pmiBigramsOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+      |uni AS (SELECT unnest(a) AS w FROM t),
+      |utot AS (SELECT count(*) AS nu FROM uni),
+      |uf AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |bg0 AS (SELECT a, unnest(range(1, len(a))) AS i FROM t WHERE len(a) >= 2),
+      |bg AS (SELECT a[i] AS w1, a[i+1] AS w2 FROM bg0),
+      |btot AS (SELECT count(*) AS nb FROM bg),
+      |bf AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2)
+      |SELECT w1, w2, c_xy,
+      |  round(ln((cast(c_xy AS double) * nu * nu) /
+      |    ((cast(u1.c AS double) * u2.c) * nb)), 4) + 0.0 AS pmi
+      |FROM bf JOIN uf u1 ON bf.w1 = u1.w JOIN uf u2 ON bf.w2 = u2.w, utot, btot
+      |WHERE c_xy >= 5 ORDER BY w1, w2""".stripMargin
 }

@@ -544,4 +544,46 @@ object Tpch {
       .orderBy(col("waiting_orders").desc, col("s_name"))
       .limit(10)
   }
+
+  /** Multi-level subtotal report: order revenue by (customer nation, order
+    * year) with ROLLUP — per-(nation, year) detail rows, per-nation
+    * subtotals, and the grand total in one pass. Spark compiles the rollup
+    * into a single Expand + hash aggregate, so the fact side is scanned
+    * once and each grouping set still gets map-side partial aggregation
+    * (shuffle volume = Σ|grouping-set groups|, not rows×levels). Revenue is
+    * summed in exact integer cents (o_totalprice is exact 2-decimal data),
+    * so every subtotal — including the grand total, whose float
+    * accumulation noise WOULD straddle round-2 boundaries at large SF — is
+    * bit-exact cross-engine. Null group keys from rolled-up levels are
+    * coalesced to sentinels so sort order is engine-independent;
+    * `grouping_id` (bit 2 = nation rolled up, bit 1 = year rolled up)
+    * disambiguates a real nation named 'ALL' from the subtotal row. */
+  def qRollupRevenue(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        col("lvl"), col("revenue_cents"), col("n_orders"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val qRollupRevenueOracle: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(cast(year(o_orderdate) AS int), -1) AS o_year,
+      |  cast(grouping(n_name, year(o_orderdate)) AS int) AS lvl,
+      |  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS revenue_cents,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, year(o_orderdate))
+      |ORDER BY nation, o_year""".stripMargin
 }

@@ -203,4 +203,69 @@ class PlanSpec extends SparkSpec {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("rollup compiles to one Expand + one aggregate pass — no per-level rescan") {
+    // grouping sets must not multiply fact scans: one Expand node replays
+    // each row per grouping set into a single partial-agg pipeline, so the
+    // shuffle carries Σ|grouping-set groups|, and the scan count stays 1
+    val df = Tpch.qRollupRevenue(spark, Sf)
+    val s = physical(df).toString
+    assert(s.contains("Expand"), "rollup must plan an Expand, not a union of scans")
+    assert("Scan parquet ".r.findAllIn(s).count(_ => true) == 3,
+      "exactly one scan per table (orders + the two broadcast dims)")
+    assert(countShuffles(df) <= 2, "one aggregate exchange + the final sort only")
+  }
+
+  test("pivot with an explicit vocabulary is a single conditional aggregate") {
+    // the explicit value list keeps pivot from running a distinct-values
+    // job; the plan is one groupBy(hour) with per-type conditional counts
+    val df = Events.pivotHour(spark, Sf)
+    assert(countShuffles(df) <= 2, "pivot must add no shuffle beyond agg + sort")
+    assert("Scan parquet ".r.findAllIn(physical(df).toString).count(_ => true) == 1,
+      "pivot reads the fact table exactly once")
+  }
+
+  test("line dedup shuffles digests, not document text; hot lines ride a broadcast") {
+    val df = Dedup.lineDedup(spark, Sf)
+    assert(physical(df).toString.contains("BroadcastHashJoin"),
+      "the hot-line semi-join must broadcast the (small) boilerplate set")
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case e: ShuffleExchangeExec =>
+          assert(!e.child.output.exists(_.name == "text"),
+            "no exchange may carry the raw document text")
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(df))
+  }
+
+  test("semantic dedup assigns cells map-side: both member sides stream the codebook broadcast") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = Dedup.semantic(spark, Sf)
+    var joins = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case j: BroadcastNestedLoopJoinExec =>
+          joins += 1
+          val streamed = if (j.buildSide == BuildRight) j.left else j.right
+          def noShuffle(q: SparkPlan): Unit = {
+            assert(!q.isInstanceOf[ShuffleExchangeExec],
+              "the corpus side of the cell assignment must not shuffle")
+            q.children.foreach(noShuffle)
+          }
+          noShuffle(streamed)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(df))
+    assert(joins == 2, "one codebook broadcast per self-join side")
+    assert(physical(df).toString.toLowerCase.contains("nearestcell"),
+      "assignment must be the native NearestCell expression")
+  }
 }
