@@ -38,6 +38,8 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Tpch.q17SmallQty(s, d)),
     "q_running_totals" -> ((s, d) => Tpch.qRunningTotals(s, d)),
     "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
+    "q_cube_revenue" -> ((s, d) => Tpch.qCubeRevenue(s, d)),
+    "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -82,6 +84,7 @@ object SparkEntry {
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSource(s, d)),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dedup_lines_apply" -> ((s, d) => Dedup.lineDedupApply(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
@@ -339,6 +342,8 @@ object SparkEntry {
     "q17_small_qty" -> Tpch.q17Oracle,
     "q_running_totals" -> Tpch.qRunningTotalsOracle,
     "q_rollup_revenue" -> Tpch.qRollupRevenueOracle,
+    "q_cube_revenue" -> Tpch.qCubeRevenueOracle,
+    "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -449,6 +454,7 @@ object SparkEntry {
     "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
     "dedup_cross_source" -> Dedup.crossSourceOracle,
     "dedup_lines" -> Dedup.lineDedupOracle,
+    "dedup_lines_apply" -> Dedup.lineDedupApplyOracle,
     "dedup_semantic" -> Dedup.semanticOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,

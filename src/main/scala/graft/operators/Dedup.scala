@@ -902,7 +902,12 @@ object Dedup {
     * definition a SMALL set of distinct lines however many instances) then
     * BROADCASTS back against the line stream, so flagging each instance is
     * a map-side semi-join, not a second corpus-wide shuffle. */
-  def lineDedup(spark: SparkSession, d: String, minOcc: Int = 3): DataFrame = {
+  /** (doc_id, source, line_md5) stream of 10-token chunk digests over the
+    * boilerplate-planted corpus, plus its hot-line (count ≥ minOcc) set —
+    * the shared machinery of [[lineDedup]] (audit) and [[lineDedupApply]]
+    * (per-doc removal contract). */
+  private def lineStream(spark: SparkSession, d: String,
+      minOcc: Int): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
       when(col("doc_id") % 3 === 0, concat(lit(BoilerLine + " "), col("text")))
         .otherwise(col("text")).as("text"))
@@ -916,6 +921,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOcc)
       .select("line_md5")
+    (lines, hot)
+  }
+
+  def lineDedup(spark: SparkSession, d: String, minOcc: Int = 3): DataFrame = {
+    val (lines, hot) = lineStream(spark, d, minOcc)
     lines.join(broadcast(hot.withColumn("is_hot", lit(1))), Seq("line_md5"), "left")
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -945,6 +955,49 @@ object Dedup {
        |    AS n_boiler_lines
        |FROM lines LEFT JOIN hot USING (line_md5)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** APPLY the line dedup: per doc that loses at least one line, the
+    * removal contract a corpus-cleaning stage publishes — lines kept /
+    * removed and the doc's token count after removal (each removed line is
+    * exactly 10 tokens; the sub-chunk remainder is untouched). Same
+    * digest-shuffle + hot-broadcast shape as the audit; the per-doc group
+    * is the doc's own chunk list, so no corpus-wide state beyond the hot
+    * set. */
+  def lineDedupApply(spark: SparkSession, d: String, minOcc: Int = 3): DataFrame = {
+    val (lines, hot) = lineStream(spark, d, minOcc)
+    lines.join(broadcast(hot.withColumn("is_hot", lit(1))), Seq("line_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("is_hot"), lit(0)).cast("long")).as("n_removed"))
+      .filter(col("n_removed") > 0)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        ((col("n_lines") - col("n_removed")) * 10).as("n_tokens_kept_lines"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupApplyOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$BoilerLine ' || text
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS a FROM docs
+       |  WHERE len(string_split(text, ' ')) >= 10),
+       |ln0 AS (SELECT doc_id, source, a, unnest(range(0, len(a) // 10)) AS k FROM tk),
+       |lines AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(a[k*10+1:k*10+10], ' ')) AS line_md5
+       |  FROM ln0),
+       |hot AS (
+       |  SELECT line_md5 FROM lines GROUP BY 1 HAVING count(*) >= 3)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  cast(sum(CASE WHEN hot.line_md5 IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+       |    AS n_removed,
+       |  (count(*) - cast(sum(CASE WHEN hot.line_md5 IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS bigint)) * 10 AS n_tokens_kept_lines
+       |FROM lines LEFT JOIN hot USING (line_md5)
+       |GROUP BY 1 HAVING n_removed > 0 ORDER BY 1""".stripMargin
 
   // ---- semantic dedup (SemDeDup-style: cluster, then prune within cluster) ----
 

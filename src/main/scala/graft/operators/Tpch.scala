@@ -586,4 +586,100 @@ object Tpch {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP(n_name, year(o_orderdate))
       |ORDER BY nation, o_year""".stripMargin
+
+  /** CUBE(market segment, order year): all four grouping sets — detail,
+    * per-segment, per-year, grand total — in the same single Expand +
+    * aggregate pass as [[qRollupRevenue]] (CUBE only adds grouping sets to
+    * the Expand, never rescans); exact integer cents throughout so every
+    * marginal is bit-exact. The cross-marginals are what rollup cannot
+    * give: per-year totals ACROSS segments sit beside per-segment totals
+    * across years. */
+  def qCubeRevenue(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_year"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        col("lvl"), col("revenue_cents"), col("n_orders"))
+      .orderBy(col("segment"), col("o_year"), col("lvl"))
+  }
+
+  val qCubeRevenueOracle: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |  coalesce(cast(year(o_orderdate) AS int), -1) AS o_year,
+      |  cast(grouping(c_mktsegment, year(o_orderdate)) AS int) AS lvl,
+      |  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS revenue_cents,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, year(o_orderdate))
+      |ORDER BY segment, o_year, lvl""".stripMargin
+
+  /** Customer-spend decile report (ntile semantics) WITHOUT the
+    * single-reducer global window ntile needs: the exact global rank is
+    * assembled distributedly — range-repartition on the sort key, per-
+    * partition `row_number` (partitioned window — every reducer ranks its
+    * own slice), then each partition's start offset from a broadcast
+    * triangular join over the \|partitions\|-row count table. The rank is
+    * boundary-independent (whatever rows land where, slice-rank + offset
+    * = total-order position), so the sampled range boundaries don't hurt
+    * determinism. decile = (rank−1)·10 div n + 1, the exact integer closed
+    * form of SQL ntile (first n mod 10 buckets one row larger). Spend is
+    * exact cents, custkey breaks ties → a strict total order. */
+  def qSpendDeciles(spark: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("spend_cents"), count(lit(1)).as("n_orders"))
+    val sliced = spend
+      .repartitionByRange(col("spend_cents").desc, col("o_custkey").asc)
+      .withColumn("pid", spark_partition_id())
+    val counts = sliced.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.select(col("pid").as("bpid"), col("cnt").as("bcnt"))),
+        col("bpid") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("bcnt")), lit(0L)).as("offset"))
+    val n = spend.groupBy().agg(count(lit(1)).as("n"))
+    sliced
+      .withColumn("rn", row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("spend_cents").desc, col("o_custkey"))))
+      .join(broadcast(offsets), "pid")
+      .join(broadcast(n))
+      .withColumn("decile",
+        (expr("(rn + offset - 1) * 10 div n") + 1L).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"),
+        min(col("spend_cents")).as("min_spend_cents"),
+        max(col("spend_cents")).as("max_spend_cents"),
+        sum(col("spend_cents")).as("total_spend_cents"),
+        sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("decile"))
+  }
+
+  val qSpendDecilesOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS spend_cents,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (ORDER BY spend_cents DESC, o_custkey) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM spend),
+      |dec AS (
+      |  SELECT *, cast((rn - 1) * 10 // n + 1 AS int) AS decile FROM ranked)
+      |SELECT decile, count(*) AS n_custs,
+      |  min(spend_cents) AS min_spend_cents,
+      |  max(spend_cents) AS max_spend_cents,
+      |  cast(sum(spend_cents) AS bigint) AS total_spend_cents,
+      |  cast(sum(n_orders) AS bigint) AS n_orders
+      |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin
 }

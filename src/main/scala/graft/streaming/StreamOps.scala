@@ -77,6 +77,26 @@ object StreamOps {
       }
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` aggregate —
+    * the declarative twin of [[sessionize]]: same gap semantics, but the
+    * engine owns the merging-session state (sessions that touch within the
+    * gap merge inside the state store; a closed window emits once the
+    * watermark passes its end). Prefer this form when per-session output
+    * is aggregate-only — it keeps the whole pipeline in Catalyst; the
+    * fMGWS form remains for custom per-event session logic. Window start =
+    * first event, end = LAST EVENT + GAP (the standard session-window
+    * convention — subtract the gap to recover the last event time). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Exactly-once dedup by event id within the watermark horizon — the
     * streaming form of log-compaction/upsert. */
   def dedupById(events: DataFrame, lateness: String = "1 hour"): DataFrame =

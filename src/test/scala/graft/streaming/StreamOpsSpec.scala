@@ -303,6 +303,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agg emits the same sessions as the independent gap-split fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapSec = 1800L
+    val evRows = graft.Tables.events(spark, Sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val expected = evRows.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(_.ts.getTime)
+      val sessions = sorted.foldLeft(List.empty[List[StreamEvent]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e.ts.getTime - cur.head.ts.getTime <= gapSec * 1000) (e :: cur) :: done
+          else List(e) :: cur :: done
+      }
+      // session_window convention: start = first event, end = last + gap
+      sessions.map(s => (u, s.size.toLong,
+        math.round(s.map(_.value).sum * 100),
+        s.map(_.ts.getTime).min, s.map(_.ts.getTime).max + gapSec * 1000))
+    }.toSet
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionWindowAgg(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evRows: _*)
+      q.processAllAvailable()
+      val sentinel = StreamEvent(999999L, "x", 0.0,
+        new Timestamp(evRows.map(_.ts.getTime).max + 86400000L))
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, n_events, sum_value, session_start, session_end FROM sesswin WHERE user_id < 20")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      assert(expected.nonEmpty && got == expected,
+        s"native session_window diverged from the fold (missing: ${(expected -- got).take(3)}, extra: ${(got -- expected).take(3)})")
+    } finally q.stop()
+  }
+
   test("streaming sessionizer reproduces the gap-split sessions of an independent fold on real events") {
     implicit val sqlCtx = spark.sqlContext
     val gapSec = 1800L
