@@ -81,6 +81,7 @@ object SparkEntry {
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
     "shingle_stats_containment" -> ((s, d) => Dedup.shingleStatsContainment(s, d)),
     "docs_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "docs_decontaminate_bloom" -> ((s, d) => Dedup.decontaminateBloom(s, d)),
     "dedup_minhash_recall" -> ((s, d) => Dedup.minhashRecall(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSource(s, d)),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
@@ -96,6 +97,8 @@ object SparkEntry {
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
+    "ann_ivfpq" -> ((s, d) => Similarity.ivfPqSearchTopK(s, d)),
+    "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "vec_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
     "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
@@ -432,6 +435,8 @@ object SparkEntry {
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
+    "ann_ivfpq" -> Similarity.ivfPqSearchTopKOracle,
+    "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "vec_kmeans_step" -> Similarity.kmeansStepOracle,
     "vec_drift" -> Similarity.driftOracle,
@@ -451,6 +456,7 @@ object SparkEntry {
     "shingle_stats" -> Dedup.shingleStatsOracle,
     "shingle_stats_containment" -> Dedup.shingleStatsContainmentOracle,
     "docs_decontaminate" -> Dedup.decontaminateOracle,
+    "docs_decontaminate_bloom" -> Dedup.decontaminateBloomOracle,
     "dedup_minhash_recall" -> Dedup.minhashRecallOracle,
     "dedup_cross_source" -> Dedup.crossSourceOracle,
     "dedup_lines" -> Dedup.lineDedupOracle,

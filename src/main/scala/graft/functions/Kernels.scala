@@ -41,6 +41,11 @@ object Kernels {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Second independent 60-bit hash: md5 hex digits 16-30 — the other half
+    * of the same digest, so a k=2 Bloom filter costs ONE md5 per key. */
+  def hash60b(s: Column): Column =
+    conv(substring(md5(s), 16, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles of a token array (n=3). Empty for short docs. */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
@@ -114,6 +119,10 @@ object Kernels {
   /** DuckDB: 60-bit token hash of column expr `e`. */
   def sqlHash60(e: String): String =
     s"cast(concat('0x', substr(md5($e), 1, 15)) AS bigint)"
+
+  /** DuckDB: the second 60-bit hash (md5 hex digits 16-30). */
+  def sqlHash60b(e: String): String =
+    s"cast(concat('0x', substr(md5($e), 16, 15)) AS bigint)"
 
   /** DuckDB VALUES list of the MinHash permutation constants. */
   def sqlPermValues: String =

@@ -882,6 +882,101 @@ object Dedup {
        |FROM hits JOIN esizes ON esizes.doc_id = hits.eval_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bits per filter word: 62 keeps every mask shift in positive signed-64
+    * territory (no 1<<63 sign games to mirror across engines). */
+  private val BloomWordBits = 62
+
+  /** Decontamination via a broadcast BLOOM FILTER over the eval set's
+    * shingles — the shape that replaces [[decontaminate]]'s eval⋈train
+    * shingle join when the train side is 100 TB: the filter is m bits
+    * (m/62 bigint words) NO MATTER HOW BIG EITHER CORPUS IS, it broadcasts
+    * once, and probing is a map-side join per train shingle — the train
+    * corpus is never shuffled at all (the only exchange is the per-doc
+    * count aggregation, carrying doc ids). k=2 hashes from the two halves
+    * of one md5; filter words build with `bit_or` partial aggregation.
+    * Planted train re-entries of every eval doc are fully flagged
+    * (a Bloom filter has NO false negatives — set bits never lie that
+    * way); organic docs with flagged shingles quantify the false-positive
+    * rate at this m, the accuracy/size trade a deployment tunes. Same
+    * corpus construction as [[decontaminate]], so the two outputs are
+    * directly comparable. */
+  def decontaminateBloom(spark: SparkSession, d: String,
+      mBits: Int = 65536): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val train = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .unionAll(evalDocs.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val es = shingleRows(evalDocs).select(col("s")).distinct()
+    val eh = es.select(pmod(hash60(col("s")), lit(mBits.toLong)).as("p"))
+      .unionAll(es.select(pmod(hash60b(col("s")), lit(mBits.toLong)).as("p")))
+    val filt = eh
+      .select(expr(s"p div $BloomWordBits").as("word"),
+        expr(s"shiftleft(cast(1 AS bigint), cast(p % $BloomWordBits AS int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val probe = shingleRows(train)
+      .select(col("doc_id"),
+        pmod(hash60(col("s")), lit(mBits.toLong)).as("p1"),
+        pmod(hash60b(col("s")), lit(mBits.toLong)).as("p2"))
+    probe
+      .join(broadcast(filt.select(expr("word").as("w1"), col("bits").as("b1"))),
+        expr(s"p1 div $BloomWordBits") === col("w1"), "left")
+      .join(broadcast(filt.select(expr("word").as("w2"), col("bits").as("b2"))),
+        expr(s"p2 div $BloomWordBits") === col("w2"), "left")
+      .select(col("doc_id"),
+        when(col("b1").isNotNull &&
+          expr(s"b1 & shiftleft(cast(1 AS bigint), cast(p1 % $BloomWordBits AS int))") =!= 0L &&
+          col("b2").isNotNull &&
+          expr(s"b2 & shiftleft(cast(1 AS bigint), cast(p2 % $BloomWordBits AS int))") =!= 0L,
+          1L).otherwise(0L).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateBloomOracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |ev AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id % 97 != 0
+       |  UNION ALL SELECT doc_id + 5000000, text FROM ev),
+       |es AS (
+       |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT string_split(text, ' ') AS t FROM ev
+       |              WHERE len(string_split(text, ' ')) >= 3))),
+       |eh AS (
+       |  SELECT (${sqlHash60("s")} % 65536) AS p FROM es
+       |  UNION ALL
+       |  SELECT (${sqlHash60b("s")} % 65536) AS p FROM es),
+       |filt AS (
+       |  SELECT p // $BloomWordBits AS word,
+       |    bit_or(cast(1 AS bigint) << cast(p % $BloomWordBits AS int)) AS bits
+       |  FROM eh GROUP BY 1),
+       |ts AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train
+       |              WHERE len(string_split(text, ' ')) >= 3))),
+       |probe AS (
+       |  SELECT doc_id,
+       |    (${sqlHash60("s")} % 65536) AS p1,
+       |    (${sqlHash60b("s")} % 65536) AS p2
+       |  FROM ts),
+       |flagged AS (
+       |  SELECT doc_id,
+       |    CASE WHEN f1.bits IS NOT NULL
+       |      AND (f1.bits & (cast(1 AS bigint) << cast(p1 % $BloomWordBits AS int))) != 0
+       |      AND f2.bits IS NOT NULL
+       |      AND (f2.bits & (cast(1 AS bigint) << cast(p2 % $BloomWordBits AS int))) != 0
+       |    THEN 1 ELSE 0 END AS hit
+       |  FROM probe
+       |  LEFT JOIN filt f1 ON f1.word = p1 // $BloomWordBits
+       |  LEFT JOIN filt f2 ON f2.word = p2 // $BloomWordBits)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  cast(sum(hit) AS bigint) AS n_flagged
+       |FROM flagged GROUP BY 1 HAVING sum(hit) > 0 ORDER BY 1""".stripMargin
+
   // ---- line-level dedup (RefinedWeb/CCNet-style boilerplate-line removal) ----
 
   /** The planted boilerplate "line" (10 tokens = exactly one chunk). */

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Kernels._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -681,21 +681,19 @@ object Similarity {
     * round-6 centroids and [[vecPq]]'s argmin convention) and the m-term
     * total is summed in fixed subspace order — the oracle writes the same
     * left-associative chain, so adist matches bit-for-bit. */
-  def pqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64): DataFrame = {
-    val sw = dims / m
-    // ONE long-format codebook val feeds both the code assignment and the
-    // distance tables — same lineage → the corpus-sized aggregate's
-    // exchange is reused, not recomputed
-    val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
-    val codes = pqCodes(spark, d, m, dims, cbLong)
+  /** Per-query ADC distance tables as one row per query: `tab[sub][cell]`
+    * = round-6 squared distance from the query's subvector to that
+    * codebook cell. Query-sized shuffles only. Shared by [[pqSearchTopK]]
+    * and [[ivfPqSearchTopK]]. */
+  private def pqDistTables(spark: SparkSession, d: String, nQueries: Int,
+      sw: Int, cbLong: DataFrame): DataFrame = {
     val qcomp = Tables.embeddings(spark, d)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
       .withColumn("sub", expr(s"dim div $sw"))
       .withColumn("sd", pmod(col("dim"), lit(sw)))
-    val dt = qcomp
+    qcomp
       .join(cbLong, Seq("sub", "sd"))
       .select(col("query_id"), col("sub"), col("cell"),
         ((col("v") - col("c")) * (col("v") - col("c"))).as("sq"))
@@ -708,14 +706,32 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("darr")))).as("sd2"))
       .select(col("query_id"), transform(col("sd2"), x => x.getField("darr")).as("tab"))
-    val adist = (0 until m)
-      .map(s => element_at(element_at(col("tab"), s + 1), col(s"code_$s").cast("int") + 1))
-      .reduce(_ + _) // fixed left-assoc order: (((d0+d1)+d2)+d3, oracle-identical
+  }
+
+  /** Exact-integer m-term ADC total: each round-6 sub-distance scales to a
+    * micro count (bigint) before summation, so the total involves no float
+    * accumulation and no round boundary for the engines to disagree on
+    * (SURVEY §6 rule — the float round-4 form flipped a row by exactly
+    * 1e-4 once the candidate set changed). */
+  private def adistMicroExpr(m: Int): Column = (0 until m)
+    .map(s => round(element_at(element_at(col("tab"), s + 1),
+      col(s"code_$s").cast("int") + 1) * lit(1000000.0)).cast("long"))
+    .reduce(_ + _)
+
+  def pqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64): DataFrame = {
+    val sw = dims / m
+    // ONE long-format codebook val feeds both the code assignment and the
+    // distance tables — same lineage → the corpus-sized aggregate's
+    // exchange is reused, not recomputed
+    val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
+    val codes = pqCodes(spark, d, m, dims, cbLong)
+    val dt = pqDistTables(spark, d, nQueries, sw, cbLong)
     codes.join(broadcast(dt), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adist, 4).as("adist"))
+        adistMicroExpr(m).as("adist_micro"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))))
+        Window.partitionBy(col("query_id")).orderBy(col("adist_micro"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -741,20 +757,123 @@ object Similarity {
       |qdt AS (
       |  SELECT vec_id AS query_id, sub, cell, d2 FROM dists WHERE vec_id < 10),
       |persub AS (
-      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub, q.d2
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub,
+      |    cast(round(q.d2 * 1000000) AS bigint) AS d2u
       |  FROM codes c JOIN qdt q ON c.sub = q.sub AND c.cell = q.cell
       |  WHERE c.vec_id != q.query_id),
       |tot AS (
       |  SELECT query_id, neighbor_id,
-      |    round(((max(CASE WHEN sub = 0 THEN d2 END)
-      |      + max(CASE WHEN sub = 1 THEN d2 END))
-      |      + max(CASE WHEN sub = 2 THEN d2 END))
-      |      + max(CASE WHEN sub = 3 THEN d2 END), 4) AS adist
+      |    (((max(CASE WHEN sub = 0 THEN d2u END)
+      |      + max(CASE WHEN sub = 1 THEN d2u END))
+      |      + max(CASE WHEN sub = 2 THEN d2u END))
+      |      + max(CASE WHEN sub = 3 THEN d2u END)) AS adist_micro
       |  FROM persub GROUP BY 1, 2),
       |r AS (SELECT *, cast(row_number() OVER
-      |  (PARTITION BY query_id ORDER BY adist, neighbor_id) AS int) AS rank
+      |  (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS int) AS rank
       |  FROM tot)
-      |SELECT query_id, neighbor_id, adist, rank FROM r
+      |SELECT query_id, neighbor_id, adist_micro, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ: the full FAISS-style index shape — an IVF coarse quantizer
+    * bounds WHICH vectors a query scores (its own cell, \|corpus\|/nCells
+    * candidates) and PQ/ADC bounds WHAT is read per candidate (m code
+    * bytes + m table lookups, never the raw floats). Composition of
+    * [[ivfAssignments]] and [[vecPq]]'s machinery: cell AND codes are
+    * computed in ONE linear corpus pass chaining the two one-row broadcast
+    * codebooks (PlanSpec walks the streamed side — zero corpus exchange
+    * before the final per-query top-k), so at 100 TB the scan cost is
+    * m bytes × \|corpus\|/nCells per query. Same round-6/left-assoc ADC
+    * conventions as [[pqSearchTopK]], so adist is oracle-exact. */
+  def ivfPqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64,
+      nCells: Int = 16): DataFrame = {
+    val sw = dims / m
+    val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
+    // one corpus pass: IVF cell (cosine argmax vs broadcast centroid
+    // matrix) then m PQ codes (L2 argmins vs broadcast codebook) — chained
+    // broadcasts, no corpus-side exchange
+    val withCb = ivfAssignments(spark, d, nCells)
+      .join(broadcast(pqCodebook(cbLong)))
+    val corpus = (0 until m).foldLeft(withCb) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }.select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"code_$s")): _*)
+    val qcells = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val qdt = pqDistTables(spark, d, nQueries, sw, cbLong).join(qcells, "query_id")
+    // each round-6 sub-distance scales to an exact integer micro count, so
+    // the m-term total is a bigint sum — no float accumulation, no round-4
+    // boundary for the engines to disagree on (SURVEY §6 rule; the float
+    // form flipped one sf0.01 row by exactly 1e-4)
+    val adistMicro = (0 until m)
+      .map(s => round(element_at(element_at(col("tab"), s + 1),
+        col(s"code_$s").cast("int") + 1) * lit(1000000.0)).cast("long"))
+      .reduce(_ + _)
+    corpus.join(broadcast(qdt),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adistMicro.as("adist_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist_micro"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfPqSearchTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (
+      |  SELECT vec_id, (j-1) // 16 AS sub, (j-1) % 16 AS sd, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+      |  FROM comp GROUP BY 1, 2, 3),
+      |dists AS (
+      |  SELECT comp.vec_id, comp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+      |    FROM dists) WHERE r = 1),
+      |icents AS (
+      |  SELECT vec_id % 16 AS icell, j AS cj, round(avg(e[j]), 6) AS c
+      |  FROM x GROUP BY 1, 2),
+      |icnorms AS (SELECT icell, sqrt(sum(c*c)) AS cnorm FROM icents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |idots AS (
+      |  SELECT x.vec_id, icents.icell, sum(e[j] * c) AS dot
+      |  FROM x JOIN icents ON x.j = icents.cj GROUP BY 1, 2),
+      |iassigned AS (
+      |  SELECT vec_id, icell FROM (
+      |    SELECT d.vec_id, d.icell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.icell) AS arank
+      |    FROM idots d JOIN icnorms cn ON d.icell = cn.icell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |qdt AS (
+      |  SELECT vec_id AS query_id, sub, cell, d2 FROM dists WHERE vec_id < 10),
+      |persub AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub,
+      |    cast(round(q.d2 * 1000000) AS bigint) AS d2u
+      |  FROM codes c
+      |  JOIN iassigned ia ON ia.vec_id = c.vec_id
+      |  JOIN qdt q ON c.sub = q.sub AND c.cell = q.cell
+      |  JOIN iassigned qa ON qa.vec_id = q.query_id AND qa.icell = ia.icell
+      |  WHERE c.vec_id != q.query_id),
+      |tot AS (
+      |  SELECT query_id, neighbor_id,
+      |    (((max(CASE WHEN sub = 0 THEN d2u END)
+      |      + max(CASE WHEN sub = 1 THEN d2u END))
+      |      + max(CASE WHEN sub = 2 THEN d2u END))
+      |      + max(CASE WHEN sub = 3 THEN d2u END)) AS adist_micro
+      |  FROM persub GROUP BY 1, 2),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS int) AS rank
+      |  FROM tot)
+      |SELECT query_id, neighbor_id, adist_micro, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Recall@k of the ADC/PQ search against exact squared-L2 ground truth —
@@ -796,6 +915,52 @@ object Similarity {
        |  ORDER BY d2, neighbor_id) AS rank FROM ts),
        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5),
        |approx AS (SELECT query_id, neighbor_id FROM ($pqSearchTopKOracle) s)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Recall@k of the full IVF-PQ index vs exact squared-L2 truth — the
+    * eval that prices BOTH approximations at once: a missed neighbor is
+    * either outside the probed cell (IVF loss, the nprobe knob) or
+    * misranked by quantized distances (PQ loss, the m/k knobs). Read next
+    * to [[pqRecall]] (PQ loss alone) to attribute the gap. */
+  def ivfPqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val truth = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqSearchTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val ivfPqRecallOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(v.e, v.e)
+       |      - 2 * list_dot_product(qe, v.e), 4) AS d2
+       |  FROM q, v WHERE v.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY d2, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5),
+       |approx AS (SELECT query_id, neighbor_id FROM ($ivfPqSearchTopKOracle) s)
        |SELECT t.query_id,
        |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
        |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k

@@ -242,6 +242,52 @@ class PlanSpec extends SparkSpec {
     walk(physical(df))
   }
 
+  test("ivf-pq: cell + codes come from chained broadcasts, corpus shuffles only at the top-k") {
+    // the composed index must keep both assignment passes map-side: the
+    // only corpus-sized exchange allowed is the final per-query rank
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val df = Similarity.ivfPqSearchTopK(spark, Sf)
+    val s = physical(df).toString
+    assert(s.toLowerCase.contains("nearestcell"),
+      "both quantizers must be native NearestCell expressions")
+    assert(s.contains("WindowGroupLimit"),
+      "the per-query top-k must prune map-side before the rank shuffle")
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    var bnlj = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case j: BroadcastNestedLoopJoinExec =>
+          bnlj += 1
+          val streamed = if (j.buildSide == BuildRight) j.left else j.right
+          // the streamed side may itself contain the INNER broadcast join;
+          // its build (small) side shuffles legitimately while building the
+          // codebook — only the streamed spine must stay exchange-free
+          def noShuffle(q: SparkPlan): Unit = q match {
+            case _: BroadcastExchangeExec => // small-side build: don't descend
+            case s: ShuffleExchangeExec =>
+              fail(s"corpus-side exchange before the assignment broadcasts: $s")
+            case other => other.children.foreach(noShuffle)
+          }
+          noShuffle(streamed)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(df))
+    assert(bnlj >= 2, "expected the chained centroid-matrix and PQ-codebook broadcasts")
+  }
+
+  test("bloom decontamination probes ride broadcasts — the train corpus never sort-merge-joins") {
+    val df = Dedup.decontaminateBloom(spark, Sf)
+    val s = physical(df).toString
+    assert(!s.contains("SortMergeJoin"),
+      "the Bloom probe must be a broadcast join, not a corpus-side shuffle join")
+    assert("BroadcastHashJoin".r.findAllIn(s).count(_ => true) >= 2,
+      "both hash probes must join the broadcast filter words")
+  }
+
   test("semantic dedup assigns cells map-side: both member sides stream the codebook broadcast") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec

@@ -71,6 +71,28 @@ class Round6Spec extends SparkSpec {
     assert(flagged < lines, "flagging everything would mean the threshold is broken")
   }
 
+  test("bloom decontamination: planted re-entries fully flagged (no false negatives), fp below signal") {
+    val df = Dedup.decontaminateBloom(spark, Sf).cache()
+    try {
+      val planted = df.filter(col("doc_id") >= 5000000L).collect()
+      assert(planted.nonEmpty, "the planted eval re-entries must be reported")
+      planted.foreach { r =>
+        // Bloom filters have no false negatives: a doc whose shingles were
+        // ALL inserted must have every shingle flagged
+        assert(r.getAs[Long]("n_flagged") == r.getAs[Long]("n_shingles"),
+          s"planted doc ${r.getAs[Long]("doc_id")} partially flagged")
+      }
+      // flagged shingles on organic docs mix genuine eval overlap with
+      // Bloom false positives; the invariant that holds regardless is that
+      // the filter stays SELECTIVE — most of the train corpus is untouched
+      val flagged = df.agg(coalesce(sum("n_flagged"), lit(0L))).head().getLong(0)
+      val totalShingles = df.agg(coalesce(sum("n_shingles"), lit(0L))).head().getLong(0)
+      assert(flagged >= planted.map(_.getAs[Long]("n_flagged")).sum)
+      assert(flagged.toDouble / math.max(totalShingles, 1L) < 0.9,
+        "even among reported docs the filter must not blanket-flag everything")
+    } finally df.unpersist()
+  }
+
   test("semantic dedup: every planted scaled copy is pruned back to its original") {
     val df = Dedup.semantic(spark, Sf).cache()
     try {
