@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // one JVM runs 120+ distinct query plans back-to-back (Bench/Verify);
+  // every plan codegen-compiles new classes, and the JDK defaults
+  // (1 GiB compressed class space, 240 MiB code cache) fill up near the
+  // end of the sweep — the JVM then GC-thrashes and drops to interpreted
+  // execution, inflating late-query timings ~50×. Size both for the
+  // whole sweep.
+  "-XX:CompressedClassSpaceSize=2g",
+  "-XX:MaxMetaspaceSize=4g",
+  "-XX:ReservedCodeCacheSize=512m",
 )

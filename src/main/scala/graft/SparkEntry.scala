@@ -118,6 +118,7 @@ object SparkEntry {
     "docs_gopher_audit" -> ((s, d) => Pipeline.gopherAudit(s, d)),
     "docs_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
+    "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
@@ -478,6 +479,7 @@ object SparkEntry {
     "docs_gopher_audit" -> Pipeline.gopherAuditOracle,
     "docs_token_budget" -> Pipeline.tokenBudgetOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
+    "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,

@@ -124,6 +124,27 @@ object Kernels {
   def sqlHash60b(e: String): String =
     s"cast(concat('0x', substr(md5($e), 16, 15)) AS bigint)"
 
+  /** Membership test of string column `s` against a k=2 Bloom filter whose
+    * bit words ride along as a LITERAL array (62 bits per word, dense by
+    * word index — the layout graft.operators.Dedup builds). A pure column
+    * expression: the filter is embedded in the plan, so probing needs no
+    * join and no state — usable as-is in a streaming projection. */
+  def bloomContains(s: Column, words: Seq[Long], mBits: Int): Column = {
+    val w = typedLit(words)
+    def bitSet(h: Column): Column = {
+      val p = pmod(h, lit(mBits.toLong))
+      // p < 2^17, so the double quotient truncates to the exact word index
+      val word = element_at(w, (p / lit(62)).cast("int") + 1)
+      word.bitwiseAND(shiftLeftVar(pmod(p, lit(62L)))) =!= 0L
+    }
+    bitSet(hash60(s)) && bitSet(hash60b(s))
+  }
+
+  /** shiftleft(1L, n) for a COLUMN bit count (the Scala-API shiftleft only
+    * takes a literal): 2^n via double pow — exact for 0 ≤ n ≤ 62. */
+  private def shiftLeftVar(n: Column): Column =
+    pow(lit(2.0), n.cast("double")).cast("long")
+
   /** DuckDB VALUES list of the MinHash permutation constants. */
   def sqlPermValues: String =
     (0 until NumPerms).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")

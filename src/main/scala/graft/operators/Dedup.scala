@@ -900,19 +900,38 @@ object Dedup {
     * rate at this m, the accuracy/size trade a deployment tunes. Same
     * corpus construction as [[decontaminate]], so the two outputs are
     * directly comparable. */
+  /** The sparse (word → bits) Bloom filter over the eval set's shingles. */
+  private def evalBloomFilter(spark: SparkSession, d: String, mBits: Int): DataFrame = {
+    val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val es = shingleRows(evalDocs).select(col("s")).distinct()
+    val eh = es.select(pmod(hash60(col("s")), lit(mBits.toLong)).as("p"))
+      .unionAll(es.select(pmod(hash60b(col("s")), lit(mBits.toLong)).as("p")))
+    eh.select(expr(s"p div $BloomWordBits").as("word"),
+        expr(s"shiftleft(cast(1 AS bigint), cast(p % $BloomWordBits AS int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** The eval set's Bloom filter as a DENSE word array (index = word id) —
+    * the publishable model artifact a batch decontamination pass hands to
+    * OTHER jobs, including streams: m/62 longs regardless of how big either
+    * corpus is (the one deliberate driver-side collect in the module —
+    * 8 KiB here, still only ~2 MiB at m=10^9 bits for a billion-shingle
+    * eval suite). [[graft.streaming.StreamOps.decontaminateStream]] embeds
+    * it as a literal so stream-side probing is a stateless projection. */
+  def bloomFilterWords(spark: SparkSession, d: String, mBits: Int = 65536): Array[Long] = {
+    val sparse = evalBloomFilter(spark, d, mBits).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    Array.tabulate(mBits / BloomWordBits + 1)(i => sparse.getOrElse(i, 0L))
+  }
+
   def decontaminateBloom(spark: SparkSession, d: String,
       mBits: Int = 65536): DataFrame = {
     val base = Tables.documents(spark, d).select(col("doc_id"), col("text"))
     val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
     val train = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
       .unionAll(evalDocs.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
-    val es = shingleRows(evalDocs).select(col("s")).distinct()
-    val eh = es.select(pmod(hash60(col("s")), lit(mBits.toLong)).as("p"))
-      .unionAll(es.select(pmod(hash60b(col("s")), lit(mBits.toLong)).as("p")))
-    val filt = eh
-      .select(expr(s"p div $BloomWordBits").as("word"),
-        expr(s"shiftleft(cast(1 AS bigint), cast(p % $BloomWordBits AS int))").as("mask"))
-      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val filt = evalBloomFilter(spark, d, mBits)
     val probe = shingleRows(train)
       .select(col("doc_id"),
         pmod(hash60(col("s")), lit(mBits.toLong)).as("p1"),

@@ -604,4 +604,44 @@ object Pipeline {
       |SELECT shard, cast((cum - tok) // 2048 AS bigint) AS seq_id,
       |  count(*) AS n_docs, cast(sum(tok) AS bigint) AS n_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Writer-shard balance audit: when the corpus fans out to nShards
+    * parallel writers by hashed doc id, how even is the split? Per shard:
+    * docs, tokens, and the token load relative to a perfectly uniform
+    * share (load_ratio = shard_tokens · nShards / total_tokens — 1.0 is
+    * perfect). The audit that catches a skewed partitioner BEFORE a 100 TB
+    * write ships 90% of the data through 3 writers. Hashing the id (not
+    * `id mod n`) is the point: sequential ids mod n are uniform by
+    * accident of the generator, hashed ids are uniform by construction.
+    * One map pass + an \|nShards\|-row aggregate; the total broadcasts
+    * back — nothing corpus-sized moves. */
+  def shardSkew(spark: SparkSession, d: String, nShards: Int = 32): DataFrame = {
+    import graft.functions.Kernels.hash60
+    val docs = Tables.documents(spark, d)
+      .select(pmod(hash60(col("doc_id").cast("string")), lit(nShards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+    val perShard = docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val total = perShard.groupBy().agg(sum(col("n_tokens")).as("total_tokens"))
+    perShard.join(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round((col("n_tokens") * nShards).cast("double") / col("total_tokens"), 4)
+          .as("load_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  val shardSkewOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH d AS (
+       |  SELECT (${sqlHash60("cast(doc_id AS varchar)")} % 32) AS shard,
+       |    cast(len(string_split(text, ' ')) AS bigint) AS tok
+       |  FROM documents),
+       |ps AS (
+       |  SELECT shard, count(*) AS n_docs, cast(sum(tok) AS bigint) AS n_tokens
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT cast(sum(n_tokens) AS bigint) AS total_tokens FROM ps)
+       |SELECT shard, n_docs, n_tokens,
+       |  round(cast(n_tokens * 32 AS double) / total_tokens, 4) AS load_ratio
+       |FROM ps, t ORDER BY shard""".stripMargin
+  }
 }

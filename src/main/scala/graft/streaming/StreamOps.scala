@@ -97,6 +97,26 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming decontamination: probe each incoming document's shingles
+    * against the Bloom filter a BATCH pass built
+    * ([[graft.operators.Dedup.bloomFilterWords]]) — the ship-the-model
+    * handoff: the filter words are embedded in the plan as a literal
+    * array, so the stream side is a STATELESS projection (no join, no
+    * state store, no watermark; append-mode trivially). This is how a
+    * 100 TB ingest keeps eval contamination out in-flight: the filter is
+    * m/62 longs however big the corpora are, and re-publishing a new
+    * filter is a plan swap, not a stateful migration. Emits the same
+    * (n_shingles, n_flagged) accounting as the batch
+    * `docs_decontaminate_bloom`, so the two are parity-checkable. */
+  def decontaminateStream(docs: DataFrame, filterWords: Seq[Long],
+      mBits: Int = 65536): DataFrame = {
+    import graft.functions.Kernels.{bloomContains, shingles3, tokens}
+    docs
+      .select(col("doc_id"), array_distinct(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        size(filter(col("sh"), s => bloomContains(s, filterWords, mBits))).as("n_flagged"))
+  }
+
   /** Exactly-once dedup by event id within the watermark horizon — the
     * streaming form of log-compaction/upsert. */
   def dedupById(events: DataFrame, lateness: String = "1 hour"): DataFrame =

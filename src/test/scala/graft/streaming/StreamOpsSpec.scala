@@ -303,6 +303,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bloom decontamination flags exactly what the batch pass flags") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch pass publishes its filter words; the stream embeds them
+    val words = graft.operators.Dedup.bloomFilterWords(spark, Sf)
+    // same train construction as the batch operator: organic + planted
+    val base = graft.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val trainRows = base.filter(col("doc_id") % 97 =!= 0)
+      .unionAll(base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), words.toSeq)
+      .writeStream.format("memory").queryName("bloomstream").start()
+    try {
+      in.addData(trainRows: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_shingles, n_flagged FROM bloomstream WHERE n_flagged > 0")
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong)).toSet
+      val want = graft.operators.Dedup.decontaminateBloom(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream/batch divergence (missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    } finally q.stop()
+  }
+
   test("native session_window agg emits the same sessions as the independent gap-split fold") {
     implicit val sqlCtx = spark.sqlContext
     val gapSec = 1800L
