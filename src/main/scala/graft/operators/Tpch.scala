@@ -637,9 +637,16 @@ object Tpch {
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("cents")).as("spend_cents"), count(lit(1)).as("n_orders"))
+    // localCheckpoint pins ONE materialization of the range exchange: the
+    // counts/offsets branch and the row_number branch below both read it.
+    // Without the pin they are two logical scans of a RangePartitioner whose
+    // sampled boundaries carry an RDD-id-dependent seed — if exchange reuse
+    // ever fails to kick in (exchange.reuse=false, AQE divergence), the
+    // pid→offset map would silently mismatch the window's partitioning.
     val sliced = spend
       .repartitionByRange(col("spend_cents").desc, col("o_custkey").asc)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val counts = sliced.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.select(col("pid").as("bpid"), col("cnt").as("bcnt"))),
