@@ -531,9 +531,13 @@ object Dedup {
       .filter(col("n_members") > 1)
       .orderBy(col("cluster_id"))
 
-  /** Converged (doc_id, label) assignment for every doc in the near-dup
-    * corpus — label = component-minimum doc id; singletons label
-    * themselves. The BSP loop [[clusters]] aggregates. */
+  /** Converged (doc_id, label) assignment for near-dup EDGE ENDPOINTS
+    * only — label = component-minimum doc id. Since the edge-induced
+    * change, docs with no near-dup pair are ABSENT from the output (their
+    * state never rides a superstep); callers that need a full-corpus
+    * labeling must left-join and `coalesce(label, doc_id)` — see
+    * [[dedupApply]] for the pattern. The BSP loop [[clusters]]
+    * aggregates. */
   def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
     // edge-induced vertices: the BSP label state is O(dup endpoints), not
@@ -778,9 +782,19 @@ object Dedup {
     * any recall eval — at 100 TB this runs on a SAMPLED subcorpus (the
     * banding probability 1−(1−J^r)^b is per-pair, so a uniform doc sample
     * estimates the same recall curve), while the banded index itself runs
-    * on the full corpus. */
-  def minhashRecall(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame = {
-    val sh = shingleRows(docsWithNearDups(spark, d))
+    * on the full corpus. `truthSample` > 1 IS that mode: a deterministic
+    * xxhash64 doc-bucket sample (same subset every run) restricts BOTH the
+    * exact-Jaccard truth join and the banded candidates to ~1/truthSample
+    * of the docs — surviving pairs need both endpoints sampled, so the
+    * truth join shrinks quadratically (truthSample²×) while the per-pair
+    * banding probability, hence the recall estimand, is unchanged
+    * (spec-pinned tolerance vs full truth). */
+  def minhashRecall(spark: SparkSession, d: String, minJac: Double = 0.5,
+      truthSample: Int = 1): DataFrame = {
+    val docs = if (truthSample <= 1) docsWithNearDups(spark, d)
+      else docsWithNearDups(spark, d)
+        .filter(pmod(xxhash64(col("doc_id")), lit(truthSample.toLong)) === 0L)
+    val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")

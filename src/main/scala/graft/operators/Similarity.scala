@@ -29,12 +29,30 @@ object Similarity {
       .select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("e"))
       .withColumn("norm", vecNorm(col("e")))
 
+  /** Deterministic hash-bucket corpus sample — the sampled-ground-truth
+    * mode of the recall evals. Keeps vectors whose xxhash64(vec_id) falls
+    * in bucket 0 of `sampleMod` buckets (~1/sampleMod of the corpus, the
+    * SAME subset on every run and every engine), plus every query vector.
+    * `sampleMod=1` is a no-op (plan unchanged — the oracle rows run there).
+    * At 100 TB the exact ground-truth half of a recall eval is the only
+    * O(\|queries\|·\|corpus\|) scan left in the library; sampling the
+    * candidate corpus on BOTH the truth and approx sides preserves the
+    * recall estimand (hit probability is per (query, neighbor) pair and
+    * the sample is independent of rank) while cutting that scan by
+    * sampleMod×. */
+  private def corpusSample(v: DataFrame, nQueries: Int, sampleMod: Int): DataFrame =
+    if (sampleMod <= 1) v
+    else v.filter(col("vec_id") < nQueries ||
+      pmod(xxhash64(col("vec_id")), lit(sampleMod.toLong)) === 0L)
+
   /** Exact cosine top-k for query vectors (vec_id < nQueries). */
-  def bruteforceTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def bruteforceTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      sampleMod: Int = 1): DataFrame = {
     val v = normed(spark, d)
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = corpusSample(v, nQueries, sampleMod)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
     val byQuery = Window.partitionBy(col("query_id"))
@@ -58,13 +76,14 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ANN via random-hyperplane LSH: candidates share the query's bucket. */
-  def lshTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+  def lshTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      sampleMod: Int = 1): DataFrame = {
     val v = normed(spark, d)
       .withColumn("bucket", lshBucket(col("e")))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("bucket"))
-    val scored = v.join(broadcast(q), Seq("bucket"))
+    val scored = corpusSample(v, nQueries, sampleMod).join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
@@ -150,12 +169,12 @@ object Similarity {
     * genuine coarse quantizer.
     */
   def ivfTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16, sampleMod: Int = 1): DataFrame = {
     val members = ivfAssignments(spark, d, nCells)
     val q = members.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("norm").as("qnorm"), col("cell"))
-    val scored = members.join(broadcast(q), Seq("cell"))
+    val scored = corpusSample(members, nQueries, sampleMod).join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
@@ -214,7 +233,7 @@ object Similarity {
     * the member assignment, so probe cell 1 always equals the query's own
     * cell. Corpus side stays exchange-free. */
   def ivfProbeTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, sampleMod: Int = 1): DataFrame = {
     val members = ivfAssignments(spark, d, nCells)
     val probes = normed(spark, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
@@ -227,7 +246,8 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qe"), col("qnorm"), col("cell").cast("long").as("cell"))
-    val scored = members.join(broadcast(probes), Seq("cell"))
+    val scored = corpusSample(members, nQueries, sampleMod)
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
@@ -329,11 +349,20 @@ object Similarity {
   /** Recall@k of the LSH index against brute-force ground truth, per
     * query — the index-quality eval an ANN deployment publishes alongside
     * the index itself. Composes the two existing operators; hits counted
-    * with a left join against the truth set. */
-  def annRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val truth = bruteforceTopK(spark, d, nQueries, k)
+    * with a left join against the truth set.
+    *
+    * `truthSample` > 1 turns on the sampled-ground-truth mode: truth AND
+    * approx both search the same deterministic 1/truthSample hash-bucket
+    * sub-corpus ([[corpusSample]]), so the exact side's
+    * \|queries\|×\|corpus\| scan — the only non-index-bounded cost in the
+    * eval — shrinks by truthSample× while the recall estimate stays
+    * unbiased (spec-pinned tolerance vs full truth). That is the 100 TB
+    * path for every recall eval in this object. */
+  def annRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      truthSample: Int = 1): DataFrame = {
+    val truth = bruteforceTopK(spark, d, nQueries, k, truthSample)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = lshTopK(spark, d, nQueries, k)
+    val approx = lshTopK(spark, d, nQueries, k, truthSample)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -374,12 +403,13 @@ object Similarity {
     * [[bruteforceTopK]], [[ivfTopK]], [[ivfProbeTopK]]; hits counted with
     * left joins against the truth set (each at most one match per pair, no
     * fan-out). */
-  def ivfRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val truth = bruteforceTopK(spark, d, nQueries, k)
+  def ivfRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      truthSample: Int = 1): DataFrame = {
+    val truth = bruteforceTopK(spark, d, nQueries, k, truthSample)
       .select(col("query_id"), col("neighbor_id"))
-    val a1 = ivfTopK(spark, d, nQueries, k)
+    val a1 = ivfTopK(spark, d, nQueries, k, sampleMod = truthSample)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("h1"))
-    val a2 = ivfProbeTopK(spark, d, nQueries, k)
+    val a2 = ivfProbeTopK(spark, d, nQueries, k, sampleMod = truthSample)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("h2"))
     truth.join(a1, Seq("query_id", "neighbor_id"), "left")
       .join(a2, Seq("query_id", "neighbor_id"), "left")
@@ -412,6 +442,18 @@ object Similarity {
        |LEFT JOIN a1 ON t.query_id = a1.query_id AND t.neighbor_id = a1.neighbor_id
        |LEFT JOIN a2 ON t.query_id = a2.query_id AND t.neighbor_id = a2.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The coarse-quantizer centroid matrix as a LOCAL model artifact
+    * (\|cells\|×dims doubles — ~8 KiB at the defaults, size independent of
+    * the corpus), for shipping into a streaming plan as a literal: the
+    * k-means analogue of [[graft.operators.Dedup.bloomFilterWords]]'s
+    * publish step. The `.head()` here is the documented model-artifact
+    * collect (one row after the \|cells\|·dims aggregate), NOT a query
+    * hot path — the consumer is
+    * [[graft.streaming.StreamOps.assignCellsStream]]. */
+  def centroidMatrixLocal(spark: SparkSession, d: String, nCells: Int = 16): Seq[Seq[Double]] =
+    centroidMatrix(spark, d, nCells).head().getSeq[scala.collection.Seq[Double]](0)
+      .map(_.toSeq).toSeq
 
   /** One Lloyd iteration of the IVF coarse quantizer: re-assign every
     * vector to its nearest centroid (the map-side [[ivfAssignments]]
@@ -719,7 +761,8 @@ object Similarity {
     .reduce(_ + _)
 
   def pqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64): DataFrame = {
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64,
+      sampleMod: Int = 1): DataFrame = {
     val sw = dims / m
     // ONE long-format codebook val feeds both the code assignment and the
     // distance tables — same lineage → the corpus-sized aggregate's
@@ -727,7 +770,8 @@ object Similarity {
     val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
     val codes = pqCodes(spark, d, m, dims, cbLong)
     val dt = pqDistTables(spark, d, nQueries, sw, cbLong)
-    codes.join(broadcast(dt), col("vec_id") =!= col("query_id"))
+    corpusSample(codes, nQueries, sampleMod)
+      .join(broadcast(dt), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adistMicroExpr(m).as("adist_micro"))
       .withColumn("rank", row_number().over(
@@ -786,7 +830,7 @@ object Similarity {
     * conventions as [[pqSearchTopK]], so adist is oracle-exact. */
   def ivfPqSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16, sampleMod: Int = 1): DataFrame = {
     val sw = dims / m
     val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
     // one corpus pass: IVF cell (cosine argmax vs broadcast centroid
@@ -801,18 +845,10 @@ object Similarity {
     val qcells = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
     val qdt = pqDistTables(spark, d, nQueries, sw, cbLong).join(qcells, "query_id")
-    // each round-6 sub-distance scales to an exact integer micro count, so
-    // the m-term total is a bigint sum — no float accumulation, no round-4
-    // boundary for the engines to disagree on (SURVEY §6 rule; the float
-    // form flipped one sf0.01 row by exactly 1e-4)
-    val adistMicro = (0 until m)
-      .map(s => round(element_at(element_at(col("tab"), s + 1),
-        col(s"code_$s").cast("int") + 1) * lit(1000000.0)).cast("long"))
-      .reduce(_ + _)
-    corpus.join(broadcast(qdt),
+    corpusSample(corpus, nQueries, sampleMod).join(broadcast(qdt),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adistMicro.as("adist_micro"))
+        adistMicroExpr(m).as("adist_micro"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("adist_micro"), col("neighbor_id"))))
       .filter(col("rank") <= k)
@@ -881,12 +917,14 @@ object Similarity {
     * reduction with a number, mirroring [[annRecall]]'s pattern for LSH.
     * Truth uses the dot-product identity ‖q−x‖² = q·q + x·x − 2·q·x with
     * every dot a fixed left-fold, so the oracle reproduces it exactly. */
-  def pqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def pqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      truthSample: Int = 1): DataFrame = {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val truth = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val truth = corpusSample(v, nQueries, truthSample)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
           - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
@@ -894,7 +932,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = pqSearchTopK(spark, d, nQueries, k)
+    val approx = pqSearchTopK(spark, d, nQueries, k, sampleMod = truthSample)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -927,12 +965,14 @@ object Similarity {
     * either outside the probed cell (IVF loss, the nprobe knob) or
     * misranked by quantized distances (PQ loss, the m/k knobs). Read next
     * to [[pqRecall]] (PQ loss alone) to attribute the gap. */
-  def ivfPqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def ivfPqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      truthSample: Int = 1): DataFrame = {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val truth = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val truth = corpusSample(v, nQueries, truthSample)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
           - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
@@ -940,7 +980,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfPqSearchTopK(spark, d, nQueries, k)
+    val approx = ivfPqSearchTopK(spark, d, nQueries, k, sampleMod = truthSample)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
