@@ -45,6 +45,8 @@ object SparkEntry {
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
     "sse_normalize" -> ((s, d) => Events.sseNormalize(s, d)),
     "sse_route" -> ((s, d) => Events.sseRoute(s, d)),
+    "sse_project" -> ((s, d) => Events.sseProject(s, d)),
+    "sse_extract_field" -> ((s, d) => Events.sseExtractField(s, d)),
     "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
     "ev_metrics" -> ((s, d) => Events.metrics(s, d)),
     "ev_window_counts" -> ((s, d) => Events.windowCounts(s, d)),
@@ -400,6 +402,8 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value),2) AS sum_value,
         |  min(tsec) AS session_start, max(tsec) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "sse_project" -> Events.sseProjectOracle,
+    "sse_extract_field" -> Events.sseExtractFieldOracle,
     "ev_json_extract" ->
       """SELECT cast(regexp_extract(props,'[0-9]+') AS bigint) % 10 AS k_bucket,
         | count(*) AS n_events, round(avg(value),4) AS avg_value

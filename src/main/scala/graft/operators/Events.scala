@@ -242,6 +242,121 @@ object Events {
       .orderBy(col("k_bucket"))
   }
 
+  /** Explicit StructType for the typed payload projection — mirrors the
+    * field surface of the reference's published stream schema
+    * (reference config/wikimedia.recentchange.schema.json: required
+    * `meta{id,dt,stream}`, plus `id`/`type`/`title`/`namespace`/`bot`/
+    * `length{old,new}`). Shared by the batch [[sseProject]] row and the
+    * streaming twin so both sides parse against the SAME contract. */
+  val payloadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("$schema", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("id", StringType), StructField("dt", StringType),
+        StructField("domain", StringType), StructField("stream", StringType)))),
+      StructField("id", LongType),
+      StructField("type", StringType),
+      StructField("title", StringType),
+      StructField("namespace", IntegerType),
+      StructField("bot", BooleanType),
+      StructField("length", StructType(Seq(
+        StructField("old", IntegerType), StructField("new", IntegerType))))))
+  }
+
+  /** Wire-shaped recentchange document for each event, assembled as TEXT
+    * (concat, deliberately NOT `to_json(struct(...))` — Catalyst's
+    * OptimizeJsonExprs would collapse `from_json(to_json(s))` back to `s`
+    * and the JSON path would never execute). The repo's `props` payload
+    * stands in for the reference's wire JSON; its `k` field becomes the
+    * page title, and the remaining fields derive deterministically from
+    * the event columns so the DuckDB oracle can reproduce the aggregate
+    * without a JSON engine. */
+  def payloadFrame: org.apache.spark.sql.Column =
+    concat(
+      lit("""{"$schema":"/mediawiki/recentchange/1.0.0","meta":{"id":""""),
+      col("event_id").cast("string"),
+      lit("""","dt":""""), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit("""","domain":"graft.test","stream":"graft."""),
+      col("event_type"),
+      lit(""""},"id":"""), col("event_id").cast("string"),
+      lit(""","type":""""), col("event_type"),
+      lit("""","title":"Page_"""), regexp_extract(col("props"), "[0-9]+", 0),
+      lit("""","namespace":"""), (col("user_id") % 16).cast("int").cast("string"),
+      lit(""","bot":"""), (col("user_id") % 7 === 0).cast("string"),
+      lit(""","length":{"old":"""), length(col("props")).cast("string"),
+      lit(""","new":"""),
+      (length(col("props")) + (col("event_id") % 1000).cast("int")).cast("string"),
+      lit("}}"))
+
+  /** Typed-schema projection of the SSE payload — the reference's actual
+    * consumption pattern: its users deserialize `data` against the
+    * published JSON schema (reference
+    * config/wikimedia.recentchange.schema.json, declared in
+    * wikipedia-edit-connect-schema.json) into a typed record, not a
+    * string. Each event's wire document ([[payloadFrame]]) is projected
+    * through `from_json` with the explicit [[payloadSchema]] StructType
+    * into nested typed columns (`rec.meta.stream`, `rec.length.new`, …)
+    * and aggregated on them. Stateless map + partial-agg shuffle on
+    * (stream, namespace): at 100 TB the parse is embarrassingly parallel
+    * and the shuffle carries only group keys + counters. */
+  def sseProject(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .select(from_json(payloadFrame, payloadSchema).as("rec"))
+      .select(
+        col("rec.meta.stream").as("stream"),
+        col("rec.namespace").as("namespace"),
+        col("rec.bot").as("bot"),
+        col("rec.title").as("title"),
+        col("rec.meta.dt").as("dt"),
+        (col("rec.length.new") - col("rec.length.old")).as("delta"))
+      .groupBy(col("stream"), col("namespace"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("bot").cast("long")).as("n_bots"),
+        sum(col("delta").cast("long")).as("sum_delta"),
+        countDistinct(col("title")).as("n_titles"),
+        min(col("dt")).as("first_dt"),
+        max(col("dt")).as("last_dt"))
+      .orderBy(col("stream"), col("namespace"))
+  }
+
+  val sseProjectOracle: String =
+    """SELECT 'graft.'||event_type AS stream, cast(user_id % 16 AS int) AS namespace,
+      | count(*) AS n_events,
+      | cast(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_bots,
+      | cast(sum(event_id % 1000) AS bigint) AS sum_delta,
+      | count(DISTINCT 'Page_'||regexp_extract(props,'[0-9]+')) AS n_titles,
+      | min(strftime(ts,'%Y-%m-%dT%H:%M:%SZ')) AS first_dt,
+      | max(strftime(ts,'%Y-%m-%dT%H:%M:%SZ')) AS last_dt
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** ExtractField SMT analogue — the reference's deployment promotes one
+    * payload field to the record value with
+    * `transforms.extractjson.type=ExtractField$Value, field=data`
+    * (reference bin/submit_config_extract_field.sh:17-19). Here the typed
+    * `k` field of the payload is promoted to the RECORD KEY, so the
+    * producer-side hash partition is computed from the promoted key rather
+    * than the event id — composing with [[sseRoute]]'s partition
+    * semantics (same `pmod(key, 32)` stand-in for the Kafka partitioner,
+    * reproducible by the oracle). */
+  def sseExtractField(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, d)
+      .select(concat(lit("sse_"), col("event_type")).as("topic"),
+        from_json(col("props"), kSchema).getField("k").as("key"))
+      .groupBy(col("topic"), pmod(col("key"), lit(32L)).cast("int").as("partition"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("key")).as("n_keys"))
+      .orderBy(col("topic"), col("partition"))
+  }
+
+  val sseExtractFieldOracle: String =
+    """SELECT 'sse_'||event_type AS topic,
+      | cast(cast(regexp_extract(props,'[0-9]+') AS bigint) % 32 AS int) AS "partition",
+      | count(*) AS n_events,
+      | count(DISTINCT cast(regexp_extract(props,'[0-9]+') AS bigint)) AS n_keys
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   /** Top-N users by purchase value (rank over aggregated totals). */
   def topNUsers(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
     Tables.events(spark, d)

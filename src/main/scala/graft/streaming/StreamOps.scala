@@ -78,7 +78,10 @@ object StreamOps {
   }
 
   /** Gap sessionization via Spark's NATIVE `session_window` aggregate —
-    * the declarative twin of [[sessionize]]: same gap semantics, but the
+    * the declarative twin of [[sessionize]], but with one boundary
+    * divergence: native windows are half-open `[ts, ts+gap)`, so an event
+    * arriving EXACTLY `gap` after the previous one starts a new session,
+    * whereas [[sessionize]]'s fold merges it (`t - last <= gap`). Here the
     * engine owns the merging-session state (sessions that touch within the
     * gap merge inside the state store; a closed window emits once the
     * watermark passes its end). Prefer this form when per-session output
@@ -116,6 +119,52 @@ object StreamOps {
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         size(filter(col("sh"), s => bloomContains(s, filterWords, mBits))).as("n_flagged"))
   }
+
+  /** Streaming k-means/IVF cell assignment — the "ship the model to the
+    * stream" step for the vector family: a BATCH pass trains/publishes the
+    * coarse-quantizer codebook
+    * ([[graft.operators.Similarity.centroidMatrixLocal]], \|cells\|×dims
+    * doubles), and each incoming embedding is assigned to its nearest
+    * centroid by the SAME codegen'd rounded-cosine argmax kernel the batch
+    * `ivfAssignments` uses ([[graft.functions.Kernels.nearestCell]]) over
+    * the codebook embedded as a plan LITERAL. STATELESS — no join, no
+    * state store, no watermark; append-mode trivially. At 100 TB/day this
+    * is how fresh vectors join the IVF index in-flight: assignment rides
+    * the ingest map stage, and publishing a re-trained codebook is a plan
+    * swap, not a stateful migration (the [[decontaminateStream]] pattern
+    * applied to embeddings). Parity: spec pins cell-for-cell agreement
+    * with the batch assignment on the same vectors. */
+  def assignCellsStream(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.Kernels.nearestCell
+    vecs.select(col("vec_id"),
+      nearestCell(col("e").cast("array<double>"), typedLit(cents)).as("cell"))
+  }
+
+  /** Streaming typed-schema projection of the SSE payload — the reference's
+    * actual consumption pattern on its flagship stream: deserialize `data`
+    * against the published schema (reference
+    * config/wikimedia.recentchange.schema.json) into a typed record the
+    * moment it leaves the wire. Takes the DSv2 SSE source's
+    * (event, id, data) frame schema (graft.sources.sse.SseTable.Schema)
+    * and projects `data` through `from_json` with the SAME explicit
+    * StructType the batch `sse_project` row uses
+    * ([[graft.operators.Events.payloadSchema]]), so batch and stream parse
+    * against one contract. STATELESS (no state store, no watermark;
+    * append-mode trivially): at 100 TB/day the parse rides the ingest
+    * map stage and the typed columns flow straight into any downstream
+    * watermarked aggregate. */
+  def projectPayload(frames: DataFrame): DataFrame =
+    frames
+      .select(col("event"), col("id"),
+        from_json(col("data"), graft.operators.Events.payloadSchema).as("rec"))
+      .select(col("event"), col("id"),
+        col("rec.meta.stream").as("stream"),
+        col("rec.meta.dt").as("dt"),
+        col("rec.type").as("type"),
+        col("rec.title").as("title"),
+        col("rec.namespace").as("namespace"),
+        col("rec.bot").as("bot"),
+        (col("rec.length.new") - col("rec.length.old")).as("delta"))
 
   /** Exactly-once dedup by event id within the watermark horizon — the
     * streaming form of log-compaction/upsert. */

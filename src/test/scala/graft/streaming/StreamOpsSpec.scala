@@ -342,7 +342,10 @@ class StreamOpsSpec extends SparkSpec {
       val sessions = sorted.foldLeft(List.empty[List[StreamEvent]]) {
         case (Nil, e) => List(List(e))
         case (cur :: done, e) =>
-          if (e.ts.getTime - cur.head.ts.getTime <= gapSec * 1000) (e :: cur) :: done
+          // strict <: native session_window windows are half-open
+          // [ts, ts+gap) — an event exactly gap after the previous one
+          // starts a NEW session (unlike sessionize's fMGWS <= merge)
+          if (e.ts.getTime - cur.head.ts.getTime < gapSec * 1000) (e :: cur) :: done
           else List(e) :: cur :: done
       }
       // session_window convention: start = first event, end = last + gap
@@ -559,5 +562,71 @@ class StreamOpsSpec extends SparkSpec {
     assert(run("wm30", "30 minutes") == 3L)
     // delay >= max lateness (90 min) → lossless: all 4 aggregated
     assert(run("wm120", "2 hours") == 4L)
+  }
+
+  test("streaming k-means assignment matches the batch ivfAssignments cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch side trains/publishes the codebook and computes the expected cells
+    val cents = graft.operators.Similarity.centroidMatrixLocal(spark, Sf)
+    assert(cents.size == 16 && cents.head.size == 64, "codebook shape |cells| x dims")
+    val expected = graft.operators.Similarity.ivfAssignments(spark, Sf)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stream side: the same vectors arrive as a stream; assignment is a
+    // stateless projection over the literal codebook
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.assignCellsStream(in.toDF().toDF("vec_id", "e"), cents)
+      .writeStream.format("memory").queryName("kmassign")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two batches: assignment must be per-row stable regardless of batching
+      val (b1, b2) = vecs.splitAt(vecs.size / 2)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id, cell FROM kmassign")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == expected.size, s"row count ${got.size} != ${expected.size}")
+      val diverged = expected.collect { case (id, c) if got(id) != c => id }.take(5)
+      assert(diverged.isEmpty, s"cells diverged from batch assignment at: $diverged")
+    } finally q.stop()
+  }
+
+  test("streaming typed payload projection decodes every frame to the independently-computed record") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.Tables.events(spark, Sf).filter(col("event_id") < 500)
+    // frames exactly as the DSv2 SSE source emits them: (event, id, data)
+    val frames = base
+      .select(col("event_type"), col("event_id").cast("string"),
+        graft.operators.Events.payloadFrame)
+      .as[(String, String, String)].collect().toSeq
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.projectPayload(in.toDF().toDF("event", "id", "data"))
+      .writeStream.format("memory").queryName("proj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(frames: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT id, stream, dt, title, namespace, bot, delta FROM proj")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getInt(4), r.getBoolean(5), r.getInt(6))).toSet
+      // independent expectation straight from the raw columns (no Spark
+      // JSON code path): the typed record each wire frame must decode to
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+      val want = base
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("props"))
+        .collect().map { r =>
+          val (id, u) = (r.getLong(0), r.getLong(2))
+          val k = "[0-9]+".r.findFirstIn(r.getString(4)).getOrElse("")
+          (id.toString, s"graft.${r.getString(3)}", fmt.format(r.getTimestamp(1).toInstant),
+            s"Page_$k", (u % 16).toInt, u % 7 == 0, (id % 1000).toInt)
+        }.toSet
+      assert(want.nonEmpty && got == want,
+        s"typed projection divergence (missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
+    } finally q.stop()
   }
 }
