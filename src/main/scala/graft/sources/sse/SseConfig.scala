@@ -37,7 +37,9 @@ final case class SseConfig(
     endpointRef: Option[String] = None,
     idleTimeoutMs: Long = SseConfig.DefaultIdleTimeoutMs,
     connectionCheckIntervalMs: Long = SseConfig.DefaultConnectionCheckIntervalMs,
-    metricsLogIntervalMs: Long = SseConfig.DefaultMetricsLogIntervalMs) {
+    metricsLogIntervalMs: Long = SseConfig.DefaultMetricsLogIntervalMs,
+    eventsFilter: Option[Set[String]] = None,
+    eventsFilterPattern: Option[String] = None) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
@@ -51,6 +53,28 @@ final case class SseConfig(
   require(idleTimeoutMs > 0, "idle.timeout.ms must be positive")
   require(connectionCheckIntervalMs > 0, "connection.check.interval.ms must be positive")
   require(metricsLogIntervalMs > 0, "metrics.log.interval.ms must be positive")
+  // source-side event filtering (reference IMPROVEMENT_PLAN.md Phase 2 Step 7:
+  // filter by type/name + pattern-based filtering) — validated at build time
+  // so a bad allowlist fails the query plan, not an executor task
+  eventsFilter.foreach(s => require(s.nonEmpty,
+    "events.filter must be a non-empty comma-separated list of event names"))
+  eventsFilterPattern.foreach { p =>
+    try java.util.regex.Pattern.compile(p)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"events.filter.pattern is not a valid regex: ${e.getMessage}")
+    }
+  }
+
+  /** Admission predicate over the NORMALIZED event name (id-less frames
+    * normalize to "unknown" first, mirroring the reference's null handling,
+    * so `events.filter=unknown` admits them). Allowlist and pattern
+    * compose with OR when both are set. No filter options → admit all. */
+  def admitsEvent(name: String): Boolean =
+    (eventsFilter.isEmpty && eventsFilterPattern.isEmpty) ||
+      eventsFilter.exists(_.contains(name)) ||
+      eventsFilterPattern.exists(p => name.matches(p))
 }
 
 object SseConfig {
@@ -94,7 +118,10 @@ object SseConfig {
       connectionCheckIntervalMs = opt("connection.check.interval.ms").map(_.toLong)
         .getOrElse(DefaultConnectionCheckIntervalMs),
       metricsLogIntervalMs = opt("metrics.log.interval.ms").map(_.toLong)
-        .getOrElse(DefaultMetricsLogIntervalMs))
+        .getOrElse(DefaultMetricsLogIntervalMs),
+      eventsFilter = opt("events.filter")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      eventsFilterPattern = opt("events.filter.pattern"))
   }
 }
 

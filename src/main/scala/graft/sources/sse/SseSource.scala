@@ -73,7 +73,8 @@ class SseScan(config: SseConfig) extends Scan {
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       SseFrameLog.listLogs(config.path)
-        .map(f => SseInputPartition(f, 0L, new java.io.File(f).length(), None, None))
+        .map(f => SseInputPartition(f, 0L, new java.io.File(f).length(), None, None,
+          config.eventsFilter, config.eventsFilterPattern))
         .toArray
     override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   }
@@ -167,7 +168,8 @@ object SseOffset {
 }
 
 class SseMicroBatchStream(config: SseConfig)
-    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   /** Driver-side live ingest, started on first use when transport=live. */
   private lazy val liveIngest: Option[SseLiveIngest] =
@@ -228,7 +230,8 @@ class SseMicroBatchStream(config: SseConfig)
       val startCur = from.getOrElse(f, LogCursor.Zero)
       if (endCur.pos > startCur.pos)
         Some(SseInputPartition(f, startCur.pos, endCur.pos,
-          startCur.lastId, startCur.retryMs))
+          startCur.lastId, startCur.retryMs,
+          config.eventsFilter, config.eventsFilterPattern))
       else None
     }.toArray
   }
@@ -236,11 +239,66 @@ class SseMicroBatchStream(config: SseConfig)
   override def createReaderFactory(): PartitionReaderFactory = SseReaderFactory
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = liveIngest.foreach(_.stop())
+
+  /** The reference's queryable metrics endpoint (IMPROVEMENT_PLAN.md Phase 1
+    * Step 4 "health/status reporting mechanism"), Spark-natively: custom
+    * source metrics reported into every `StreamingQueryProgress.sources[i]
+    * .metrics` map, so an operator queries connection health from
+    * `query.lastProgress` / the listener bus / the progress JSON log — no
+    * side-channel needed. Log-transport runs report the spool plane
+    * (logs tracked, bytes committed vs available); live runs additionally
+    * aggregate [[SseClient.getMetrics]] totals across endpoint clients —
+    * the counter surface of reference ServerSentEventClient.java:764-803. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    val logs = SseFrameLog.listLogs(config.path)
+    m.put("numLogs", logs.size.toString)
+    m.put("availableBytes", logs.map(f => new java.io.File(f).length()).sum.toString)
+    Option(latestConsumedOffset.orElse(null)).foreach { o =>
+      // the engine may hand back the checkpointed form (SerializedOffset),
+      // not the typed one — decode via the same JSON round-trip
+      val cursors = o match {
+        case s: SseOffset => s.cursors
+        case other => SseOffset.fromJson(other.json()).cursors
+      }
+      m.put("consumedBytes", cursors.values.map(_.pos).sum.toString)
+    }
+    liveIngest.foreach { li =>
+      val cm = li.clients.map(_.getMetrics)
+      def total(k: String): Long = cm.map(_.getOrElse(k, 0L) match {
+        case l: Long => l; case i: Int => i.toLong; case _ => 0L
+      }).sum
+      m.put("connection.states", li.clients.map(_.getMetrics("connection.state")).mkString(","))
+      m.put("connection.attempts", total("connection.attempts").toString)
+      m.put("connection.successful", total("connection.successful").toString)
+      m.put("connection.failed", total("connection.failed").toString)
+      m.put("connection.reconnections", total("connection.reconnections").toString)
+      m.put("events.total", total("events.total").toString)
+      m.put("events.bytes", total("events.bytes").toString)
+      m.put("queue.maxSize", total("queue.maxSize").toString)
+    }
+    m
+  }
 }
 
-/** A batch slice of one log, plus the parser carry-state at `start`. */
+/** A batch slice of one log, plus the parser carry-state at `start` and
+  * the source's event-name admission filter (allowlist + regex — reference
+  * IMPROVEMENT_PLAN.md Phase 2 Step 7). The filter rides the partition so
+  * executors enforce it without re-reading driver config. Offset arithmetic
+  * deliberately counts WIRE frames, not admitted events: cursors stay
+  * byte-positions in the log, so changing the filter between runs (or
+  * resuming a checkpoint with a new allowlist) can never shift a frame
+  * boundary or break replay. */
 case class SseInputPartition(path: String, start: Long, end: Long,
-    seedId: Option[String], seedRetry: Option[Long]) extends InputPartition
+    seedId: Option[String], seedRetry: Option[Long],
+    allow: Option[Set[String]] = None,
+    allowPattern: Option[String] = None) extends InputPartition {
+  /** Same predicate as [[SseConfig.admitsEvent]], over the partition-carried
+    * copy of the filter options. */
+  def admits(name: String): Boolean =
+    (allow.isEmpty && allowPattern.isEmpty) ||
+      allow.exists(_.contains(name)) || allowPattern.exists(p => name.matches(p))
+}
 
 object SseReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -248,6 +306,7 @@ object SseReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val events = new SseParser().seed(p.seedId, p.seedRetry)
         .feed(SseFrameLog.read(p.path, p.start, p.end)).iterator
+        .filter(e => p.admits(SseParser.normalize(e)._1))
       private var current: SseEvent = _
       override def next(): Boolean = { val has = events.hasNext; if (has) current = events.next(); has }
       override def get(): InternalRow = {

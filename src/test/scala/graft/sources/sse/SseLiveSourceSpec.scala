@@ -92,6 +92,46 @@ class SseLiveSourceSpec extends SparkSpec {
     assert(spools.toSeq == Seq("live-0000.sselog", "live-0001.sselog"))
   }
 
+  test("live transport reports client metrics into StreamingQueryProgress.sources") {
+    val ep = new LoopbackEndpoint
+    val s1 = ep.scriptAccept()
+    SseEndpoints.register("live-metrics", ep)
+    s1.push(frame("edit", 1, "a") + frame("del", 2, "b"))
+
+    val dir = tmpDir("sse-live-metrics")
+    val q = spark.readStream.format("sse")
+      .option("path", dir.resolve("spool").toString)
+      .option("transport", "live")
+      .option("endpoint.ref", "live-metrics")
+      .option("retry.backoff.initial.ms", "10")
+      .option("retry.backoff.max.ms", "50")
+      .load()
+      .writeStream.format("memory").queryName("sse_live_metrics")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Long =
+        spark.sql("SELECT count(*) FROM sse_live_metrics").head().getLong(0)
+      while (count() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(count() == 2)
+      // the queryable endpoint: connection health + event totals surface in
+      // the engine's own progress reporting, no side-channel
+      def metricsWith(k: String, v: String): Boolean =
+        q.recentProgress.exists(p => p.sources.nonEmpty &&
+          v == p.sources.head.metrics.get(k))
+      val mDeadline = System.currentTimeMillis() + 30000
+      while (!(metricsWith("events.total", "2") &&
+        metricsWith("connection.successful", "1")) &&
+        System.currentTimeMillis() < mDeadline) Thread.sleep(100)
+      assert(metricsWith("connection.attempts", "1"), "attempts in progress metrics")
+      assert(metricsWith("connection.successful", "1"), "successes in progress metrics")
+      assert(metricsWith("events.total", "2"), "client event total in progress metrics")
+      assert(metricsWith("connection.states", "CONNECTED"), "lifecycle state in progress metrics")
+    } finally q.stop()
+  }
+
   test("query restart resumes the upstream from the spooled last-event-id (no replay)") {
     val ep = new LoopbackEndpoint
     val s1 = ep.scriptAccept()

@@ -200,6 +200,80 @@ class SseSourceSpec extends SparkSpec {
     assert(all == Seq(("a", "1"), ("a", "2"), ("b", "10")))
   }
 
+  test("events.filter allowlist + pattern admit only matching events (reference IMPROVEMENT_PLAN Step 7)") {
+    val dir = tmpDir("sse-filter")
+    val log = dir.resolve("stream.log")
+    // "unknown" comes from an event-name-less frame: the filter must see the
+    // NORMALIZED name (reference null-handling), not the raw wire field
+    Files.writeString(log,
+      frame("edit", 1, "a") + frame("del", 2, "b") + "id: 3\ndata: c\n\n" +
+        frame("edit-minor", 4, "d") + frame("log", 5, "e"))
+
+    def events(opts: (String, String)*): Seq[String] = {
+      var r = spark.read.format("sse").option("path", log.toString)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().collect().map(_.getString(0)).toSeq.sorted
+    }
+    assert(events() == Seq("del", "edit", "edit-minor", "log", "unknown"))
+    assert(events("events.filter" -> "edit, del") == Seq("del", "edit"))
+    assert(events("events.filter" -> "unknown") == Seq("unknown"))
+    assert(events("events.filter.pattern" -> "edit.*") == Seq("edit", "edit-minor"))
+    // allowlist OR pattern when both set
+    assert(events("events.filter" -> "log", "events.filter.pattern" -> "del") ==
+      Seq("del", "log"))
+
+    // streaming path enforces the same predicate… (parquet sink: supports
+    // the checkpoint-resume second leg below)
+    def runStream(filter: String): Unit = {
+      val q = spark.readStream.format("sse")
+        .option("path", log.toString).option("events.filter", filter).load()
+        .writeStream.format("parquet")
+        .option("path", dir.resolve("out").toString)
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runStream("edit")
+    assert(spark.read.parquet(dir.resolve("out").toString).collect()
+      .map(_.getString(0)).toSeq == Seq("edit"))
+    // …and because offsets count WIRE frames (byte cursors), a resumed
+    // checkpoint with a WIDER filter picks up only NEW frames — the filter
+    // change can never re-deliver or skip a frame boundary
+    Files.writeString(log, frame("del", 6, "f") + frame("edit", 7, "g"),
+      StandardOpenOption.APPEND)
+    runStream("edit,del")
+    assert(spark.read.parquet(dir.resolve("out").toString)
+      .selectExpr("id").collect().map(_.getString(0)).toSeq.sorted ==
+      Seq("1", "6", "7"))
+
+    // builder-time validation
+    intercept[IllegalArgumentException] {
+      spark.read.format("sse").option("path", log.toString)
+        .option("events.filter", " , ").load().collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("sse").option("path", log.toString)
+        .option("events.filter.pattern", "[unclosed").load().collect()
+    }
+  }
+
+  test("source metrics are queryable from StreamingQueryProgress (reference IMPROVEMENT_PLAN Step 4)") {
+    val dir = tmpDir("sse-metrics")
+    val log = dir.resolve("stream.log")
+    Files.writeString(log, (1 to 6).map(i => frame("e", i, s"d$i")).mkString)
+    val q = spark.readStream.format("sse").option("path", log.toString).load()
+      .writeStream.format("memory").queryName("sse_srcmetrics")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val src = q.recentProgress.filter(_.numInputRows > 0).last.sources.head
+    val m = src.metrics
+    assert(m.get("numLogs") == "1", s"metrics=$m")
+    // every appended frame is committed: consumed == available == file size
+    assert(m.get("availableBytes") == Files.size(log).toString, s"metrics=$m")
+    assert(m.get("consumedBytes") == Files.size(log).toString, s"metrics=$m")
+  }
+
   test("batch read sees the whole log") {
     val dir = tmpDir("sse-batch")
     val log = dir.resolve("stream.log")
