@@ -12,6 +12,24 @@ package graft
   * cache for that query's tables, so a single-rep number can be several
   * times steady-state (observed up to ~10× on light queries under load);
   * the min is the reproducible figure.
+  *
+  * Stall-proofing (the host exhibits multi-minute windows where the JVM is
+  * throttled to ~1-2 cores; three rounds of bench artifacts were eaten or
+  * contaminated by them):
+  *   - One JSONL line is appended to `bench_progress.jsonl` (override via
+  *     SPARK_GRAFT_BENCH_PROGRESS) the moment each query finishes, so a
+  *     timeout (rc=124) preserves the completed prefix instead of losing
+  *     the whole sweep.
+  *   - A fixed control probe (q1_pricing, 1 rep, steady state ~0.3 s at
+  *     sf0.1) is interleaved every `SPARK_GRAFT_BENCH_CONTROL_EVERY`
+  *     (default 10) queries and logged as `{"control":true,...}` lines plus
+  *     a `controls` array in the summary — a host stall window is then
+  *     visible *in the artifact* (control >> steady state) instead of
+  *     requiring post-hoc forensics.
+  *   - SPARK_GRAFT_BENCH_RESUME=1 reloads timings for already-completed
+  *     queries from the progress file and skips them, so a sweep can be
+  *     sharded/resumed across stall windows (combine with
+  *     SPARK_GRAFT_BENCH_ONLY for explicit shards).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,31 +37,94 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // local-iteration filter (unset by the driver): bench only these queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val progressPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "bench_progress.jsonl"))
+    val controlEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_EVERY", "10").toInt.max(1)
+    val resume = sys.env.get("SPARK_GRAFT_BENCH_RESUME").contains("1")
+
+    def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Prior completed timings (resume mode): progress lines are
+    // {"q":name,"sec":s,...}; control lines are excluded from reuse.
+    val qRe = """"q":"([^"]+)"""".r
+    val secRe = """"sec":([0-9.]+)""".r
+    val prior: Map[String, Double] =
+      if (resume && java.nio.file.Files.exists(progressPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(progressPath).asScala.iterator
+          .filterNot(_.contains("\"control\":true"))
+          .flatMap { l =>
+            for {
+              m1 <- qRe.findFirstMatchIn(l)
+              m2 <- secRe.findFirstMatchIn(l)
+            } yield m1.group(1) -> m2.group(1).toDouble
+          }.toMap
+      } else Map.empty
+    if (!resume)
+      try java.nio.file.Files.deleteIfExists(progressPath)
+      catch { case _: Throwable => () }
+    // append + flush per line: a kill -9 or rc=124 loses at most the line
+    // currently being written
+    def appendLine(s: String): Unit =
+      try java.nio.file.Files.write(progressPath,
+        (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] progress: $e") }
+
     val spark = GraftSession.create("graft-bench")
+    val sweepT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - sweepT0) / 1e9
     // untimed warmup: JIT, codegen compile, and first-touch of every table
     try Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
       "region", "events", "documents", "embeddings")
       .foreach(t => Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val results = SparkEntry.queries
+
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                name: String): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controlFn = SparkEntry.queries.get("q1_pricing")
+    val controls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeControl(): Unit = controlFn.foreach { fn =>
+      val s = runOnce(fn, "control:q1_pricing")
+      controls += s
+      appendLine(s"""{"q":"q1_pricing","sec":${fmt3(s)},"t":${fmt3(elapsed)},"control":true}""")
+    }
+
+    val toRun = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    var sinceControl = 0
+    probeControl()
+    val results = toRun.map { case (name, fn) =>
+      prior.get(name) match {
+        case Some(s) => name -> s // resumed: keep prior timing, don't re-log
+        case None =>
+          if (sinceControl >= controlEvery) { probeControl(); sinceControl = 0 }
+          sinceControl += 1
+          val best = (1 to reps).map(_ => runOnce(fn, name)).min
+          appendLine(s"""{"q":"$name","sec":${fmt3(best)},"t":${fmt3(elapsed)}}""")
+          name -> best
       }
+    }
+    probeControl()
+
     // ~3 sig figs per timing keeps the whole line within the collector's
     // 2000-char tail window (full JSON lines at double precision overflowed
     // it and truncated the leading queries out of the round artifacts)
-    def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    // compact control summary only (full per-probe series is in the JSONL):
+    // the metrics line must fit the collector's tail window
+    val ctl =
+      if (controls.isEmpty) """"control":null"""
+      else s""""control":{"min":${fmt3(controls.min)},"max":${fmt3(controls.max)},"n":${controls.size}}"""
+    val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,$ctl,"reps":$reps,"sf":"$sfDir"}"""
     // durable copy first — survives any stdout truncation by the collector
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
