@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes Bench/Verify stdout with a per-line JSON parse; sbt's
+// default LoggedOutput prefixes every forked-process line with "[info] ",
+// which breaks it (7 rounds of BENCH parsed:null). Pass stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

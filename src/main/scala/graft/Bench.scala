@@ -52,7 +52,7 @@ object Bench {
       if (resume && java.nio.file.Files.exists(progressPath)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(progressPath).asScala.iterator
-          .filterNot(_.contains("\"control\":true"))
+          .filterNot(l => l.contains("\"control\":true") || l.contains("\"failed\":true"))
           .flatMap { l =>
             for {
               m1 <- qRe.findFirstMatchIn(l)
@@ -81,11 +81,18 @@ object Bench {
       .foreach(t => Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                 name: String): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      catch {
+        case e: Throwable =>
+          // a throwing query must NOT masquerade as a fast timing — r7's
+          // sweep recorded 0.5-0.8 s rows for two queries that never ran
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val controlFn = SparkEntry.queries.get("q1_pricing")
@@ -107,7 +114,8 @@ object Bench {
           if (sinceControl >= controlEvery) { probeControl(); sinceControl = 0 }
           sinceControl += 1
           val best = (1 to reps).map(_ => runOnce(fn, name)).min
-          appendLine(s"""{"q":"$name","sec":${fmt3(best)},"t":${fmt3(elapsed)}}""")
+          val err = if (failed.contains(name)) ""","failed":true""" else ""
+          appendLine(s"""{"q":"$name","sec":${fmt3(best)},"t":${fmt3(elapsed)}$err}""")
           name -> best
       }
     }
@@ -121,9 +129,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // compact control summary only (full per-probe series is in the JSONL):
     // the metrics line must fit the collector's tail window
-    val ctl =
+    val ctl0 =
       if (controls.isEmpty) """"control":null"""
       else s""""control":{"min":${fmt3(controls.min)},"max":${fmt3(controls.max)},"n":${controls.size}}"""
+    val ctl =
+      if (failed.isEmpty) ctl0
+      else ctl0 + s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,$ctl,"reps":$reps,"sf":"$sfDir"}"""
     // durable copy first — survives any stdout truncation by the collector
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -131,8 +142,31 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json: $e") }
     println(line)
     spark.stop()
-    // repeat as the very last stdout line: nothing (not even stop()'s log
-    // tail) can push the metrics line out of a tail-capture window
-    println(line)
+    // The collector keeps only the LAST ~2000 chars of stdout and parses it
+    // line by line; at 120+ queries the full line is ~3.3k chars, so its
+    // head (with "metric") falls out of the window and the round artifact
+    // records parsed:null. The very last line must therefore be a
+    // SELF-CONTAINED metrics line that fits the window: same total/control/
+    // reps/sf, with "queries" trimmed to the slowest rows until it fits
+    // (the full map is one line up AND in bench_out.json / the JSONL spool).
+    // Budget 1800 leaves room for sbt's trailing "[success] Total time" line.
+    val budget = 1800
+    val last =
+      if (line.length <= budget) line
+      else {
+        val bySlowest = results.toSeq.sortBy(-_._2)
+        val fixed = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${results.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":{}}"""
+        var room = budget - fixed.length
+        val kept = bySlowest.takeWhile { case (k, v) =>
+          val entryLen = k.length + fmt3(v).length + 5 // quotes, colon, comma
+          val fits = room - entryLen >= 0
+          if (fits) room -= entryLen
+          fits
+        }
+        val keptQs = kept.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${results.size},"queries_elided":${results.size - kept.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":$keptQs}"""
+      }
+    println(last)
   }
 }

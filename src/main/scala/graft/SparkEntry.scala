@@ -487,8 +487,7 @@ object SparkEntry {
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,
-    // text_compression: zlib has no DuckDB analogue → rows-only check;
-    // unit KATs pin the deflate behavior
+    "text_compression" -> Pipeline.compressionOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "text_tokens" -> TextAnalysis.tokenCountsOracle,
     "text_langid" -> TextAnalysis.langIdOracle,

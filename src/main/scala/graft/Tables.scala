@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated testdata layout
   * (TESTDATA.md). All operators read through here so column pruning and
@@ -21,6 +21,13 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      // newer testdata stores TIMESTAMP(MICROS) without isAdjustedToUTC →
+      // Spark reads TIMESTAMP_NTZ, which instant functions (unix_micros)
+      // reject. Session tz is pinned UTC, so this cast is value-identical to
+      // the TIMESTAMP(NANOS)-era loader and every operator keeps seeing an
+      // instant-typed ts.
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

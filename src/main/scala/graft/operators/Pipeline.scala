@@ -234,26 +234,52 @@ object Pipeline {
       |  round(1.0 - cast(count(DISTINCT s) AS double) / count(*), 4) AS dup_fraction
       |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Gopher-style compressibility signal: zlib-deflate ratio per doc
-    * (compressed/original bytes). Repetitive or templated text compresses
-    * far below natural prose. Runs partition-local via the JVM Deflater
-    * (level 6, deterministic for fixed input+level) in the same batched
-    * mapPartitions shape as the media codec; no SQL oracle exists for zlib,
-    * so the driver records the rows-only check and MediaCodecSpec-style
-    * unit tests pin known answers. */
-  def compressionRatio(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
+  /** Gopher-style compressibility signal, redefined (r8) so it carries a
+    * FULL SQL oracle: a word-dictionary compression ESTIMATE in exact
+    * integer arithmetic. Model: an LZW-ish coder over whitespace tokens —
+    * the first occurrence of a word costs its literal bytes plus a
+    * separator (`len+1`), every repeat costs a fixed 2-byte dictionary
+    * reference. `ratio_bp` = estimated/raw size in basis points; templated
+    * or repetitive text (many repeated words) lands far below natural
+    * prose, the same ranking the zlib ratio gives (the JVM Deflater
+    * variant that shipped r2–r7 stays KAT-pinned in PipelineSpec via
+    * [[deflateLen]]; zlib itself has no DuckDB analogue, which kept this
+    * row rows-only through r7). Integer outputs only — no float rounding
+    * at the oracle boundary. Pure per-row map via array higher-order
+    * functions (no explode, no shuffle before the presentation sort):
+    * linear in corpus at 100 TB. */
+  def compressionRatio(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, text) =>
-        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = Pipeline.deflateLen(in)
-        (id, in.length, n, math.round(n.toDouble / in.length * 10000) / 10000.0)
-      }))
-      .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
-      .orderBy(col("doc_id"))
-  }
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("dw", array_distinct(col("toks")))
+      .withColumn("n_distinct", size(col("dw")).cast("long"))
+      .withColumn("dict_bytes",
+        aggregate(col("dw"), lit(0L), (acc, w) => acc + length(w) + lit(1)))
+      .withColumn("est_bytes",
+        col("dict_bytes") + (col("n_tokens") - col("n_distinct")) * 2)
+      .withColumn("ratio_bp",
+        when(col("chars") === 0, lit(10000L))
+          .otherwise(expr("est_bytes * 10000 div chars")))
+      .select("doc_id", "chars", "n_tokens", "n_distinct", "est_bytes", "ratio_bp")
+      .orderBy("doc_id")
+
+  val compressionOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |    CAST(list_sum([length(w) + 1 for w in list_distinct(string_split(text, ' '))]) AS BIGINT) AS dict_bytes
+      |  FROM documents
+      |)
+      |SELECT doc_id, chars, n_tokens, n_distinct,
+      |  dict_bytes + 2*(n_tokens - n_distinct) AS est_bytes,
+      |  CAST(CASE WHEN chars = 0 THEN 10000
+      |       ELSE (dict_bytes + 2*(n_tokens - n_distinct)) * 10000 // chars END AS BIGINT) AS ratio_bp
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** Deterministic zlib-deflate length (level 6, single stream). */
   private[graft] def deflateLen(in: Array[Byte]): Int = {

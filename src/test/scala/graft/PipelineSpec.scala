@@ -17,11 +17,31 @@ class PipelineSpec extends SparkSpec {
     assert(p1 > r, "natural-ish prose must compress worse than pure repetition")
   }
 
-  test("compression ratios land in (0, 1+] and repetition ranks below prose") {
+  test("word-dictionary compression estimate: bounds hold and repetition compresses") {
     val df = Pipeline.compressionRatio(spark, Sf)
-    val rows = df.select(min(col("ratio")), max(col("ratio")), count(lit(1))).head()
-    assert(rows.getDouble(0) > 0.0)
-    assert(rows.getLong(2) > 0)
+    val rows = df.selectExpr(
+      "min(ratio_bp)", "max(ratio_bp)", "count(1)",
+      // the dictionary can never hold more words than the doc, and the
+      // estimate can never undercut pure dictionary cost
+      "sum(CASE WHEN n_distinct > n_tokens THEN 1 ELSE 0 END)",
+      "sum(CASE WHEN est_bytes < n_distinct THEN 1 ELSE 0 END)").head()
+    assert(rows.getLong(0) > 0L, "ratio_bp must be positive")
+    assert(rows.getLong(2) > 0L)
+    assert(rows.getLong(3) == 0L && rows.getLong(4) == 0L)
+    // direction check: a doc of one repeated word must estimate far below
+    // a doc of all-unique words (the ranking the zlib signal gives)
+    import spark.implicits._
+    val toy = Seq((1L, ("spark " * 40).trim, "en", "s", 0L),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val est = toy
+      .selectExpr("doc_id",
+        "aggregate(array_distinct(split(text, ' ')), 0L, (a, w) -> a + length(w) + 1) " +
+          "+ 2 * (size(split(text, ' ')) - size(array_distinct(split(text, ' ')))) AS est",
+        "length(text) AS chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2).toLong)).toMap
+    assert(est(1L)._1 * 2 < est(1L)._2, "repetition must compress >2x under the dictionary model")
+    assert(est(2L)._1 >= est(2L)._2, "all-unique words must not compress")
   }
 
   test("Spark's HLL approx_count_distinct stays within 5% of exact on the events stream") {
