@@ -40,6 +40,7 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
     "q_cube_revenue" -> ((s, d) => Tpch.qCubeRevenue(s, d)),
     "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
+    "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "ev_json_extract" -> ((s, d) => Events.jsonExtract(s, d)),
     "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
+    "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
@@ -99,6 +101,7 @@ object SparkEntry {
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
+    "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ivfPqSearchTopK(s, d)),
     "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -350,6 +353,7 @@ object SparkEntry {
     "q_rollup_revenue" -> Tpch.qRollupRevenueOracle,
     "q_cube_revenue" -> Tpch.qCubeRevenueOracle,
     "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
+    "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -418,6 +422,7 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
+    "ev_scd2" -> Events.scd2Oracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
@@ -440,6 +445,7 @@ object SparkEntry {
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
+    "ann_refine" -> Similarity.refineTopKOracle,
     "ann_ivfpq" -> Similarity.ivfPqSearchTopKOracle,
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,

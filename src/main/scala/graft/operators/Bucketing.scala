@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table utilities: the co-location tool for fact-fact joins.
   *
@@ -33,4 +35,86 @@ object Bucketing {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Interleave the low 16 bits of a long into the even bit positions of a
+    * 32-bit word (Morton/Z-curve "bit spread", the classic 4-step
+    * mask-and-shift — public domain bit-twiddling, same form as Delta's
+    * OPTIMIZE ZORDER interleaving). Pure integer Column arithmetic so the
+    * oracle reproduces it bit-for-bit. */
+  private def spread16(c: Column): Column = {
+    val s0 = c.bitwiseAND(lit(0xFFFFL))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order layout audit (`q_zorder_layout`): the write-time clustering
+    * step a 100 TB table needs before multi-dimension predicates can skip
+    * files. Each lineitem row gets a 32-bit Morton code over its
+    * (l_partkey, l_suppkey) pair — both keys min-max-scaled to the full
+    * 16-bit coordinate space first, so the curve uses all its resolution
+    * regardless of key ranges — and the top 5 z-bits assign it to one of
+    * 32 fixed z-range chunks (the file a z-ordering writer would place it
+    * in; fixed bit-prefix ranges, NOT a global sort, so chunk assignment
+    * is a pure map). Output per chunk: row count plus the parquet-footer
+    * min/max of BOTH keys and their spans in basis points of the full key
+    * range — the numbers that decide whether a two-sided predicate can
+    * prune the chunk. An ideal 32-chunk z-layout covers ~1/8 × 1/4 of the
+    * (part, supp) rectangle per chunk; a naive single-key sort covers
+    * 10000 bp of whichever key it ignored. Plan shape: one tiny extent
+    * aggregate broadcast back, one map pass, one 32-group partial agg —
+    * no wide shuffle, no window. */
+  def zorderLayout(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val ext = li.agg(
+      min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val scaled = li.crossJoin(broadcast(ext))
+      .withColumn("xs", expr("(x - mnx) * 65535 div greatest(mxx - mnx, 1)"))
+      .withColumn("ys", expr("(y - mny) * 65535 div greatest(mxy - mny, 1)"))
+    val z = spread16(col("xs")).bitwiseOR(shiftleft(spread16(col("ys")), 1))
+    scaled
+      .withColumn("chunk", shiftright(z, 27).cast("long"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_part"), max(col("x")).as("max_part"),
+        min(col("y")).as("min_supp"), max(col("y")).as("max_supp"),
+        // extent cols are constant; carry them through the agg for spans
+        min(col("mnx")).as("mnx"), min(col("mxx")).as("mxx"),
+        min(col("mny")).as("mny"), min(col("mxy")).as("mxy"))
+      .withColumn("span_part_bp",
+        expr("(max_part - min_part + 1) * 10000 div (mxx - mnx + 1)"))
+      .withColumn("span_supp_bp",
+        expr("(max_supp - min_supp + 1) * 10000 div (mxy - mny + 1)"))
+      .select("chunk", "n_rows", "min_part", "max_part", "min_supp",
+        "max_supp", "span_part_bp", "span_supp_bp")
+      .orderBy("chunk")
+  }
+
+  val zorderLayoutOracle: String =
+    """WITH ext AS (
+      |  SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+      |         min(l_suppkey) AS mny, max(l_suppkey) AS mxy FROM lineitem),
+      |sc AS (
+      |  SELECT l_partkey AS x, l_suppkey AS y, mnx, mxx, mny, mxy,
+      |    (l_partkey - mnx) * 65535 // greatest(mxx - mnx, 1) AS xs,
+      |    (l_suppkey - mny) * 65535 // greatest(mxy - mny, 1) AS ys
+      |  FROM lineitem, ext),
+      |s1 AS (SELECT *, (xs | (xs << 8)) & 16711935 AS xa,
+      |               (ys | (ys << 8)) & 16711935 AS ya FROM sc),
+      |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+      |               (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+      |               (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT *,
+      |  (((xc | (xc << 1)) & 1431655765)
+      |   | (((yc | (yc << 1)) & 1431655765) << 1)) >> 27 AS chunk FROM s3)
+      |SELECT chunk, count(*) AS n_rows,
+      |  min(x) AS min_part, max(x) AS max_part,
+      |  min(y) AS min_supp, max(y) AS max_supp,
+      |  (max(x) - min(x) + 1) * 10000 // (min(mxx) - min(mnx) + 1) AS span_part_bp,
+      |  (max(y) - min(y) + 1) * 10000 // (min(mxy) - min(mny) + 1) AS span_supp_bp
+      |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -951,4 +951,60 @@ object Events {
         unix_timestamp(col("ts")).as("last_seen"))
       .orderBy(col("user_id"))
   }
+
+  /** SCD-2 history build (`ev_scd2`): compact each user's event stream
+    * into slowly-changing-dimension type-2 intervals — one row per run of
+    * consecutive equal `event_type`, with [valid_from, valid_to) bounds
+    * and a per-user version number; the current (open) run carries a null
+    * valid_to. This is the CDC→dimension materialization a warehouse
+    * maintains with MERGE: gaps-and-islands via lag + running sum, then
+    * lead over the compacted runs for the closing bound. Every window and
+    * the agg partition by user_id — high cardinality, no skew, no global
+    * window — and the run compaction shrinks output before the lead pass,
+    * the same shape at 100 TB. A `userMod` cohort filter (pushed to the
+    * scan) keeps the dump size sane; 0 disables it. */
+  def scd2(spark: SparkSession, d: String, userMod: Long = 10L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(spark, d)
+    val cohort = if (userMod <= 1L) base else base.filter(pmod(col("user_id"), lit(userMod)) === 0L)
+    cohort
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(first(col("event_type")).as("status"),
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("version"))))
+      .select("user_id", "version", "status", "n_events", "valid_from", "valid_to")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, ts FROM events
+      |  WHERE user_id % 10 = 0),
+      |m AS (
+      |  SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM ev),
+      |r AS (
+      |  SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type != event_type
+      |      THEN 1 ELSE 0 END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, cast(version AS bigint) AS version,
+      |    min(event_type) AS status,
+      |    cast(count(*) AS bigint) AS n_events,
+      |    cast(floor(epoch(min(ts))) AS bigint) AS valid_from
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, version, status, n_events, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+      |FROM g ORDER BY user_id, version""".stripMargin
 }

@@ -780,8 +780,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val pqSearchTopKOracle: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** [[pqSearchTopKOracle]] with a caller-chosen top-k — the k=5 instance
+    * is the oracle row; [[refineTopKOracle]] nests the k=25 instance as
+    * its shortlist stage. */
+  def pqSearchTopKOracleK(k: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
       |comp AS (
       |  SELECT vec_id, (j-1) // 16 AS sub, (j-1) % 16 AS sd, e[j] AS val FROM x),
@@ -816,7 +819,57 @@ object Similarity {
       |  (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS int) AS rank
       |  FROM tot)
       |SELECT query_id, neighbor_id, adist_micro, rank FROM r
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val pqSearchTopKOracle: String = pqSearchTopKOracleK(5)
+
+  /** Two-stage refine search (`ann_refine`): the FAISS `IndexRefineFlat`
+    * shape — the PQ/ADC index shortlists R=25 candidates per query from
+    * compressed codes (never touching raw floats), then ONLY those
+    * |queries|×R rows join back to the stored vectors for an exact-cosine
+    * re-rank to top-k. This is how a production ANN serves high recall at
+    * 100 TB: the corpus-wide scan reads m code bytes per vector, and the
+    * expensive exact distances touch 25 vectors per query regardless of
+    * corpus size (the re-rank join keys on candidate vec_ids; the query
+    * side broadcasts). Exact stage stays in the shortlist's OWN metric —
+    * squared L2 via the dot-product identity, [[pqRecall]]'s round-4
+    * truth convention — so refinement strictly corrects quantization
+    * error instead of switching objectives. */
+  def refineTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, shortlist: Int = 25): DataFrame = {
+    val cand = pqSearchTopK(spark, d, nQueries, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    cand
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def refineTopKOracle: String =
+    s"""WITH sl AS (
+       |  SELECT query_id, neighbor_id FROM (${pqSearchTopKOracleK(25)}) s),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |rr AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |    round(list_dot_product(qv.e, qv.e) + list_dot_product(nv.e, nv.e)
+       |      - 2 * list_dot_product(qv.e, nv.e), 4) AS d2
+       |  FROM sl JOIN v qv ON qv.vec_id = sl.query_id
+       |          JOIN v nv ON nv.vec_id = sl.neighbor_id),
+       |r AS (SELECT *, cast(row_number() OVER
+       |  (PARTITION BY query_id ORDER BY d2, neighbor_id) AS int) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, d2, rank FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** IVF-PQ: the full FAISS-style index shape — an IVF coarse quantizer
     * bounds WHICH vectors a query scores (its own cell, \|corpus\|/nCells

@@ -489,6 +489,44 @@ object StreamOps {
     * topic lands in its own directory/partition stream. */
   def routeToTopics(events: DataFrame): DataFrame =
     events.withColumn("topic", concat(lit("sse_"), col("event_type")))
+
+  /** Streaming SCD-2 compaction — the in-flight twin of the batch
+    * `ev_scd2`: per-key state is ONE open interval (version, status,
+    * count, start — O(1) per user, not O(history)), and a status change
+    * closes the previous interval exactly once (append mode). This is the
+    * CDC→dimension maintenance a warehouse runs as periodic MERGEs,
+    * running continuously instead; the closed intervals it emits are
+    * byte-identical to the batch rows with a non-null valid_to, which the
+    * parity spec pins. Same micro-batch ordering rule as the batch window
+    * (sort by ts, then event_id); like [[funnel]], correctness relies on
+    * per-key event-time order across batches — feed it from a
+    * per-partition-ordered source (the SSE source's frame order) or an
+    * upstream watermarked sort. */
+  def scd2Stream(events: Dataset[ChangeEvent]): Dataset[Scd2Interval] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Interval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime / 1000
+            s match {
+              case null =>
+                s = Scd2State(1L, e.event_type, 1L, t)
+              case st if st.status == e.event_type =>
+                s = st.copy(n = st.n + 1)
+              case st =>
+                out += Scd2Interval(uid, st.version, st.status, st.n, st.from, t)
+                s = Scd2State(st.version + 1L, e.event_type, 1L, t)
+            }
+          }
+          if (s != null) state.update(s)
+          out.iterator
+      }
+  }
 }
 
 /** Per-type running moments for [[StreamOps.anomalies]] (Welford). */
@@ -535,3 +573,16 @@ case class LatenessProfile(event_type: String, n_events: Long, n_late: Long,
 /** An emitted outlier. */
 case class Anomaly(event_type: String, user_id: Long, value: Double, z: Double,
     ts: Timestamp)
+
+/** A keyed change event for [[StreamOps.scd2Stream]] — carries the
+  * event_id the batch `ev_scd2` uses as its deterministic ts tiebreak. */
+case class ChangeEvent(user_id: Long, event_id: Long, event_type: String,
+    ts: Timestamp)
+
+/** A CLOSED SCD-2 interval ([valid_from, valid_to) epoch seconds),
+  * emitted exactly once when the tracked status changes. */
+case class Scd2Interval(user_id: Long, version: Long, status: String,
+    n_events: Long, valid_from: Long, valid_to: Long)
+
+/** Open-interval state for [[StreamOps.scd2Stream]] — O(1) per user. */
+private case class Scd2State(version: Long, status: String, n: Long, from: Long)

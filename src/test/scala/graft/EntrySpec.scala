@@ -13,16 +13,16 @@ class EntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
   }
 
-  test("exactly the declared rows-only queries lack an oracle") {
+  test("every query carries an oracle (no rows-only rows since r8)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("text_compression"),
-      s"queries without an oracle (must be exactly the declared rows-only set): $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle (r8 retired the rows-only class): $rowsOnly")
   }
 
   test("inventory size matches the documented counts (SURVEY §8 / README)") {
-    // 122 oracle + 1 rows-only; bump ALL THREE places together:
+    // all-oracle inventory; bump ALL THREE places together:
     // this pin, SURVEY.md §8, README.md verification section.
-    assert(SparkEntry.queries.size == 123,
+    assert(SparkEntry.queries.size == 126,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY.md §8 + README.md, then this pin")
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Bucketing, Events, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-8 coverage: the Z-order layout audit's clustering guarantee, the
+  * two-stage refine search's recall dominance over its own shortlist
+  * stage, and the SCD-2 history's interval algebra.
+  */
+class Round8Spec extends SparkSpec {
+
+  test("q_zorder_layout: chunks partition the table and cluster both keys") {
+    val df = Bucketing.zorderLayout(spark, Sf).cache()
+    val total = Tables.lineitem(spark, Sf).count()
+    val agg = df.agg(sum(col("n_rows")), count(lit(1)),
+      avg(col("span_part_bp") * col("span_supp_bp"))).head()
+    assert(agg.getLong(0) == total, "chunks must partition the table exactly")
+    val nChunks = agg.getLong(1)
+    assert(nChunks >= 16 && nChunks <= 32, s"expected ~32 z-range chunks, got $nChunks")
+    // clustering: a chunk's average (part × supp) rectangle must cover a
+    // small fraction of the full key area — naive single-key sort leaves
+    // one span at 10000 bp, i.e. product ≥ ~10000 × (10000/32) ≈ 3.1e6
+    // only when the OTHER key clusters perfectly; z-order bounds both.
+    val avgAreaBp2 = agg.getDouble(2)
+    assert(avgAreaBp2 <= 0.15 * 10000.0 * 10000.0,
+      s"z-chunks must cover ≤15% of the key area on average, got ${avgAreaBp2 / 1e8}")
+    df.unpersist()
+  }
+
+  test("ann_refine: exact re-rank recalls at least as well as raw ADC order") {
+    // truth = exact squared-L2 top-5 (the shortlist's own metric),
+    // computed independently of any Spark path; refine (exact re-rank of
+    // the 25-candidate shortlist) must dominate the ADC-ranked top-5
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val truth = (0L until 10L).flatMap { q =>
+      val qe = vecs(q)
+      vecs.iterator.filter(_._1 != q)
+        .map { case (id, e) =>
+          var d = 0.0; var i = 0
+          while (i < qe.length) { val t = qe(i) - e(i); d += t * t; i += 1 }
+          (id, d)
+        }
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val refined = Similarity.refineTopK(spark, Sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqSearchTopK(spark, Sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refineHits = (refined & truth).size
+    val adcHits = (adc & truth).size
+    assert(refineHits >= adcHits,
+      s"refine must not lose recall vs its ADC stage: refine=$refineHits adc=$adcHits")
+    // exactness of the re-rank stage: with the shortlist widened to the
+    // whole corpus the two-stage search must reproduce exact-L2 truth
+    // (round-4 distance ties allow a tiny slip)
+    val full = Similarity.refineTopK(spark, Sf, shortlist = 1000)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullHits = (full & truth).size
+    assert(fullHits >= truth.size - 2,
+      s"full-shortlist refine must equal exact truth, got $fullHits/${truth.size}")
+  }
+
+  test("ev_scd2: intervals are contiguous, versions dense, statuses alternate") {
+    val df = Events.scd2(spark, Sf).cache()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val checked = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_version", lead(col("version"), 1).over(w))
+      .withColumn("next_status", lead(col("status"), 1).over(w))
+    val bad = checked.filter(
+      // a closed interval must end exactly where the next begins
+      (col("valid_to").isNotNull && (col("next_from").isNull ||
+        col("valid_to") =!= col("next_from"))) ||
+        // only the last (open) interval may have null valid_to
+        (col("valid_to").isNull && col("next_version").isNotNull) ||
+        // versions are 1,2,3,... with no gaps
+        (col("next_version").isNotNull && col("next_version") =!= col("version") + 1) ||
+        // a run boundary means the status actually changed
+        (col("next_status").isNotNull && col("next_status") === col("status")))
+      .count()
+    assert(bad == 0L, s"$bad SCD-2 interval-algebra violations")
+    // n_events re-aggregates to the cohort's event count
+    val total = df.agg(sum(col("n_events"))).head().getLong(0)
+    val expected = Tables.events(spark, Sf).filter(expr("user_id % 10 = 0")).count()
+    assert(total == expected)
+    df.unpersist()
+  }
+}

@@ -629,4 +629,39 @@ class StreamOpsSpec extends SparkSpec {
         s"typed projection divergence (missing: ${(want -- got).take(3)}, extra: ${(got -- want).take(3)})")
     } finally q.stop()
   }
+
+  test("streaming SCD-2 twin: closed intervals match the batch ev_scd2 across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch cohort's real events, in event-time order, split into two
+    // micro-batches mid-stream — state must carry open intervals across
+    val evs = graft.Tables.events(spark, Sf)
+      .filter(expr("user_id % 10 = 0"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length > 50, "cohort must be non-trivial")
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, version, status, n_events, valid_from, valid_to FROM scd2s")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batchClosed = graft.operators.Events.scd2(spark, Sf)
+        .filter(col("valid_to").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(streamed.nonEmpty && streamed == batchClosed,
+        s"SCD-2 stream/batch divergence (missing: ${(batchClosed -- streamed).take(3)}, " +
+          s"extra: ${(streamed -- batchClosed).take(3)})")
+    } finally q.stop()
+  }
 }
