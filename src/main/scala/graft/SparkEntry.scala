@@ -41,6 +41,7 @@ object SparkEntry {
     "q_cube_revenue" -> ((s, d) => Tpch.qCubeRevenue(s, d)),
     "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
     "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
+    "q_incremental_agg" -> ((s, d) => Tpch.qIncrementalAgg(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -56,6 +57,8 @@ object SparkEntry {
     "ev_topn_users" -> ((s, d) => Events.topNUsers(s, d)),
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
     "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
+    "ev_count_min" -> ((s, d) => Events.countMin(s, d)),
+    "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
@@ -124,6 +127,7 @@ object SparkEntry {
     "docs_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
+    "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => Pipeline.repetition(s, d)),
@@ -354,6 +358,7 @@ object SparkEntry {
     "q_cube_revenue" -> Tpch.qCubeRevenueOracle,
     "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
     "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
+    "q_incremental_agg" -> Tpch.qIncrementalAggOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -423,6 +428,8 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
     "ev_scd2" -> Events.scd2Oracle,
+    "ev_count_min" -> Events.countMinOracle,
+    "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
@@ -490,6 +497,7 @@ object SparkEntry {
     "docs_token_budget" -> Pipeline.tokenBudgetOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
+    "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,
     "text_repetition" -> Pipeline.repetitionOracle,

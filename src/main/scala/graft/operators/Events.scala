@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -951,6 +951,144 @@ object Events {
         unix_timestamp(col("ts")).as("last_seen"))
       .orderBy(col("user_id"))
   }
+
+  /** Count-Min sketch (`ev_count_min`): fixed-size frequency estimation —
+    * the 4th sketch in the family (KMV distinct, HLL distinct, Misra–Gries
+    * heavy hitters, CM frequencies). depth×width counters (4×512 here)
+    * estimate ANY key's event count with one-sided error: est ≥ exact,
+    * overshooting by at most the collision mass in the key's least-loaded
+    * row. All arithmetic is the shared md5-based [[graft.functions.Kernels.hash31]]
+    * (row-salted), so the sketch is deterministic and the oracle rebuilds
+    * it bit-for-bit. Scale shape: the depth-row explode is map-side, the
+    * sketch agg shuffles ≤ depth×width counter rows (bounded by the SKETCH,
+    * not the corpus — countDistinct-style exact counting shuffles every
+    * key), merging two corpora's sketches = summing counters. The exact
+    * top-N beside the estimate exposes the collision error like
+    * [[distinctSketch]] does for KMV. */
+  /** The CM counter table (j, bucket, cnt) — exposed so the streaming
+    * twin's parity spec can diff state against it. */
+  def countMinSketch(ev: DataFrame, depth: Int = 4, width: Int = 512): DataFrame =
+    ev.select(col("user_id"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), cmBucket(col("user_id"), col("j"), width).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private def cmBucket(user: Column, j: Column, width: Int): Column = {
+    import graft.functions.Kernels.hash31
+    pmod(hash31(concat(j.cast("string"), lit(":"), user.cast("string"))),
+      lit(width.toLong))
+  }
+
+  def countMin(spark: SparkSession, d: String, depth: Int = 4,
+      width: Int = 512, topN: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, d).select(col("user_id"))
+    val sketch = countMinSketch(ev, depth, width)
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(topN)
+    top
+      .select(col("user_id"), col("exact_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", cmBucket(col("user_id"), col("j"), width))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cnt")).as("cm_estimate"))
+      .orderBy(col("user_id"))
+  }
+
+  val countMinOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    val h = sqlHash31("concat(cast(j AS varchar), ':', cast(user_id AS varchar))")
+    s"""WITH dj AS (SELECT unnest(generate_series(0, 3)) AS j),
+       |rows_ AS (
+       |  SELECT j, $h % 512 AS bucket FROM events, dj),
+       |sketch AS (
+       |  SELECT j, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+       |top AS (
+       |  SELECT * FROM ex ORDER BY exact_n DESC, user_id LIMIT 10),
+       |probes AS (
+       |  SELECT user_id, exact_n, j, $h % 512 AS bucket FROM top, dj)
+       |SELECT user_id, exact_n, min(cnt) AS cm_estimate
+       |FROM probes JOIN sketch USING (j, bucket)
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
+  /** CDC MERGE (`q_cdc_merge`): apply a change batch onto a dimension
+    * snapshot with MERGE-INTO semantics — the lakehouse upsert every
+    * incremental 100 TB pipeline runs. The event stream splits at its
+    * midpoint timestamp (computed, not hardcoded, so every SF works):
+    * the pre-cutoff half compacts to the dimension snapshot (latest state
+    * per user), the post-cutoff half to the CDC batch (latest change per
+    * user). Full outer join on user_id classifies every key: `insert`
+    * (new user), `update` (state changed), `unchanged` (touched but
+    * equal), `carry` (untouched) — and emits the post-merge row either
+    * way. Both compactions are per-user WindowGroupLimit top-1s; the
+    * merge join shuffles only the two compacted states. */
+  def cdcMerge(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+    val ext = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+    val cut = ev.crossJoin(broadcast(ext))
+      .withColumn("is_delta", unix_micros(col("ts")) >= expr("mn + (mx - mn) div 2"))
+    def latest(df: DataFrame) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val dim = latest(cut.filter(!col("is_delta")))
+      .select(col("user_id"), col("event_type").as("old_status"),
+        col("value").as("old_value"))
+    val cdc = latest(cut.filter(col("is_delta")))
+      .select(col("user_id"), col("event_type").as("new_status"),
+        col("value").as("new_value"), unix_timestamp(col("ts")).as("changed_at"))
+    dim.join(cdc, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("old_status").isNull, "insert")
+          .when(col("new_status").isNull, "carry")
+          .when(col("new_status") === col("old_status") &&
+            col("new_value") === col("old_value"), "unchanged")
+          .otherwise("update").as("action"),
+        col("old_status"),
+        coalesce(col("new_status"), col("old_status")).as("status"),
+        coalesce(col("new_value"), col("old_value")).as("value"),
+        col("changed_at"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcMergeOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, round(value, 2) AS value, ts,
+      |    epoch_us(ts) AS us FROM events),
+      |ext AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+      |tagged AS (
+      |  SELECT ev.*, us >= mn + (mx - mn) // 2 AS is_delta FROM ev, ext),
+      |dim AS (
+      |  SELECT user_id, event_type AS old_status, value AS old_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM tagged WHERE NOT is_delta) WHERE rn = 1),
+      |cdc AS (
+      |  SELECT user_id, event_type AS new_status, value AS new_value,
+      |    cast(floor(epoch(ts)) AS bigint) AS changed_at FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM tagged WHERE is_delta) WHERE rn = 1)
+      |SELECT coalesce(dim.user_id, cdc.user_id) AS user_id,
+      |  CASE WHEN old_status IS NULL THEN 'insert'
+      |       WHEN new_status IS NULL THEN 'carry'
+      |       WHEN new_status = old_status AND new_value = old_value
+      |         THEN 'unchanged'
+      |       ELSE 'update' END AS action,
+      |  old_status,
+      |  coalesce(new_status, old_status) AS status,
+      |  coalesce(new_value, old_value) AS value,
+      |  changed_at
+      |FROM dim FULL OUTER JOIN cdc ON dim.user_id = cdc.user_id
+      |ORDER BY 1""".stripMargin
 
   /** SCD-2 history build (`ev_scd2`): compact each user's event stream
     * into slowly-changing-dimension type-2 intervals — one row per run of

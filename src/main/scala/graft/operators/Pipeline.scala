@@ -281,6 +281,50 @@ object Pipeline {
       |       ELSE (dict_bytes + 2*(n_tokens - n_distinct)) * 10000 // chars END AS BIGINT) AS ratio_bp
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split audit (`docs_split`): the
+    * hash-bucket assignment every corpus build needs — membership decided
+    * by `md5("split:" + doc_id) mod 100` (80/10/10), so it is stable
+    * under corpus growth (a doc's split never changes when neighbors
+    * arrive), engine-independent (the same md5 arithmetic as the shared
+    * hash kernels — NOT xxhash64, which DuckDB can't reproduce), and
+    * needs no global shuffle: assignment is a pure map, the audit is a
+    * (source × split) partial agg plus a broadcast-back of per-source
+    * totals for the share-in-basis-points column that exposes skew. */
+  def splitAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kernels.hash31
+    val assigned = Tables.documents(spark, d)
+      .select(col("source"),
+        pmod(hash31(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val counts = assigned.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n_docs")).as("total"))
+    counts.join(broadcast(totals), Seq("source"))
+      .withColumn("share_bp", expr("n_docs * 10000 div total"))
+      .select("source", "split", "n_docs", "share_bp")
+      .orderBy("source", "split")
+  }
+
+  val splitOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    val h = sqlHash31("concat('split:', cast(doc_id AS varchar))")
+    s"""WITH a AS (
+       |  SELECT source,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |c AS (SELECT source, split, count(*) AS n_docs FROM a GROUP BY 1, 2),
+       |t AS (SELECT source, sum(n_docs) AS total FROM c GROUP BY 1)
+       |SELECT c.source, c.split, c.n_docs,
+       |  cast(c.n_docs * 10000 // t.total AS bigint) AS share_bp
+       |FROM c JOIN t ON c.source = t.source
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Deterministic zlib-deflate length (level 6, single stream). */
   private[graft] def deflateLen(in: Array[Byte]): Int = {
     val d = new java.util.zip.Deflater(6)

@@ -689,4 +689,36 @@ object Tpch {
       |  cast(sum(spend_cents) AS bigint) AS total_spend_cents,
       |  cast(sum(n_orders) AS bigint) AS n_orders
       |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental aggregation maintenance (`q_incremental_agg`): the
+    * monthly revenue rollup computed the way a 100 TB pipeline actually
+    * maintains it — a FROZEN historical partial (orders before the
+    * cutoff) merged with a fresh delta partial (orders on/after it), the
+    * merge being a sum of partial (sum, count) states rather than a
+    * re-scan of history. The oracle computes the same rollup DIRECTLY in
+    * one pass, so the hash match PROVES the partial-merge path is
+    * lossless — which is only true because revenue is carried as exact
+    * integer cents end-to-end: float partial sums re-associate under
+    * merge and would drift in the last ulp. Each partial is an ordinary
+    * partial-agg shuffle on month; the merge is a |months|-row union+agg.
+    * Cutoff 1997-01-01 splits the order history mid-range. */
+  def qIncrementalAgg(spark: SparkSession, d: String): DataFrame = {
+    val cents = (floor(col("o_totalprice") * 100 + lit(0.5))).cast("long")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents).as("rev_cents"), count(lit(1)).as("n_orders"))
+    val ord = Tables.orders(spark, d)
+    val hist = partial(ord.filter(col("o_orderdate") < lit("1997-01-01")))
+    val delta = partial(ord.filter(col("o_orderdate") >= lit("1997-01-01")))
+    hist.unionAll(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("month"))
+  }
+
+  val qIncrementalAggOracle: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS rev_cents,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -490,6 +490,32 @@ object StreamOps {
   def routeToTopics(events: DataFrame): DataFrame =
     events.withColumn("topic", concat(lit("sse_"), col("event_type")))
 
+  /** Streaming Count-Min sketch — the in-flight twin of the batch
+    * `ev_count_min`: keyed state per hash row j is that row's
+    * bucket→count map (≤ width entries — bounded by the SKETCH geometry,
+    * never the key cardinality, the property that lets a frequency
+    * monitor run forever on an unbounded stream). Same row-salted
+    * [[hash31]] arithmetic as the batch sketch, and counter merge is pure
+    * addition, so after any batch split the streaming counters equal the
+    * batch sketch bit-for-bit (parity spec). Emits each row's counters
+    * every batch (update mode); probing min_j counters[hj(u)] is the
+    * reader's side, identical to batch. */
+  def countMinStream(events: Dataset[StreamEvent], depth: Int = 4,
+      width: Int = 512): Dataset[CmRowState] = {
+    import events.sparkSession.implicits._
+    events
+      .flatMap(e => (0 until depth).map(j =>
+        (j, (StreamOps.hash31(s"$j:${e.user_id}") % width).toInt)))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Int, Long], CmRowState](GroupStateTimeout.NoTimeout()) {
+        (j: Int, it: Iterator[(Int, Int)], state: GroupState[Map[Int, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Int, Long])
+          it.foreach { case (_, b) => m = m.updated(b, m.getOrElse(b, 0L) + 1L) }
+          state.update(m)
+          CmRowState(j, m)
+      }
+  }
+
   /** Streaming SCD-2 compaction — the in-flight twin of the batch
     * `ev_scd2`: per-key state is ONE open interval (version, status,
     * count, start — O(1) per user, not O(history)), and a status change
@@ -586,3 +612,7 @@ case class Scd2Interval(user_id: Long, version: Long, status: String,
 
 /** Open-interval state for [[StreamOps.scd2Stream]] — O(1) per user. */
 private case class Scd2State(version: Long, status: String, n: Long, from: Long)
+
+/** One Count-Min hash row's counters, emitted per batch by
+  * [[StreamOps.countMinStream]]. */
+case class CmRowState(j: Int, counters: Map[Int, Long])

@@ -66,6 +66,41 @@ class Round8Spec extends SparkSpec {
       s"full-shortlist refine must equal exact truth, got $fullHits/${truth.size}")
   }
 
+  test("ev_count_min: the sketch never underestimates (one-sided error)") {
+    val df = Events.countMin(spark, Sf)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CM must overestimate-or-equal: user ${r.getLong(0)} est=${r.getLong(2)} exact=${r.getLong(1)}")
+    }
+  }
+
+  test("docs_split: deterministic assignment with ~80/10/10 global shares") {
+    val a = graft.operators.Pipeline.splitAudit(spark, Sf).collect().toSeq
+    val b = graft.operators.Pipeline.splitAudit(spark, Sf).collect().toSeq
+    assert(a == b, "hash-bucket split must be run-deterministic")
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") / total > 0.6 && bySplit("train") / total < 0.95)
+    assert(bySplit("val") / total < 0.25 && bySplit("test") / total < 0.25)
+  }
+
+  test("q_cdc_merge: every user classified, actions consistent with the halves") {
+    val df = Events.cdcMerge(spark, Sf).cache()
+    val nUsers = Tables.events(spark, Sf).select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(df.count() == nUsers, "merge output must cover every user exactly once")
+    val bad = df.filter(
+      // merged state must always exist, and carries keep their old status
+      col("status").isNull ||
+        (col("action") === "carry" && col("changed_at").isNotNull) ||
+        (col("action") =!= "carry" && col("changed_at").isNull) ||
+        (col("action") === "insert" && col("old_status").isNotNull)).count()
+    assert(bad == 0L, s"$bad inconsistent merge rows")
+    df.unpersist()
+  }
+
   test("ev_scd2: intervals are contiguous, versions dense, statuses alternate") {
     val df = Events.scd2(spark, Sf).cache()
     import org.apache.spark.sql.expressions.Window

@@ -664,4 +664,36 @@ class StreamOpsSpec extends SparkSpec {
           s"extra: ${(streamed -- batchClosed).take(3)})")
     } finally q.stop()
   }
+
+  test("streaming Count-Min twin: counters equal the batch sketch after a split feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.Tables.events(spark, Sf)
+    val evs = base
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.countMinStream(in.toDS())
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // counters only grow, so the cumulative state per row j is the
+      // emitted map with the largest total
+      val streamed = spark.sql("SELECT j, counters FROM cms").collect()
+        .map(r => (r.getInt(0), r.getMap[Int, Long](1).toMap))
+        .groupBy(_._1).map { case (j, rows) => j -> rows.map(_._2).maxBy(_.values.sum) }
+      val batch = graft.operators.Events.countMinSketch(base).collect()
+        .map(r => ((r.getInt(0), r.getLong(1).toInt), r.getLong(2)))
+        .groupBy(_._1._1)
+        .map { case (j, rows) => j -> rows.map { case ((_, b), c) => b -> c }.toMap }
+      assert(streamed.keySet == batch.keySet && streamed.keySet == Set(0, 1, 2, 3))
+      streamed.keySet.foreach { j =>
+        assert(streamed(j) == batch(j),
+          s"CM row $j diverged: stream has ${streamed(j).size} buckets, batch ${batch(j).size}")
+      }
+    } finally q.stop()
+  }
 }
