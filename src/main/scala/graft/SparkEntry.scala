@@ -42,6 +42,7 @@ object SparkEntry {
     "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
     "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     "q_incremental_agg" -> ((s, d) => Tpch.qIncrementalAgg(s, d)),
+    "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
     "sse_parse_full" -> ((s, d) => Events.sseParseFull(s, d)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
+    "ann_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ivfPqSearchTopK(s, d)),
     "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -143,6 +145,8 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
+    "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
+    "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
@@ -359,6 +363,7 @@ object SparkEntry {
     "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
     "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
     "q_incremental_agg" -> Tpch.qIncrementalAggOracle,
+    "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
         | round(sum(value)/count(*),4) AS avg_value
@@ -453,6 +458,7 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_refine" -> Similarity.refineTopKOracle,
+    "ann_mrl_recall" -> Similarity.mrlRecallOracle,
     "ann_ivfpq" -> Similarity.ivfPqSearchTopKOracle,
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
@@ -462,6 +468,8 @@ object SparkEntry {
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "text_langid_eval" -> TextAnalysis.langIdEvalOracle,
     "text_pmi_bigrams" -> TextAnalysis.pmiBigramsOracle,
+    "text_bigram_lm" -> TextAnalysis.bigramLmOracle,
+    "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

@@ -871,6 +871,66 @@ object Similarity {
        |SELECT query_id, neighbor_id, d2, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka prefix-dimension recall (`ann_mrl_recall`): recall@k of
+    * exact cosine search restricted to the first p dimensions of each
+    * embedding (p ∈ 16, 32, 64) vs the full-dimension truth — the eval
+    * behind MRL-style embeddings, where a prefix slice is a cheaper
+    * drop-in vector and this table prices the quality of each truncation
+    * tier (p = full dims is the 1.0 sanity row). Same round-4 cosine /
+    * tiebreak conventions as [[bruteforceTopK]]; each tier is one
+    * broadcast-query scan, so the whole eval is \|tiers\| linear passes
+    * and the documented `truthSample` pattern applies unchanged at
+    * 100 TB. */
+  def mrlRecall(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, prefixes: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("full"))
+    def topkAt(p: Int): DataFrame = {
+      val vp = v.select(col("vec_id"), slice(col("full"), 1, p).as("e"))
+        .withColumn("norm", vecNorm(col("e")))
+      val q = vp.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+      vp.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(lit(p.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+    }
+    val truth = topkAt(64).select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    prefixes.map(topkAt).reduce(_ unionAll _)
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
+  val mrlRecallOracle: String = {
+    def tier(p: Int): String =
+      s"""SELECT $p AS dims, query_id, v.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+         |  FROM (SELECT vec_id AS query_id, e AS qe FROM p$p WHERE vec_id < 10) q,
+         |    p$p v WHERE v.vec_id != query_id""".stripMargin
+    val slices = Seq(16, 32, 64)
+      .map(p => s"p$p AS (SELECT vec_id, (embedding::DOUBLE[])[1:$p] AS e FROM embeddings)")
+      .mkString(",\n")
+    s"""WITH $slices,
+       |scored AS (${Seq(16, 32, 64).map(tier).mkString("\nUNION ALL\n")}),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY dims, query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |topk AS (SELECT dims, query_id, neighbor_id FROM ranked WHERE rank <= 5),
+       |truth AS (SELECT query_id, neighbor_id FROM topk WHERE dims = 64)
+       |SELECT cast(k.dims AS bigint) AS dims, k.query_id,
+       |  cast(count(t.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(t.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM topk k LEFT JOIN truth t
+       |  ON k.query_id = t.query_id AND k.neighbor_id = t.neighbor_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** IVF-PQ: the full FAISS-style index shape — an IVF coarse quantizer
     * bounds WHICH vectors a query scores (its own cell, \|corpus\|/nCells
     * candidates) and PQ/ADC bounds WHAT is read per candidate (m code

@@ -362,4 +362,91 @@ object TextAnalysis {
       |    ((cast(u1.c AS double) * u2.c) * nb)), 4) + 0.0 AS pmi
       |FROM bf JOIN uf u1 ON bf.w1 = u1.w JOIN uf u2 ON bf.w2 = u2.w, utot, btot
       |WHERE c_xy >= 5 ORDER BY w1, w2""".stripMargin
+
+  /** Bigram-LM quality score (`text_bigram_lm`): per-doc mean log
+    * probability under an add-one-smoothed bigram model trained on the
+    * corpus itself — the KenLM/CCNet perplexity proxy one tier above the
+    * unigram score (`text_unigram_lp`): a doc of common words in an
+    * UNCOMMON order now scores low. P(w2|w1) = (c(w1w2)+1)/(c(w1)+V).
+    * Scale shape: the model is two count aggregates; scoring joins each
+    * doc bigram to the bigram table (shuffle on the bigram key — high
+    * cardinality, no skew) with the unigram table and V riding
+    * broadcasts; ln of an integer ratio is bit-identical cross-engine
+    * and the per-doc mean rounds at 4dp like the unigram row. */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), tokens(col("text")).as("t"))
+    val uni = docs.select(explode(col("t")).as("w"))
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uf.groupBy().agg(count(lit(1)).as("v"))
+    val bg = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    bg.join(bf, Seq("w1", "w2"))
+      .join(broadcast(uf.select(col("w").as("w1"), col("c1"))), "w1")
+      .join(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(log((col("c_xy") + 1).cast("double") / (col("c1") + col("v")))), 4)
+          + lit(0.0)).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |uni AS (SELECT unnest(a) AS w FROM t),
+      |uf AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+      |voc AS (SELECT count(*) AS v FROM uf),
+      |bg0 AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t WHERE len(a) >= 2),
+      |bg AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM bg0),
+      |bf AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(cast(c_xy + 1 AS double) / (c1 + v))), 4) + 0.0 AS avg_logprob
+      |FROM bg JOIN bf USING (w1, w2) JOIN uf ON bg.w1 = uf.w, voc
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Vocabulary-pruning coverage audit (`text_vocab_prune`): for each
+    * min-frequency cutoff, how many terms survive and what fraction of
+    * the token stream they cover — the audit that sizes a tokenizer
+    * vocabulary / OOV budget before training. Pure aggregation (term
+    * counts → threshold cross join → partial agg): NO global rank window,
+    * so there is no single-reducer stage at any corpus size; totals ride
+    * a broadcast back. All-integer outputs (basis points). */
+  def vocabPrune(spark: SparkSession, d: String,
+      thresholds: Seq[Int] = Seq(2, 10, 100)): DataFrame = {
+    val uni = Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("w"))
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uf.groupBy().agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_terms"))
+    val thr = spark.range(thresholds.size)
+      .select(element_at(array(thresholds.map(t => lit(t.toLong)): _*),
+        col("id").cast("int") + 1).as("min_count"))
+    uf.crossJoin(broadcast(thr))
+      .groupBy(col("min_count"))
+      .agg(sum(when(col("c") >= col("min_count"), 1L).otherwise(0L)).as("n_kept_terms"),
+        sum(when(col("c") >= col("min_count"), col("c")).otherwise(0L)).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("min_count"), col("n_kept_terms"), col("covered_tokens"),
+        expr("covered_tokens * 10000 div n_tokens").as("coverage_bp"),
+        expr("n_kept_terms * 10000 div n_terms").as("vocab_bp"))
+      .orderBy(col("min_count"))
+  }
+
+  val vocabPruneOracle: String =
+    """WITH uni AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |uf AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |tot AS (SELECT cast(sum(c) AS bigint) AS n_tokens,
+      |               cast(count(*) AS bigint) AS n_terms FROM uf),
+      |thr AS (SELECT cast(t AS bigint) AS min_count FROM (VALUES (2), (10), (100)) v(t))
+      |SELECT min_count,
+      |  cast(sum(CASE WHEN c >= min_count THEN 1 ELSE 0 END) AS bigint) AS n_kept_terms,
+      |  cast(sum(CASE WHEN c >= min_count THEN c ELSE 0 END) AS bigint) AS covered_tokens,
+      |  cast(sum(CASE WHEN c >= min_count THEN c ELSE 0 END) * 10000
+      |    // min(n_tokens) AS bigint) AS coverage_bp,
+      |  cast(sum(CASE WHEN c >= min_count THEN 1 ELSE 0 END) * 10000
+      |    // min(n_terms) AS bigint) AS vocab_bp
+      |FROM uf, thr, tot GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -66,6 +66,26 @@ class Round8Spec extends SparkSpec {
       s"full-shortlist refine must equal exact truth, got $fullHits/${truth.size}")
   }
 
+  test("q_file_skipping: z-order never reads more chunks and wins in aggregate") {
+    val df = Bucketing.fileSkipping(spark, Sf).cache()
+    val worse = df.filter(col("chunks_zorder") > col("chunks_linear")).count()
+    assert(worse == 0L,
+      "on a two-sided predicate workload z-order must never read more chunks than a linear sort")
+    val agg = df.agg(sum(col("chunks_zorder")), sum(col("chunks_linear"))).head()
+    assert(agg.getLong(0) < agg.getLong(1),
+      s"z-order must strictly win in aggregate: z=${agg.getLong(0)} linear=${agg.getLong(1)}")
+    df.unpersist()
+  }
+
+  test("ann_mrl_recall: recall is monotone in prefix dims and 1.0 at full dims") {
+    val rows = Similarity.mrlRecall(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byDims = rows.groupBy(_._1).view.mapValues(v => v.map(_._3).sum / v.size).toMap
+    assert(byDims(64L) == 1.0, "full-prefix tier must reproduce truth exactly")
+    assert(byDims(16L) <= byDims(32L) + 0.1 && byDims(32L) <= byDims(64L) + 1e-9,
+      s"recall should not degrade as the prefix widens: $byDims")
+  }
+
   test("ev_count_min: the sketch never underestimates (one-sided error)") {
     val df = Events.countMin(spark, Sf)
     val rows = df.collect()
