@@ -59,6 +59,7 @@ object SparkEntry {
     "ev_dedup_latest" -> ((s, d) => Events.dedupLatest(s, d)),
     "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
     "ev_count_min" -> ((s, d) => Events.countMin(s, d)),
+    "ev_ewma_hourly" -> ((s, d) => Events.ewmaHourly(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
@@ -152,6 +154,7 @@ object SparkEntry {
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -434,6 +437,7 @@ object SparkEntry {
         |WHERE rn=1 ORDER BY user_id""".stripMargin,
     "ev_scd2" -> Events.scd2Oracle,
     "ev_count_min" -> Events.countMinOracle,
+    "ev_ewma_hourly" -> Events.ewmaHourlyOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
@@ -477,6 +481,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
+    "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "shingle_stats" -> Dedup.shingleStatsOracle,
@@ -520,6 +525,7 @@ object SparkEntry {
     "mm_decode_real" -> Multimodal.decodeRealOracle,
     "mm_resize" -> Multimodal.resizeOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
+    "mm_shard_plan" -> Multimodal.shardPlanOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,
   )

@@ -670,6 +670,25 @@ object Dedup {
        |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
   }
 
+  /** Duplicate-cluster size histogram (`dedup_cluster_stats`): the audit a
+    * dedup run publishes before applying — how many clusters of each size
+    * exist and how many docs they tie up (size-2 pairs vs deep
+    * boilerplate families need different remediation). A \|clusters\|-row
+    * aggregate over [[clusters]]' already-reduced output: adds nothing to
+    * the BSP's cost at any scale. */
+  def clusterStats(spark: SparkSession, d: String): DataFrame =
+    clusters(spark, d)
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_members")).as("n_docs"))
+      .orderBy(col("n_members"))
+
+  val clusterStatsOracle: String = {
+    val base = clustersOracle.replace("ORDER BY 1", "")
+    s"""SELECT n_members, count(*) AS n_clusters,
+       |  cast(sum(n_members) AS bigint) AS n_docs
+       |FROM ($base) c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Containment dedup: pairs where the SMALLER document's shingle set is
     * mostly inside the larger's (|A∩B| / min(|A|,|B|) ≥ threshold) — the
     * asymmetric near-dup symmetric Jaccard misses (a doc quoted whole

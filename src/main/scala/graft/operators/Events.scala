@@ -952,6 +952,45 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Exponentially-weighted traffic smoothing (`ev_ewma_hourly`): per
+    * type, the hourly event count beside a 4-tap exponentially-weighted
+    * sliding sum (weights 8/4/2/1 over the current and three prior
+    * observed hours, integer-scaled ×15 so no float division exists) —
+    * the anomaly-detection baseline an alerting pipeline keeps per
+    * stream. A finite-horizon integer EWMA rather than the recursive
+    * form: recursion is order-sequential and engine-hostile; the 4-tap
+    * window is one partitioned lag chain, exact in both engines, and
+    * mergeable because hourly counts are. Windows partition per type over
+    * the observed-hour sequence (`ev_burstiness` handles empty-hour
+    * accounting). */
+  def ewmaHourly(spark: SparkSession, d: String): DataFrame = {
+    val byTypeHour = Tables.events(spark, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    byTypeHour
+      .withColumn("ewma_x15",
+        col("cnt") * 8 + coalesce(lag(col("cnt"), 1).over(w), lit(0L)) * 4 +
+          coalesce(lag(col("cnt"), 2).over(w), lit(0L)) * 2 +
+          coalesce(lag(col("cnt"), 3).over(w), lit(0L)))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  val ewmaHourlyOracle: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    cast(floor(epoch(date_trunc('hour', ts))) AS bigint) AS hour_ts,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_ts, cnt,
+      |  cnt * 8
+      |    + coalesce(lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY hour_ts), 0) * 4
+      |    + coalesce(lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY hour_ts), 0) * 2
+      |    + coalesce(lag(cnt, 3) OVER (PARTITION BY event_type ORDER BY hour_ts), 0)
+      |    AS ewma_x15
+      |FROM h ORDER BY 1, 2""".stripMargin
+
   /** Count-Min sketch (`ev_count_min`): fixed-size frequency estimation —
     * the 4th sketch in the family (KMV distinct, HLL distinct, Misra–Gries
     * heavy hitters, CM frequencies). depth×width counters (4×512 here)

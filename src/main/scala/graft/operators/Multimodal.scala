@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A record carrying an opaque media payload (the multimodal column). */
@@ -198,4 +199,48 @@ object Multimodal {
       |  SELECT doc_id, unnest(generate_series(0, length(text) // 100 - 1, 5)) AS i
       |  FROM documents WHERE length(text) >= 100)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** WebDataset-style shard plan (`mm_shard_plan`): group media payloads
+    * into ~64 KiB shards per writer task — the tar-sharding step every
+    * multimodal corpus runs before training (sequential readers want
+    * few-MB archives, not millions of small objects). Writer = doc_id
+    * mod 8 models the independent parallel writer (the `docs_shard_skew`
+    * convention), so the running-byte window partitions by writer — NO
+    * global window at any corpus size — and shard = exclusive-prefix
+    * bytes div target, the greedy in-order packing a streaming tar writer
+    * actually performs. Payload sizes come from [[decodeReal]]'s real
+    * encode→parse round trip; the oracle recomputes them arithmetically
+    * from the same spec. */
+  def shardPlan(spark: SparkSession, d: String, nWriters: Int = 8,
+      targetBytes: Long = 65536L): DataFrame = {
+    val sized = decodeReal(spark, d).select(col("doc_id"), col("byte_len"))
+      .withColumn("writer", pmod(col("doc_id"), lit(nWriters.toLong)))
+    val w = Window.partitionBy(col("writer")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum", sum(col("byte_len")).over(w))
+      .withColumn("shard", expr(s"(cum - byte_len) div $targetBytes"))
+      .groupBy(col("writer"), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("byte_len")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("writer"), col("shard"))
+  }
+
+  val shardPlanOracle: String =
+    """WITH sized AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 54 + ((((length(text) % 32 + 1) * 3 + 3) // 4) * 4)
+      |             * (length(text) % 24 + 1)
+      |      ELSE 44 + length(text) * 8 END AS byte_len,
+      |    doc_id % 8 AS writer
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(byte_len) OVER (PARTITION BY writer ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sized)
+      |SELECT writer, cast((cum - byte_len) // 65536 AS bigint) AS shard,
+      |  count(*) AS n_items, cast(sum(byte_len) AS bigint) AS bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
