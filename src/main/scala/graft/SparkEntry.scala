@@ -42,6 +42,7 @@ object SparkEntry {
     "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
     "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     "q_incremental_agg" -> ((s, d) => Tpch.qIncrementalAgg(s, d)),
+    "q_mom_delta" -> ((s, d) => Tpch.qMomDelta(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "vec_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
     "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
+    "vec_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
@@ -366,6 +368,7 @@ object SparkEntry {
     "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
     "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
     "q_incremental_agg" -> Tpch.qIncrementalAggOracle,
+    "q_mom_delta" -> Tpch.qMomDeltaOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -468,6 +471,7 @@ object SparkEntry {
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "vec_kmeans_step" -> Similarity.kmeansStepOracle,
     "vec_drift" -> Similarity.driftOracle,
+    "vec_norm_audit" -> Similarity.normAuditOracle,
     "text_tfidf" -> TextAnalysis.tfidfOracle,
     "text_bm25" -> TextAnalysis.bm25Oracle,
     "text_langid_eval" -> TextAnalysis.langIdEvalOracle,

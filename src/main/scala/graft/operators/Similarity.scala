@@ -871,6 +871,35 @@ object Similarity {
        |SELECT query_id, neighbor_id, d2, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-norm audit (`vec_norm_audit`): per label, the L2-norm
+    * distribution of the stored vectors — n, mean/min/max norm and a
+    * near-zero count. The health check an embedding pipeline runs before
+    * any ANN build: collapsed vectors (norm ≈ 0) poison cosine math, and
+    * a label whose norm band drifts from the rest signals a bad encoder
+    * batch (`vec_drift` tracks the centroid side of the same failure).
+    * One linear pass, \|labels\|-row partial agg. */
+  def normAudit(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("label"), vecNorm(vecDouble(col("embedding"))).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"),
+        sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("label"))
+
+  val normAuditOracle: String =
+    """WITH n AS (
+      |  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(norm), 4) AS avg_norm,
+      |  round(min(norm), 4) AS min_norm,
+      |  round(max(norm), 4) AS max_norm,
+      |  cast(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS bigint) AS n_zero
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Matryoshka prefix-dimension recall (`ann_mrl_recall`): recall@k of
     * exact cosine search restricted to the first p dimensions of each
     * embedding (p ∈ 16, 32, 64) vs the full-dimension truth — the eval

@@ -721,4 +721,49 @@ object Tpch {
       |  cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS rev_cents,
       |  count(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Month-over-month movers (`q_mom_delta`): per market segment, monthly
+    * revenue in exact cents with the absolute and basis-point change vs
+    * the prior month — the trend/regression report every revenue
+    * dashboard publishes. Customer dim broadcasts into the fact scan;
+    * the lag window partitions per segment over \|months\| rows, so the
+    * window input is the AGGREGATED series, never the fact table. First
+    * month per segment carries null deltas (no prior). */
+  def qMomDelta(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    val cents = (floor(col("o_totalprice") * 100 + lit(0.5))).cast("long")
+    val monthly = Tables.orders(spark, d)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents).as("rev_cents"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("delta_bp",
+        when(col("prev_cents").isNotNull && col("prev_cents") =!= 0,
+          expr("(rev_cents - prev_cents) * 10000 div prev_cents")))
+      .select("segment", "month", "rev_cents", "delta_cents", "delta_bp")
+      .orderBy("segment", "month")
+  }
+
+  val qMomDeltaOracle: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_trunc('month', o_orderdate) AS month,
+      |    cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(rev_cents) OVER
+      |    (PARTITION BY segment ORDER BY month) AS prev_cents
+      |  FROM m)
+      |SELECT segment, month, rev_cents,
+      |  rev_cents - prev_cents AS delta_cents,
+      |  -- both engines truncate integer division toward zero, so negative
+      |  -- deltas agree (verified: -5 // 2 = -2 in DuckDB, -5 div 2 = -2 in Spark)
+      |  CASE WHEN prev_cents IS NOT NULL AND prev_cents != 0
+      |    THEN (rev_cents - prev_cents) * 10000 // prev_cents END AS delta_bp
+      |FROM l ORDER BY 1, 2""".stripMargin
 }

@@ -9,6 +9,24 @@ import org.apache.spark.sql.functions._
   */
 class Round8Spec extends SparkSpec {
 
+  test("r8 plan shapes: extent rides a 1-row broadcast, sketches avoid sort-merge") {
+    // z-order/file-skipping: the key-extent aggregate must join back as a
+    // BroadcastNestedLoopJoin (one row), never a shuffled join; the chunk
+    // agg must keep partial aggregation (no plan-wide SortMergeJoin)
+    // (q_cdc_merge is exempt: its FULL OUTER merge of the two compacted
+    // per-user states cannot broadcast and correctly sort-merges AFTER
+    // both sides shrank to |users| rows)
+    Seq(Bucketing.zorderLayout(spark, Sf), Bucketing.fileSkipping(spark, Sf),
+      Events.countMin(spark, Sf)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"tiny-side joins must broadcast, got:\n${p.linesIterator.take(25).mkString("\n")}")
+    }
+    val z = Bucketing.zorderLayout(spark, Sf).queryExecution.executedPlan.toString
+    assert(z.contains("BroadcastNestedLoopJoin") || z.contains("BroadcastExchange"),
+      "extent row must broadcast")
+  }
+
   test("q_zorder_layout: chunks partition the table and cluster both keys") {
     val df = Bucketing.zorderLayout(spark, Sf).cache()
     val total = Tables.lineitem(spark, Sf).count()
