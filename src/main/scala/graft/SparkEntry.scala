@@ -61,6 +61,8 @@ object SparkEntry {
     "ev_scd2" -> ((s, d) => Events.scd2(s, d)),
     "ev_count_min" -> ((s, d) => Events.countMin(s, d)),
     "ev_ewma_hourly" -> ((s, d) => Events.ewmaHourly(s, d)),
+    "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
+    "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
@@ -441,6 +443,8 @@ object SparkEntry {
     "ev_scd2" -> Events.scd2Oracle,
     "ev_count_min" -> Events.countMinOracle,
     "ev_ewma_hourly" -> Events.ewmaHourlyOracle,
+    "ev_attribution" -> Events.attributionOracle,
+    "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,

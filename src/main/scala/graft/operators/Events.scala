@@ -952,6 +952,102 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch attribution (`ev_attribution`): assign each purchase to
+    * the user's most recent prior `click` or `view` within a 24 h
+    * lookback — the marketing-attribution join every event warehouse
+    * runs. No self-join: two conditional running maxima over the
+    * user-partitioned event sequence carry the latest click/view
+    * timestamp to each purchase row in ONE window pass (the as-of-join
+    * family's window form), then the channel decision and the aggregate
+    * are a map + tiny group. Ties at the same microsecond resolve to
+    * `click` (>=), pinned in both engines. Revenue in exact cents. */
+  def attribution(spark: SparkSession, d: String, lookbackHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizon = lookbackHours * 3600L * 1000000L
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= horizon &&
+          (col("last_view_us").isNull || col("last_click_us") >= col("last_view_us")),
+          "click")
+          .when(col("last_view_us").isNotNull &&
+            col("us") - col("last_view_us") <= horizon, "view")
+          .otherwise("none"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev_cents"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      |  FROM events),
+      |m AS (
+      |  SELECT *,
+      |    max(CASE WHEN event_type = 'click' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS last_click_us,
+      |    max(CASE WHEN event_type = 'view' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS last_view_us
+      |  FROM ev),
+      |p AS (
+      |  SELECT value,
+      |    CASE WHEN last_click_us IS NOT NULL
+      |           AND us - last_click_us <= 86400000000
+      |           AND (last_view_us IS NULL OR last_click_us >= last_view_us)
+      |      THEN 'click'
+      |      WHEN last_view_us IS NOT NULL AND us - last_view_us <= 86400000000
+      |      THEN 'view' ELSE 'none' END AS channel
+      |  FROM m WHERE event_type = 'purchase')
+      |SELECT channel, count(*) AS n_purchases,
+      |  cast(sum(cast(floor(value * 100 + 0.5) AS bigint)) AS bigint) AS rev_cents
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Join-key skew audit (`ev_key_skew`): the "should I salt?" decision
+    * table — per log2 bucket of per-user event count, how many keys land
+    * there and what share of all events they carry (basis points). A
+    * heavy tail concentrated in the top buckets is the signature that a
+    * plain shuffle join will hot-spot and the salted path
+    * (`ev_skew_join_salted`) should run instead. Key counts are one
+    * partial agg; the histogram is a \|buckets\|-row agg; the total rides
+    * a broadcast back — all integer. */
+  def keySkew(spark: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val total = perKey.groupBy().agg(sum(col("cnt")).as("total"))
+    perKey
+      .withColumn("bucket", length(bin(col("cnt"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_key_events"))
+      .crossJoin(broadcast(total))
+      .withColumn("events_share_bp", expr("n_events * 10000 div total"))
+      .select("bucket", "n_keys", "n_events", "max_key_events", "events_share_bp")
+      .orderBy("bucket")
+  }
+
+  val keySkewOracle: String =
+    """WITH k AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM k),
+      |b AS (
+      |  SELECT cast(length(bin(cnt)) AS bigint) AS bucket, cnt FROM k)
+      |SELECT bucket, count(*) AS n_keys,
+      |  cast(sum(cnt) AS bigint) AS n_events,
+      |  cast(max(cnt) AS bigint) AS max_key_events,
+      |  cast(sum(cnt) * 10000 // min(total) AS bigint) AS events_share_bp
+      |FROM b, t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exponentially-weighted traffic smoothing (`ev_ewma_hourly`): per
     * type, the hourly event count beside a 4-tap exponentially-weighted
     * sliding sum (weights 8/4/2/1 over the current and three prior
