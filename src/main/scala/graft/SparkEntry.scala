@@ -62,6 +62,7 @@ object SparkEntry {
     "ev_count_min" -> ((s, d) => Events.countMin(s, d)),
     "ev_ewma_hourly" -> ((s, d) => Events.ewmaHourly(s, d)),
     "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
+    "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
@@ -444,6 +445,7 @@ object SparkEntry {
     "ev_count_min" -> Events.countMinOracle,
     "ev_ewma_hourly" -> Events.ewmaHourlyOracle,
     "ev_attribution" -> Events.attributionOracle,
+    "ev_ab_test" -> Events.abTestOracle,
     "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,

@@ -952,6 +952,68 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Two-sample conversion test (`ev_ab_test`): split users into A/B by
+    * `user_id mod 2`, measure purchase conversion per arm, and report
+    * the pooled two-proportion z statistic — the experiment readout an
+    * event warehouse serves constantly. Per-user conversion is one
+    * partial agg; the arms collapse to a single row of counts (conditional
+    * aggregates, no pivot shuffle); the z arithmetic is a fixed
+    * float expression over those integer counts (sqrt/division IEEE-equal
+    * cross-engine, round-4 like every float boundary in the inventory). */
+  def abTest(spark: SparkSession, d: String, minPurchases: Int = 14): DataFrame = {
+    // every user purchases at least once in the synthetic stream, so raw
+    // "ever purchased" is degenerate (both arms at 100% → z is 0/0);
+    // convert on ≥ minPurchases, chosen at the per-user mean so the rate
+    // sits mid-range at every SF
+    val perUser = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"),
+        when(col("np") >= minPurchases, 1L).otherwise(0L).as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val denom = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    perUser
+      .groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_bp", expr("conv_a * 10000 div n_a"))
+      .withColumn("rate_b_bp", expr("conv_b * 10000 div n_b"))
+      .withColumn("z",
+        when(denom > 0.0, round(
+          (col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b")) / denom, 4) + lit(0.0)))
+  }
+
+  val abTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT
+      |    cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+      |    cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS bigint) AS conv_a,
+      |    cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+      |    cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS bigint) AS conv_b
+      |  FROM u)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  cast(conv_a * 10000 // n_a AS bigint) AS rate_a_bp,
+      |  cast(conv_b * 10000 // n_b AS bigint) AS rate_b_bp,
+      |  CASE WHEN sqrt(cast(conv_a + conv_b AS double) / (n_a + n_b) *
+      |      (1.0 - cast(conv_a + conv_b AS double) / (n_a + n_b)) *
+      |      (1.0 / n_a + 1.0 / n_b)) > 0.0 THEN
+      |    round((cast(conv_a AS double) / n_a - cast(conv_b AS double) / n_b) /
+      |      sqrt(cast(conv_a + conv_b AS double) / (n_a + n_b) *
+      |        (1.0 - cast(conv_a + conv_b AS double) / (n_a + n_b)) *
+      |        (1.0 / n_a + 1.0 / n_b)), 4) + 0.0 END AS z
+      |FROM c""".stripMargin
+
   /** Last-touch attribution (`ev_attribution`): assign each purchase to
     * the user's most recent prior `click` or `view` within a 24 h
     * lookback — the marketing-attribution join every event warehouse

@@ -72,6 +72,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("10:00", "edit", 2L, 3.0), ("11:00", "log", 1L, 4.0)))
   }
 
+  test("end-to-end: sse source → typed decode → streaming SCD-2 compaction") {
+    import org.apache.spark.sql.Encoders
+    val dir = java.nio.file.Files.createTempDirectory("sse-scd2")
+    val log = dir.resolve("stream.log")
+    def frame(id: Long, user: Long, typ: String, t: String) =
+      s"""event: change\nid: $id\ndata: {"user_id":$user,"event_id":$id,"event_type":"$typ","ts":"$t"}\n\n"""
+    // user 1: click→click→view→error (two closed runs); user 2: view→view (none)
+    java.nio.file.Files.writeString(log,
+      frame(1, 1, "click", "2024-01-01 10:00:00") +
+        frame(2, 2, "view", "2024-01-01 10:01:00") +
+        frame(3, 1, "click", "2024-01-01 10:05:00") +
+        frame(4, 1, "view", "2024-01-01 10:10:00") +
+        frame(5, 2, "view", "2024-01-01 10:12:00") +
+        frame(6, 1, "error", "2024-01-01 10:20:00"))
+    val changes = spark.readStream.format("sse").option("path", log.toString).load()
+      .select(
+        get_json_object(col("data"), "$.user_id").cast("long").as("user_id"),
+        get_json_object(col("data"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("data"), "$.event_type").as("event_type"),
+        get_json_object(col("data"), "$.ts").cast("timestamp").as("ts"))
+      .as(Encoders.product[ChangeEvent])
+    val q = StreamOps.scd2Stream(changes)
+      .writeStream.format("memory").queryName("sse_scd2")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+      "SELECT user_id, version, status, n_events, valid_from, valid_to FROM sse_scd2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    def sec(t: String) = java.sql.Timestamp.valueOf(t).getTime / 1000
+    // closed intervals only: user 1's click run (2 events) closed by the
+    // view, the view run closed by the error; user 2 never changes status
+    val want = Set(
+      (1L, 1L, "click", 2L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:10:00")),
+      (1L, 2L, "view", 1L, sec("2024-01-01 10:10:00"), sec("2024-01-01 10:20:00")))
+    assert(got == want, s"SCD-2 over the SSE wire diverged: got $got")
+  }
+
   test("topic-routed streaming sink: events land partitioned by topic") {
     val dir = java.nio.file.Files.createTempDirectory("sse-route")
     val log = dir.resolve("stream.log")
