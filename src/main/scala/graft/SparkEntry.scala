@@ -154,6 +154,7 @@ object SparkEntry {
     "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
+    "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
     "mm_decode_real" -> ((s, d) => Multimodal.decodeReal(s, d)),
@@ -484,6 +485,7 @@ object SparkEntry {
     "text_pmi_bigrams" -> TextAnalysis.pmiBigramsOracle,
     "text_bigram_lm" -> TextAnalysis.bigramLmOracle,
     "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
+    "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,

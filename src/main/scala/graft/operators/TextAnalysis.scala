@@ -185,6 +185,69 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Winnowing fingerprint selection (`text_winnowing`) — the MOSS
+    * algorithm: hash every k-gram (k=8 chars) of the normalized text,
+    * then keep the MINIMUM hash of each sliding window of w=4 — the
+    * canonical fingerprint set that guarantees any shared substring of
+    * length ≥ k+w−1 produces a shared fingerprint, at ~2/(w+1) of the
+    * gram density. Emits per-doc fingerprint accounting (count + sum as
+    * the set's integer digest). All array-local higher-order expressions
+    * over the shared md5 `hash31` — one map pass, no explode, no
+    * shuffle; the per-gram md5 is the codegen'd built-in, not a Scala
+    * lambda over characters. */
+  /** k-gram hash array of a normalized text column — winnowing stage 1. */
+  private[graft] def kgramHashes(t: Column, k: Int): Column =
+    when(length(t) >= k,
+      transform(sequence(lit(1L), length(t).cast("long") - (k - 1)),
+        i => hash31(t.substr(i.cast("int"), lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Distinct window-min fingerprints over a k-gram hash array — winnowing
+    * stage 2 (exposed for the guarantee spec). */
+  private[graft] def winnowFps(kh: Column, w: Int): Column =
+    when(size(kh) >= w,
+      array_distinct(transform(sequence(lit(1), size(kh) - (w - 1)),
+        i => array_min(slice(kh, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  def winnowing(spark: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), norm.as("t"))
+      .withColumn("kh", kgramHashes(col("t"), k))
+      .withColumn("fps", winnowFps(col("kh"), w))
+      .select(col("doc_id"),
+        size(col("kh")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        coalesce(aggregate(col("fps"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowingOracle: String = {
+    val h = sqlHash31("substr(t, cast(i AS int), 8)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 8
+       |      THEN [$h for i in range(1, length(t) - 6)]
+       |      ELSE [] END AS kh
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id, kh,
+       |    CASE WHEN len(kh) >= 4
+       |      THEN list_distinct([list_min(kh[i:i+3]) for i in range(1, len(kh) - 2)])
+       |      ELSE [] END AS fps
+       |  FROM g)
+       |SELECT doc_id,
+       |  cast(len(kh) AS bigint) AS n_grams,
+       |  cast(len(fps) AS bigint) AS n_fingerprints,
+       |  cast(coalesce(list_sum(fps), 0) AS bigint) AS fp_sum
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus vocabulary: top-k tokens by occurrence (tf + document
     * frequency) — the inverted-index / BPE-vocabulary precursor. Partial
     * aggregation bounds the shuffle by |vocabulary|, not corpus size. */

@@ -104,6 +104,28 @@ class Round8Spec extends SparkSpec {
       s"recall should not degrade as the prefix widens: $byDims")
   }
 
+  test("text_winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // two docs with disjoint text except one planted 16-char common run:
+    // winnowing (k=8, w=4) guarantees a shared fingerprint for any common
+    // substring of length >= k+w-1 = 11
+    val common = "zqxjvkwpyzqxjvkw"
+    val toy = Seq((1L, s"alpha beta gamma $common delta epsilon zeta"),
+      (2L, s"one two three four $common five six seven")).toDF("id", "t")
+    val fps = toy
+      .select(col("id"), TextAnalysis.winnowFps(TextAnalysis.kgramHashes(col("t"), 8), 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "planted 16-char common substring must produce a shared winnow fingerprint")
+    // and two fully-disjoint docs share nothing
+    val disj = Seq((1L, "aaaa bbbb cccc dddd eeee"), (2L, "ffff gggg hhhh iiii jjjj"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.winnowFps(TextAnalysis.kgramHashes(col("t"), 8), 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((disj(1L) & disj(2L)).isEmpty)
+  }
+
   test("ev_count_min: the sketch never underestimates (one-sided error)") {
     val df = Events.countMin(spark, Sf)
     val rows = df.collect()
