@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
@@ -494,6 +495,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
+    "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "shingle_stats" -> Dedup.shingleStatsOracle,

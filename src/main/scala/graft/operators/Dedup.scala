@@ -670,6 +670,99 @@ object Dedup {
        |FROM comp GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
   }
 
+  /** Winnowing-pair detection (`dedup_winnow_pairs`) — MOSS's second half:
+    * near-dup candidate pairs from the winnow fingerprint index instead
+    * of the full shingle index. Winnowing keeps ~2/(w+1) of the k-gram
+    * hashes (≈40% at w=4), so the inverted index — and the df-capped
+    * self-join driving the pairing — shrinks by the same factor while the
+    * sharing guarantee (any common run ≥ k+w−1 chars fingerprints
+    * identically) keeps recall on real overlaps. Same `MaxShingleDf`
+    * ceiling as every index self-join (cost Σdf² ≤ maxDf·\|index\|, never
+    * all-pairs); pairs score overlap = shared fps / min fps — containment
+    * semantics robust to length mismatch. */
+  def winnowPairs(spark: SparkSession, d: String, minOverlapBp: Long = 5000L): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // the pair path computes grams and window minima DISTRIBUTED: explode
+    // the gram POSITIONS, hash each gram in a plain Project (codegen'd
+    // md5 — an array lambda referencing the gram array once gets
+    // CollapseProject-inlined and recomputes the whole array per window,
+    // O(n²k) per doc, measured 3 s/doc), then take the sliding min with a
+    // per-doc SQL window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val rows = Tables.documents(spark, d)
+      .select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), length(col("t")).cast("long") - 7)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Kernels.hash31(
+          col("t").substr(col("pos").cast("int"), lit(8))).as("h"))
+      .withColumn("m", min(col("h")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === 4)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
+      // three consumers read the fingerprint index (df cap, both join
+      // sides, per-doc counts) — pin ONE materialization instead of
+      // recomputing the explode+window stage per branch
+      .localCheckpoint()
+    val keep = rows.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("fp"))
+    val idx = rows.join(keep, "fp")
+    val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    // distinct projections on each side: a raw self-join of one lineage
+    // lets Catalyst resolve both fp refs to the SAME attribute (trivially
+    // true condition → cartesian)
+    val left = idx.select(col("fp"), col("doc_id").as("doc_a"))
+    val right = idx.select(col("fp"), col("doc_id").as("doc_b"))
+    left.join(right, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b")), "doc_b")
+      .withColumn("overlap_bp", expr("n_shared * 10000 div least(fps_a, fps_b)"))
+      .filter(col("overlap_bp") >= minOverlapBp)
+      .select("doc_a", "doc_b", "n_shared", "overlap_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowPairsOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    val h = sqlHash31("substr(t, cast(i AS int), 8)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 8
+       |      THEN [$h for i in range(1, length(t) - 6)]
+       |      ELSE [] END AS kh
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kh) >= 4
+       |      THEN list_distinct([list_min(kh[i:i+3]) for i in range(1, len(kh) - 2)])
+       |      ELSE [] END AS fps
+       |  FROM g),
+       |r AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |keep AS (SELECT fp FROM r GROUP BY fp HAVING count(*) <= $MaxShingleDf),
+       |idx AS (SELECT r.* FROM r JOIN keep USING (fp)),
+       |cnt AS (SELECT doc_id, cast(len(fps) AS bigint) AS n_fps FROM f),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  cast(n_shared * 10000 // least(ca.n_fps, cb.n_fps) AS bigint) AS overlap_bp
+       |FROM p JOIN cnt ca ON p.doc_a = ca.doc_id
+       |       JOIN cnt cb ON p.doc_b = cb.doc_id
+       |WHERE n_shared * 10000 // least(ca.n_fps, cb.n_fps) >= 5000
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Duplicate-cluster size histogram (`dedup_cluster_stats`): the audit a
     * dedup run publishes before applying — how many clusters of each size
     * exist and how many docs they tie up (size-2 pairs vs deep
