@@ -516,6 +516,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming last-touch attribution — the in-flight twin of the batch
+    * `ev_attribution`: per-user state is the latest click/view timestamp
+    * pair (two longs — O(1), the streaming form of the batch query's two
+    * conditional running maxima), and each arriving purchase emits its
+    * attributed channel immediately (append mode). Same 24 h lookback and
+    * click-wins-ties rule as the batch row, pinned by the parity spec;
+    * same per-key in-order assumption as [[scd2Stream]]/[[funnel]]. */
+  def attributionStream(events: Dataset[ChangeEvent],
+      lookbackHours: Int = 24): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val horizonUs = lookbackHours * 3600L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[ChangeEvent], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(None, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            e.event_type match {
+              case "click" => s = s.copy(lastClickUs = Some(us))
+              case "view" => s = s.copy(lastViewUs = Some(us))
+              case "purchase" =>
+                val channel = s match {
+                  case TouchState(Some(c), v) if us - c <= horizonUs &&
+                    v.forall(c >= _) => "click"
+                  case TouchState(_, Some(v)) if us - v <= horizonUs => "view"
+                  case _ => "none"
+                }
+                out += Attribution(uid, e.event_id, channel)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming SCD-2 compaction — the in-flight twin of the batch
     * `ev_scd2`: per-key state is ONE open interval (version, status,
     * count, start — O(1) per user, not O(history)), and a status change
@@ -616,3 +655,10 @@ private case class Scd2State(version: Long, status: String, n: Long, from: Long)
 /** One Count-Min hash row's counters, emitted per batch by
   * [[StreamOps.countMinStream]]. */
 case class CmRowState(j: Int, counters: Map[Int, Long])
+
+/** Latest click/view touch per user — O(1) state for
+  * [[StreamOps.attributionStream]]. */
+private case class TouchState(lastClickUs: Option[Long], lastViewUs: Option[Long])
+
+/** An attributed purchase, emitted as it arrives. */
+case class Attribution(user_id: Long, event_id: Long, channel: String)

@@ -72,6 +72,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("10:00", "edit", 2L, 3.0), ("11:00", "log", 1L, 4.0)))
   }
 
+  test("streaming attribution twin: per-channel totals match the batch ev_attribution") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql("SELECT channel, count(*) FROM attr GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Events.attribution(spark, Sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"attribution stream/batch divergence: streamed=$streamed batch=$batch")
+      // every purchase attributed exactly once
+      val nPurchases = graft.Tables.events(spark, Sf)
+        .filter(col("event_type") === "purchase").count()
+      assert(streamed.values.sum == nPurchases)
+    } finally q.stop()
+  }
+
   test("end-to-end: sse source → typed decode → streaming SCD-2 compaction") {
     import org.apache.spark.sql.Encoders
     val dir = java.nio.file.Files.createTempDirectory("sse-scd2")
