@@ -195,7 +195,12 @@ object TextAnalysis {
     * over the shared md5 `hash31` — one map pass, no explode, no
     * shuffle; the per-gram md5 is the codegen'd built-in, not a Scala
     * lambda over characters. */
-  /** k-gram hash array of a normalized text column — winnowing stage 1. */
+  /** k-gram hash array of a normalized text column — winnowing stage 1.
+    * REFERENCE/SPEC form: used by the guarantee spec on toy docs. The
+    * corpus operators run the distributed explode+window formulation
+    * instead — an array lambda that references the gram array once gets
+    * CollapseProject-inlined and recomputes the whole array per window
+    * (O(n²k) per doc). */
   private[graft] def kgramHashes(t: Column, k: Int): Column =
     when(length(t) >= k,
       transform(sequence(lit(1L), length(t).cast("long") - (k - 1)),
@@ -211,15 +216,33 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
 
   def winnowing(spark: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    Tables.documents(spark, d)
-      .select(col("doc_id"), norm.as("t"))
-      .withColumn("kh", kgramHashes(col("t"), k))
-      .withColumn("fps", winnowFps(col("kh"), w))
+    val base = Tables.documents(spark, d).select(col("doc_id"), norm.as("t"))
+    // distributed form (see [[kgramHashes]]): explode gram positions, hash
+    // in a codegen'd Project, sliding min via a per-doc SQL window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val grams = base.filter(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), length(col("t")).cast("long") - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hash31(col("t").substr(col("pos").cast("int"), lit(k))).as("h"))
+    val gcount = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val fstats = grams
+      .withColumn("m", min(col("h")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === w)
+      .select(col("doc_id"), col("m")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"), sum(col("m")).as("fp_sum"))
+    base.select(col("doc_id"))
+      .join(gcount, Seq("doc_id"), "left")
+      .join(fstats, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("kh")).cast("long").as("n_grams"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        coalesce(aggregate(col("fps"), lit(0L), (a, x) => a + x), lit(0L)).as("fp_sum"))
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
       .orderBy(col("doc_id"))
   }
 
