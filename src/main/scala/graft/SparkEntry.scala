@@ -67,6 +67,10 @@ object SparkEntry {
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
     "ev_asof_join" -> ((s, d) => Joins.asofJoin(s, d)),
+    "ev_forward_asof" -> ((s, d) => Joins.forwardAsofJoin(s, d)),
+    "ev_ohlc_hourly" -> ((s, d) => Events.ohlcHourly(s, d)),
+    "ev_rfm" -> ((s, d) => Events.rfm(s, d)),
+    "ev_hourly_hll" -> ((s, d) => Events.hourlyHll(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     "ev_skew_join_salted" -> ((s, d) => Joins.skewJoinSalted(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -121,6 +125,8 @@ object SparkEntry {
     "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
     "vec_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "ann_sq_search" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "ann_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -451,6 +457,10 @@ object SparkEntry {
     "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
+    "ev_forward_asof" -> Joins.forwardAsofJoinOracle,
+    "ev_ohlc_hourly" -> Events.ohlcHourlyOracle,
+    "ev_rfm" -> Events.rfmOracle,
+    "ev_hourly_hll" -> Events.hourlyHllOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
     "ev_funnel" -> Events.funnelOracle,
@@ -513,6 +523,8 @@ object SparkEntry {
     "ann_recall" -> Similarity.annRecallOracle,
     "ev_windowed_topk" -> Events.windowedTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,
+    "ann_sq_search" -> Similarity.sqTopKOracle,
+    "ann_sq_recall" -> Similarity.sqRecallOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,

@@ -1342,4 +1342,158 @@ object Events {
       |SELECT user_id, version, status, n_events, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
       |FROM g ORDER BY user_id, version""".stripMargin
+
+  /** Hourly OHLC bars over purchases (`ev_ohlc_hourly`) — the
+    * open/high/low/close compaction every metrics store runs on a raw
+    * tick stream. Open/close are ARGMIN/ARGMAX by event time, computed as
+    * a lexicographic min/max over the integer array (µs, event_id, cents):
+    * ties (same µs) break on event_id IDENTICALLY in both engines with no
+    * window anywhere — the whole bar is ONE partial aggregate per hour, so
+    * the shuffle carries \|hours\| rows whatever the tick volume (the
+    * hour-partitioned row_number alternative would hot-spot once an hour
+    * holds millions of ticks). Values in exact cents. */
+  def ohlcHourly(spark: SparkSession, d: String): DataFrame = {
+    Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_trades"),
+        element_at(min(array(col("us"), col("event_id"), col("cents"))), 3).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        element_at(max(array(col("us"), col("event_id"), col("cents"))), 3).as("close_cents"),
+        sum(col("cents")).as("volume_cents"))
+      .orderBy(col("hour"))
+  }
+
+  val ohlcHourlyOracle: String =
+    """WITH t AS (
+      |  SELECT date_trunc('hour', ts) AS hour, epoch_us(ts) AS us, event_id,
+      |    cast(floor(value * 100 + 0.5) AS bigint) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT hour, count(*) AS n_trades,
+      |  min([us, event_id, cents])[3] AS open_cents,
+      |  max(cents) AS high_cents,
+      |  min(cents) AS low_cents,
+      |  max([us, event_id, cents])[3] AS close_cents,
+      |  cast(sum(cents) AS bigint) AS volume_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RFM customer segmentation (`ev_rfm`): per purchasing user, recency
+    * (days since last purchase vs the corpus watermark), frequency
+    * (purchase count) and monetary value (exact cents), each scored 1-3
+    * against FIXED integer thresholds (quantile-based scoring is
+    * `q_spend_deciles`' distributed-rank job; fixed cutoffs are the form a
+    * marketing rulebook actually ships). The watermark rides a one-row
+    * broadcast back onto the per-user aggregate — never a collect; output
+    * is the \|segments\|-row report (≤27 rows at any corpus size). */
+  def rfm(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val ref = ev.agg(max(unix_micros(col("ts"))).as("ref_us"))
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+    perUser.crossJoin(broadcast(ref))
+      .withColumn("recency_days", expr("(ref_us - last_us) div 86400000000"))
+      .withColumn("r", when(col("recency_days") <= 3, 3).when(col("recency_days") <= 10, 2).otherwise(1))
+      .withColumn("f", when(col("n_purchases") >= 20, 3).when(col("n_purchases") >= 8, 2).otherwise(1))
+      .withColumn("m", when(col("cents") >= 150000L, 3).when(col("cents") >= 50000L, 2).otherwise(1))
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("segment_cents"),
+        round(avg(col("recency_days")), 4).as("avg_recency_days"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmOracle: String =
+    """WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+      |pu AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_purchases,
+      |    sum(cast(floor(value * 100 + 0.5) AS bigint)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |sc AS (
+      |  SELECT (ref_us - last_us) // 86400000000 AS recency_days, n_purchases, cents,
+      |    CASE WHEN (ref_us - last_us) // 86400000000 <= 3 THEN 3
+      |         WHEN (ref_us - last_us) // 86400000000 <= 10 THEN 2 ELSE 1 END AS r,
+      |    CASE WHEN n_purchases >= 20 THEN 3
+      |         WHEN n_purchases >= 8 THEN 2 ELSE 1 END AS f,
+      |    CASE WHEN cents >= 150000 THEN 3
+      |         WHEN cents >= 50000 THEN 2 ELSE 1 END AS m
+      |  FROM pu, ref)
+      |SELECT cast(r AS varchar) || cast(f AS varchar) || cast(m AS varchar) AS segment,
+      |  count(*) AS n_users, cast(sum(cents) AS bigint) AS segment_cents,
+      |  round(avg(recency_days), 4) AS avg_recency_days
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Windowed HLL (`ev_hourly_hll`): distinct users per hour estimated by
+    * the SAME 64-register HyperLogLog arithmetic as `ev_hll_distinct`,
+    * keyed by time window instead of event type — the sketch-per-window
+    * composition a traffic dashboard maintains. The register aggregate
+    * shuffles ≤ \|hours\|×64 rows however many events an hour holds (the
+    * exact column beside it is the \|hours\|-key countDistinct for error
+    * accounting at test scale). All-integer registers and harmonic sum;
+    * one fixed-order float finish (round-4). */
+  def hourlyHll(spark: SparkSession, d: String, m: Int = 64): DataFrame = {
+    import graft.functions.Kernels.hash60
+    require(m == 64, "register math below is specialized to m=64")
+    val ev = Tables.events(spark, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+    val regs = ev
+      .select(col("hour"), hash60(col("user_id").cast("string")).as("h"))
+      .select(col("hour"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("hour"), col("bucket"),
+        when(col("w") === 0, lit(55)).otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("hour"), col("bucket"))
+      .agg(max(col("rho")).as("M"))
+    val sketch = regs.groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_regs_used"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - M as int))")).as("s_ne"))
+      .withColumn("S", col("s_ne") + (lit(m.toLong) - col("n_regs_used")) * lit(1L << 55))
+    val exact = ev.groupBy(col("hour"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sketch.join(exact, "hour")
+      .select(col("hour"), col("exact_distinct"),
+        round(lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble) / col("S"), 4)
+          .as("hll_estimate"),
+        col("n_regs_used"))
+      .orderBy(col("hour"))
+  }
+
+  val hourlyHllOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS hour,
+       |    ${sqlHash60("cast(user_id AS varchar)")} AS h
+       |  FROM events),
+       |rb AS (
+       |  SELECT hour, h % 64 AS bucket,
+       |    CASE WHEN h // 64 = 0 THEN 55
+       |         ELSE 55 - length(bin(h // 64)) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT hour, bucket, max(rho) AS M FROM rb GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT hour, count(*) AS n_regs_used,
+       |    sum(1::bigint << (55 - M)) AS s_ne
+       |  FROM regs GROUP BY 1),
+       |st AS (
+       |  SELECT hour, n_regs_used,
+       |    cast(s_ne + (64 - n_regs_used) * (1::bigint << 55) AS bigint) AS S
+       |  FROM sk),
+       |ex AS (
+       |  SELECT hour, count(DISTINCT user_id) AS exact_distinct
+       |  FROM (SELECT date_trunc('hour', ts) AS hour, user_id FROM events)
+       |  GROUP BY 1)
+       |SELECT st.hour, exact_distinct,
+       |  round(0.709::DOUBLE * 4096::DOUBLE * (1::bigint << 55)::DOUBLE / S, 4)
+       |    AS hll_estimate,
+       |  cast(n_regs_used AS bigint) AS n_regs_used
+       |FROM st JOIN ex ON st.hour = ex.hour
+       |ORDER BY 1""".stripMargin
+  }
 }

@@ -126,4 +126,48 @@ object Joins {
       |  round(avg(user_total), 4) AS avg_user_total
       |FROM events e JOIN dim ON e.user_id = dim.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Forward as-of join (`ev_forward_asof`): for every purchase, the same
+    * user's EARLIEST error at or after it — the mirror of [[asofJoin]]'s
+    * backward carry, closing both directions of the as-of family. Same
+    * composition, reversed frame: one user-partitioned sort, a running
+    * FIRST over (current row → unbounded following), no inequality probe —
+    * one shuffle at 100 TB where a range-condition join would degenerate
+    * into a per-user nested loop. Purchases order before errors on a
+    * same-second tie, so a same-second error counts as "after"; purchases
+    * with no later error keep null (left semantics). */
+  def forwardAsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    val ahead = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("kind"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("e_id", first(when(col("kind") === 1, col("event_id")), ignoreNulls = true).over(ahead))
+      .withColumn("e_tsec", first(when(col("kind") === 1, col("tsec")), ignoreNulls = true).over(ahead))
+      .filter(col("kind") === 0)
+      .select(col("event_id").as("p_id"), col("user_id"), col("tsec").as("p_tsec"),
+        col("e_id"), col("e_tsec"), (col("e_tsec") - col("tsec")).as("gap_sec"))
+      .orderBy(col("p_id"))
+  }
+
+  val forwardAsofJoinOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS tsec, event_id,
+      |    CASE WHEN event_type='purchase' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('purchase','error')),
+      |w AS (
+      |  SELECT *,
+      |    first_value(CASE WHEN kind=1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, kind, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS e_id,
+      |    first_value(CASE WHEN kind=1 THEN tsec END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, kind, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS e_tsec
+      |  FROM tagged)
+      |SELECT event_id AS p_id, user_id, tsec AS p_tsec, e_id, e_tsec,
+      |  e_tsec - tsec AS gap_sec
+      |FROM w WHERE kind=0 ORDER BY p_id""".stripMargin
 }

