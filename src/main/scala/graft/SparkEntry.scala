@@ -43,6 +43,8 @@ object SparkEntry {
     "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     "q_incremental_agg" -> ((s, d) => Tpch.qIncrementalAgg(s, d)),
     "q_mom_delta" -> ((s, d) => Tpch.qMomDelta(s, d)),
+    "q_bloom_join" -> ((s, d) => Tpch.qBloomJoin(s, d)),
+    "q_delta_join" -> ((s, d) => Tpch.qDeltaJoin(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -143,6 +145,7 @@ object SparkEntry {
     "docs_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
+    "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -161,6 +164,7 @@ object SparkEntry {
     "text_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
+    "text_dup_ngram_frac" -> ((s, d) => TextAnalysis.dupNgramFrac(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -380,6 +384,8 @@ object SparkEntry {
     "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
     "q_incremental_agg" -> Tpch.qIncrementalAggOracle,
     "q_mom_delta" -> Tpch.qMomDeltaOracle,
+    "q_bloom_join" -> Tpch.qBloomJoinOracle,
+    "q_delta_join" -> Tpch.qDeltaJoinOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -496,6 +502,7 @@ object SparkEntry {
     "text_pmi_bigrams" -> TextAnalysis.pmiBigramsOracle,
     "text_bigram_lm" -> TextAnalysis.bigramLmOracle,
     "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
+    "text_dup_ngram_frac" -> TextAnalysis.dupNgramFracOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
@@ -536,6 +543,7 @@ object SparkEntry {
     "docs_token_budget" -> Pipeline.tokenBudgetOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
+    "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

@@ -714,4 +714,73 @@ object Pipeline {
        |  round(cast(n_tokens * 32 AS double) / total_tokens, 4) AS load_ratio
        |FROM ps, t ORDER BY shard""".stripMargin
   }
+
+  /** DSIR importance weights (`docs_dsir_weights`) — Xie et al., "Data
+    * Selection for Language Models via Importance Resampling": score every
+    * raw document by how target-like its HASHED n-gram feature counts are
+    * under a bag-of-buckets model, log w(doc) = Σ_b c_b·(ln p̂_tgt(b) −
+    * ln p̂_raw(b)), with 128 md5 unigram buckets, add-one smoothing, and
+    * the `en` stratum standing in for the target corpus. The two bucket
+    * distributions are 128-row aggregates (broadcast back); scoring is a
+    * per-(doc,bucket) partial agg joined to those 128 rows — one corpus
+    * pass, shuffle volume bounded by docs×buckets, never tokens. Per the
+    * family float rule the only non-integer step is one ln per bucket of a
+    * ratio of exact integer products, summed per doc and rounded to 4;
+    * selection accounting (docs above the raw-vs-target break-even 0) is
+    * pure integer. */
+  def dsirWeights(spark: SparkSession, d: String, nBuckets: Int = 128): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(hash31(col("w")), lit(nBuckets.toLong)))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = model.groupBy()
+      .agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
+    val weights = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((col("tc") + 1) * (col("rn") + nBuckets)).cast("double") /
+          ((col("rc") + 1) * (col("tn") + nBuckets)).cast("double")).as("lw"))
+    val perDoc = toks.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg((round(sum(col("c") * col("lw")), 4) + lit(0.0)).as("score"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_target_like"),
+        (round(avg(col("score")), 4) + lit(0.0)).as("avg_log_weight"))
+      .orderBy(col("source"))
+  }
+
+  val dsirWeightsOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tb AS (SELECT doc_id, source, lang, ${sqlHash31("w")} % 128 AS b FROM toks),
+       |raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS tc FROM tb WHERE lang = 'en' GROUP BY 1),
+       |model AS (
+       |  SELECT raw.b, rc, coalesce(tc, 0) AS tc
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |tot AS (SELECT sum(rc) AS rn, sum(tc) AS tn FROM model),
+       |wt AS (
+       |  SELECT b, ln(cast((tc + 1) * (rn + 128) AS double) /
+       |              cast((rc + 1) * (tn + 128) AS double)) AS lw
+       |  FROM model, tot),
+       |db AS (
+       |  SELECT doc_id, source, b, count(*) AS c
+       |  FROM tb GROUP BY 1, 2, 3),
+       |pd AS (
+       |  SELECT doc_id, source, round(sum(c * lw), 4) + 0.0 AS score
+       |  FROM db JOIN wt USING (b) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS bigint) AS n_target_like,
+       |  round(avg(score), 4) + 0.0 AS avg_log_weight
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

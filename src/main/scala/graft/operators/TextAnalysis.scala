@@ -535,4 +535,60 @@ object TextAnalysis {
       |  cast(sum(CASE WHEN c >= min_count THEN 1 ELSE 0 END) * 10000
       |    // min(n_terms) AS bigint) AS vocab_bp
       |FROM uf, thr, tot GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Duplicated-n-gram fraction (`text_dup_ngram_frac`) — the per-document
+    * duplication measure of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": for each doc, the share of its DISTINCT word
+    * 3-grams that occur in at least one other document, bucketed to deciles
+    * and aggregated per source. This is the corpus health metric the
+    * near-dup pipeline publishes BEFORE choosing thresholds. Plan: distinct
+    * (doc, gram) rows reduce to 60-bit digests, gram df is one partial agg
+    * on the digest, the df joins back on the digest (high-cardinality
+    * hash-partitioned key, no skew — df is per distinct gram, never per
+    * occurrence), per-doc accounting is a second partial agg, and the
+    * decile report is \|sources\|×11 rows at any corpus size. Fractions in
+    * exact integer basis points. */
+  def dupNgramFrac(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), col("source"),
+        hash60(concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2))).as("h"))
+      .distinct()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+    val perDoc = sh.join(df, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("frac_bp", expr("n_dup * 10000 div n_grams"))
+    perDoc
+      .groupBy(col("source"), expr("frac_bp div 1000").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).as("dup_grams"),
+        sum(col("n_grams")).as("total_grams"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val dupNgramFracOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${sqlHash60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+       |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+       |              FROM documents WHERE len(string_split(text, ' ')) >= 3))),
+       |gdf AS (SELECT h, count(*) AS gram_df FROM sh GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, source, count(*) AS n_grams,
+       |    sum(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM sh JOIN gdf USING (h) GROUP BY 1, 2)
+       |SELECT source, cast((n_dup * 10000 // n_grams) // 1000 AS bigint) AS decile,
+       |  count(*) AS n_docs, cast(sum(n_dup) AS bigint) AS dup_grams,
+       |  cast(sum(n_grams) AS bigint) AS total_grams
+       |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

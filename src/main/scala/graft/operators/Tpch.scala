@@ -766,4 +766,139 @@ object Tpch {
       |  CASE WHEN prev_cents IS NOT NULL AND prev_cents != 0
       |    THEN (rev_cents - prev_cents) * 10000 // prev_cents END AS delta_bp
       |FROM l ORDER BY 1, 2""".stripMargin
+
+  /** Bloom runtime-filter join (`q_bloom_join`) — the semi-join pruning a
+    * warehouse applies before shuffling a fact table into a selective join
+    * (Spark's own `spark.sql.optimizer.runtime.bloomFilter` made explicit
+    * and engine-checkable): urgent orders publish a 64 Kib two-hash Bloom
+    * filter (ONE md5 per key — the k=2 hashes are the two halves of the
+    * digest, the `docs_decontaminate_bloom` kernel), lineitem probes it
+    * map-side via two broadcast word-table joins, and only surviving rows
+    * enter the real join. The report prices the filter: probe volume,
+    * bloom survivors, true matches (= the plain semi join, so false
+    * positives are visible), and matched revenue in exact cents — at
+    * 100 TB the win is the fact-side shuffle shrinking to the survivor
+    * set while the filter stays m bits whatever the build side holds. */
+  def qBloomJoin(spark: SparkSession, d: String, mBits: Int = 65536): DataFrame = {
+    import graft.functions.Kernels.{hash60, hash60b}
+    val wb = 62 // bits per filter word (sign + 62 usable; matches Dedup)
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val filt = urgent
+      .select(explode(array(
+        pmod(hash60(col("o_orderkey").cast("string")), lit(mBits.toLong)),
+        pmod(hash60b(col("o_orderkey").cast("string")), lit(mBits.toLong)))).as("p"))
+      .select(expr(s"p div $wb").as("word"),
+        expr(s"shiftleft(cast(1 AS bigint), cast(p % $wb AS int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val probe = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + lit(0.5))
+          .cast("long").as("rev_cents"))
+      .withColumn("p1", pmod(hash60(col("l_orderkey").cast("string")), lit(mBits.toLong)))
+      .withColumn("p2", pmod(hash60b(col("l_orderkey").cast("string")), lit(mBits.toLong)))
+      .join(broadcast(filt.select(col("word").as("w1"), col("bits").as("b1"))),
+        expr(s"p1 div $wb") === col("w1"), "left")
+      .join(broadcast(filt.select(col("word").as("w2"), col("bits").as("b2"))),
+        expr(s"p2 div $wb") === col("w2"), "left")
+      .withColumn("pass",
+        col("b1").isNotNull &&
+          expr(s"b1 & shiftleft(cast(1 AS bigint), cast(p1 % $wb AS int))") =!= 0L &&
+          col("b2").isNotNull &&
+          expr(s"b2 & shiftleft(cast(1 AS bigint), cast(p2 % $wb AS int))") =!= 0L)
+    val joined = probe.filter(col("pass"))
+      .join(urgent.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+    val stats = probe.groupBy()
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"))
+    val matched = joined.groupBy()
+      .agg(count(lit(1)).as("n_matched"), sum(col("rev_cents")).as("matched_rev_cents"))
+    stats.crossJoin(matched)
+      .select(col("n_probe"), col("n_bloom_pass"), col("n_matched"),
+        (col("n_bloom_pass") - col("n_matched")).as("n_false_positive"),
+        col("matched_rev_cents"))
+  }
+
+  val qBloomJoinOracle: String = {
+    import graft.functions.Kernels.{sqlHash60, sqlHash60b}
+    s"""WITH urgent AS (
+       |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |pos AS (
+       |  SELECT ${sqlHash60("cast(o_orderkey AS varchar)")} % 65536 AS p FROM urgent
+       |  UNION ALL
+       |  SELECT ${sqlHash60b("cast(o_orderkey AS varchar)")} % 65536 AS p FROM urgent),
+       |filt AS (
+       |  SELECT p // 62 AS word,
+       |    bit_or(cast(1 AS bigint) << cast(p % 62 AS int)) AS bits
+       |  FROM pos GROUP BY 1),
+       |probe AS (
+       |  SELECT l_orderkey,
+       |    cast(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS bigint)
+       |      AS rev_cents,
+       |    ${sqlHash60("cast(l_orderkey AS varchar)")} % 65536 AS p1,
+       |    ${sqlHash60b("cast(l_orderkey AS varchar)")} % 65536 AS p2
+       |  FROM lineitem),
+       |flags AS (
+       |  SELECT l_orderkey, rev_cents,
+       |    (f1.bits IS NOT NULL
+       |      AND (f1.bits & (cast(1 AS bigint) << cast(p1 % 62 AS int))) != 0
+       |      AND f2.bits IS NOT NULL
+       |      AND (f2.bits & (cast(1 AS bigint) << cast(p2 % 62 AS int))) != 0) AS pass
+       |  FROM probe
+       |  LEFT JOIN filt f1 ON f1.word = p1 // 62
+       |  LEFT JOIN filt f2 ON f2.word = p2 // 62),
+       |m AS (
+       |  SELECT count(*) AS n_matched,
+       |    cast(sum(rev_cents) AS bigint) AS matched_rev_cents
+       |  FROM flags WHERE pass AND l_orderkey IN (SELECT o_orderkey FROM urgent)),
+       |s AS (
+       |  SELECT count(*) AS n_probe,
+       |    cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS bigint) AS n_bloom_pass
+       |  FROM flags)
+       |SELECT n_probe, n_bloom_pass, n_matched,
+       |  n_bloom_pass - n_matched AS n_false_positive, matched_rev_cents
+       |FROM s, m""".stripMargin
+  }
+
+  /** Incremental JOIN-view maintenance (`q_delta_join`) — the join twin of
+    * `q_incremental_agg`: the materialized view V = σ_urgent(orders) ⋈
+    * lineitem, aggregated to monthly revenue, is maintained by the delta
+    * rule V' = V ∪ (ΔA ⋈ B) when a new month of orders arrives — the
+    * historical partial is FROZEN (never re-scanned, never re-joined);
+    * only the delta batch joins against lineitem. The oracle computes the
+    * view DIRECTLY from the full join, so the hash match PROVES the delta
+    * rule lossless — true only because revenue rides exact integer cents
+    * (float partials re-associate under the merge union). Each path is an
+    * ordinary shuffle join + partial agg; the merge is a \|months\|-row
+    * union+agg. */
+  def qDeltaJoin(spark: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-01-01")
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + lit(0.5))
+          .cast("long").as("rev_cents"))
+    def view(ord: DataFrame): DataFrame = ord
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), count(lit(1)).as("n_lines"))
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val frozen = view(urgent.filter(col("o_orderdate") < cutoff))
+    val delta = view(urgent.filter(col("o_orderdate") >= cutoff))
+    frozen.unionAll(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("month"))
+  }
+
+  val qDeltaJoinOracle: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+      |    AS bigint)) AS bigint) AS rev_cents,
+      |  count(*) AS n_lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -86,6 +86,81 @@ class Round9Spec extends SparkSpec {
     assert(seg.forall(_.getString(0).matches("[123]{3}")), "RFM codes are 3 digits of 1-3")
   }
 
+  test("q_bloom_join: no false negatives, word tables broadcast") {
+    val row = operators.Tpch.qBloomJoin(spark, Sf).head()
+    val (nProbe, nPass, nMatch, nFp) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // Bloom guarantee: every true match survives the filter
+    val trueMatches = Tables.lineitem(spark, Sf).select(col("l_orderkey"))
+      .join(Tables.orders(spark, Sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .count()
+    assert(nMatch == trueMatches, "bloom must never drop a true match")
+    assert(nPass >= nMatch && nFp == nPass - nMatch && nPass <= nProbe)
+    // the m-bit filter must reach the probe as broadcast word tables —
+    // a sort-merge join here would shuffle the fact table before pruning
+    val plan = operators.Tpch.qBloomJoin(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "bloom word tables must broadcast")
+  }
+
+  test("q_delta_join: frozen partial + delta batch reproduces the direct join view") {
+    val got = operators.Tpch.qDeltaJoin(spark, Sf).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.lineitem(spark, Sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+        + lit(0.5)).cast("long")).as("rev"), count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == direct, "delta-rule maintenance must be lossless in exact cents")
+  }
+
+  test("docs_dsir_weights: target-language docs score higher under the importance model") {
+    // independent local recompute of per-doc DSIR scores over the same md5
+    // bucket kernel; assert the estimator's defining property — the target
+    // stratum (en) outscores the raw remainder on average
+    def hash31(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 2147483647L
+    }
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ")))
+    val buckets = docs.flatMap { case (_, l, ts) =>
+      ts.map(w => (hash31(w) % 128, l == "en"))
+    }
+    val rc = buckets.groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val tc = buckets.filter(_._2).groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val (rn, tn) = (buckets.length.toLong, buckets.count(_._2).toLong)
+    def lw(b: Long): Double =
+      math.log(((tc.getOrElse(b, 0L) + 1) * (rn + 128)).toDouble /
+        ((rc(b) + 1) * (tn + 128)).toDouble)
+    val scores = docs.map { case (_, l, ts) =>
+      (l == "en", ts.groupBy(w => hash31(w) % 128)
+        .map { case (b, ws) => ws.length * lw(b) }.sum)
+    }
+    val enMean = scores.filter(_._1).map(_._2).sum / scores.count(_._1)
+    val otherMean = scores.filterNot(_._1).map(_._2).sum / scores.count(!_._1)
+    assert(enMean > otherMean,
+      s"DSIR must separate target from raw: en=$enMean other=$otherMean")
+    // and the Spark output agrees on the corpus totals
+    val out = operators.Pipeline.dsirWeights(spark, Sf).collect()
+    assert(out.map(_.getLong(1)).sum == docs.length, "every doc scored once")
+  }
+
+  test("text_dup_ngram_frac: planted duplicate docs land in the top decile") {
+    val out = operators.TextAnalysis.dupNgramFrac(spark, Sf).collect()
+    val total = out.map(_.getLong(2)).sum
+    val nDocs = Tables.documents(spark, Sf)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(total == nDocs, "decile histogram partitions all shingled docs")
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 10), "decile range")
+    assert(out.forall(r => r.getLong(3) <= r.getLong(4)), "dup grams ≤ total grams")
+  }
+
   test("ev_hourly_hll: every window's estimate is a KAT vs an independent local HLL") {
     // the raw HLL estimator (no linear counting — documented on the batch
     // twin) floors near α·m ≈ 45 for near-empty windows, so an accuracy
