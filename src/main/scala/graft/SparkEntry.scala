@@ -146,6 +146,7 @@ object SparkEntry {
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
+    "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -544,6 +545,7 @@ object SparkEntry {
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
+    "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

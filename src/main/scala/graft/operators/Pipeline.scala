@@ -728,10 +728,12 @@ object Pipeline {
     * ratio of exact integer products, summed per doc and rounded to 4;
     * selection accounting (docs above the raw-vs-target break-even 0) is
     * pure integer. */
-  def dsirWeights(spark: SparkSession, d: String, nBuckets: Int = 128): DataFrame = {
+  /** The 128-row DSIR bucket-weight model — built once, consumed by the
+    * per-doc scorer below and PUBLISHED to the streaming scorer
+    * ([[dsirModelLocal]]). */
+  private def dsirModel(spark: SparkSession, d: String, nBuckets: Int): DataFrame = {
     val toks = Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), col("lang"),
-        explode(tokens(col("text"))).as("w"))
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
       .withColumn("b", pmod(hash31(col("w")), lit(nBuckets.toLong)))
     val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("rc"))
     val tgt = toks.filter(col("lang") === "en")
@@ -740,16 +742,39 @@ object Pipeline {
       .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
     val totals = model.groupBy()
       .agg(sum(col("rc")).as("rn"), sum(col("tc")).as("tn"))
-    val weights = model.crossJoin(broadcast(totals))
+    model.crossJoin(broadcast(totals))
       .select(col("b"),
         log(((col("tc") + 1) * (col("rn") + nBuckets)).cast("double") /
           ((col("rc") + 1) * (col("tn") + nBuckets)).cast("double")).as("lw"))
-    val perDoc = toks.groupBy(col("doc_id"), col("source"), col("b"))
+  }
+
+  /** Per-doc DSIR log-weights (doc_id, source, score). */
+  private[graft] def dsirDocScores(spark: SparkSession, d: String,
+      nBuckets: Int = 128): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(hash31(col("w")), lit(nBuckets.toLong)))
+    toks.groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .join(broadcast(weights), "b")
+      .join(broadcast(dsirModel(spark, d, nBuckets)), "b")
       .groupBy(col("doc_id"), col("source"))
       .agg((round(sum(col("c") * col("lw")), 4) + lit(0.0)).as("score"))
-    perDoc.groupBy(col("source"))
+  }
+
+  /** The DSIR model as a local artifact for the streaming scorer: bucket →
+    * log-weight, dense over the nBuckets range (missing buckets carry 0 —
+    * a bucket unseen in the raw corpus contributes no evidence). 128
+    * doubles ≈ 1 KiB whatever the corpus size; the collect IS the
+    * documented model publish (the `bloomFilterWords`/`centroidMatrixLocal`
+    * pattern), not a query hot path. */
+  def dsirModelLocal(spark: SparkSession, d: String, nBuckets: Int = 128): Seq[Double] = {
+    val m = dsirModel(spark, d, nBuckets).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    Seq.tabulate(nBuckets)(b => m.getOrElse(b, 0.0))
+  }
+
+  def dsirWeights(spark: SparkSession, d: String, nBuckets: Int = 128): DataFrame = {
+    dsirDocScores(spark, d, nBuckets).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_target_like"),
         (round(avg(col("score")), 4) + lit(0.0)).as("avg_log_weight"))
@@ -783,4 +808,75 @@ object Pipeline {
        |  round(avg(score), 4) + 0.0 AS avg_log_weight
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** CCNet head/middle/tail bucketing (`docs_ccnet_buckets`) — Wenzek et
+    * al.'s per-language perplexity tertiles, the split CCNet uses to keep
+    * `head` (+ often `middle`) and drop `tail`: docs score under the
+    * corpus bigram LM (the KenLM proxy, shared with `text_bigram_lm`),
+    * and each LANGUAGE's docs split at the exact integer ranks n/3 and
+    * n−n/3 of the score order (higher log-prob = less perplexed = head).
+    * NO per-doc rank window: scores aggregate to a (lang, score)
+    * HISTOGRAM first — round-4 score keys bound the histogram by the
+    * VALUE RANGE (≈10^5 buckets), not the corpus, the same boundedness
+    * argument as the quantile sketch — and the cumulative walk runs over
+    * those histogram rows only. A score bucket straddling a cut keeps one
+    * tier (ties share fate in both engines). Integer share accounting. */
+  def ccnetBuckets(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = TextAnalysis.bigramDocScores(spark, d)
+      .groupBy(col("lang"), col("avg_logprob").as("score"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy(col("lang")).agg(sum(col("n")).as("n_total"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(totals), "lang")
+      .withColumn("cum_before", col("cum") - col("n"))
+      .withColumn("tier",
+        when(col("cum_before") < expr("n_total div 3"), "head")
+          .when(col("cum_before") < col("n_total") - expr("n_total div 3"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(sum(col("n")).as("n_docs"),
+        max(col("score")).as("best_score"),
+        min(col("score")).as("worst_score"))
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("tier"), col("n_docs"),
+        expr("n_docs * 10000 div n_total").as("share_bp"),
+        col("best_score"), col("worst_score"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  val ccnetBucketsOracle: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+      |uni AS (SELECT unnest(a) AS w FROM t),
+      |uf AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+      |voc AS (SELECT count(*) AS v FROM uf),
+      |bg0 AS (SELECT doc_id, lang, a, unnest(range(1, len(a))) AS i
+      |        FROM t WHERE len(a) >= 2),
+      |bg AS (SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2 FROM bg0),
+      |bf AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT doc_id, lang,
+      |    round(avg(ln(cast(c_xy + 1 AS double) / (c1 + v))), 4) + 0.0 AS score
+      |  FROM bg JOIN bf USING (w1, w2) JOIN uf ON bg.w1 = uf.w, voc
+      |  GROUP BY 1, 2),
+      |hist AS (SELECT lang, score, count(*) AS n FROM pd GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(n) AS n_total FROM hist GROUP BY 1),
+      |c AS (
+      |  SELECT h.lang, score, n, n_total,
+      |    sum(n) OVER (PARTITION BY h.lang ORDER BY score DESC
+      |                 ROWS UNBOUNDED PRECEDING) - n AS cum_before
+      |  FROM hist h JOIN tot USING (lang)),
+      |tiers AS (
+      |  SELECT lang, score, n, n_total,
+      |    CASE WHEN cum_before < n_total // 3 THEN 'head'
+      |         WHEN cum_before < n_total - n_total // 3 THEN 'middle'
+      |         ELSE 'tail' END AS tier
+      |  FROM c)
+      |SELECT lang, tier, cast(sum(n) AS bigint) AS n_docs,
+      |  cast(sum(n) * 10000 // min(n_total) AS bigint) AS share_bp,
+      |  max(score) AS best_score, min(score) AS worst_score
+      |FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

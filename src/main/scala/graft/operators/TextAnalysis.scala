@@ -459,26 +459,35 @@ object TextAnalysis {
     * cardinality, no skew) with the unigram table and V riding
     * broadcasts; ln of an integer ratio is bit-identical cross-engine
     * and the per-doc mean rounds at 4dp like the unigram row. */
-  def bigramLm(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), tokens(col("text")).as("t"))
+  /** Per-doc bigram-LM scores with the language stratum carried — the
+    * scoring stage shared by `text_bigram_lm` and the CCNet bucketing
+    * (`docs_ccnet_buckets`). Same plan either way; lang rides the doc rows
+    * for free. */
+  private[operators] def bigramDocScores(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val uni = docs.select(explode(col("t")).as("w"))
     val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = uf.groupBy().agg(count(lit(1)).as("v"))
     val bg = docs.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
+      .select(col("doc_id"), col("lang"), explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
-      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+      .select(col("doc_id"), col("lang"), col("p.0").as("w1"), col("p.1").as("w2"))
     val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
     bg.join(bf, Seq("w1", "w2"))
       .join(broadcast(uf.select(col("w").as("w1"), col("c1"))), "w1")
       .join(broadcast(vocab))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
         (round(avg(log((col("c_xy") + 1).cast("double") / (col("c1") + col("v")))), 4)
           + lit(0.0)).as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
+
+  def bigramLm(spark: SparkSession, d: String): DataFrame =
+    bigramDocScores(spark, d)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+      .orderBy(col("doc_id"))
 
   val bigramLmOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -592,7 +592,75 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming 4-tap EWMA smoothing — the in-flight twin of the batch
+    * `ev_ewma_hourly`: keyed state per event type is the last ≤4 OBSERVED
+    * (hour, count) taps (O(1) forever — exactly the lag window the batch
+    * query reads), each batch folds its events into the tap list (the
+    * current hour's count keeps accumulating across micro-batches) and
+    * re-emits the refreshed integer EWMA (weights 8/4/2/1, ×15 scale — no
+    * float division, same closed form as the batch SQL) for every hour it
+    * touched. Same per-key in-order event-time assumption as
+    * [[scd2Stream]]/[[funnel]]; the latest emission per (type, hour) is
+    * the batch row, pinned by the parity spec across a mid-stream split. */
+  def ewmaStream(events: Dataset[StreamEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[(Long, Long)], EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (et: String, it: Iterator[StreamEvent], state: GroupState[Seq[(Long, Long)]]) =>
+          var taps = state.getOption.getOrElse(Seq.empty) // ascending (hourSec, cnt)
+          val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+            val hour = e.ts.getTime / 3600000L * 3600L
+            touched += hour
+            taps.indexWhere(_._1 == hour) match {
+              case -1 => taps = (taps :+ (hour, 1L)).sortBy(_._1)
+              case i  => taps = taps.updated(i, (hour, taps(i)._2 + 1L))
+            }
+          }
+          // emissions read the UNpruned in-batch list (an early hour in a
+          // multi-hour batch still sees its own predecessors); only the
+          // carried state trims to the 4 taps any FUTURE hour can reach
+          state.update(taps.takeRight(4))
+          val byHour = taps.map(_._1).zipWithIndex.toMap
+          touched.iterator.flatMap { h =>
+            byHour.get(h).map { i =>
+              def tap(k: Int): Long = if (i - k >= 0) taps(i - k)._2 else 0L
+              EwmaPoint(et, h, taps(i)._2,
+                tap(0) * 8 + tap(1) * 4 + tap(2) * 2 + tap(3))
+            }
+          }
+      }
+  }
+
+  /** Streaming DSIR scoring — ship-the-model for the text-selection
+    * family: the BATCH pass trains the 128-bucket importance model
+    * ([[graft.operators.Pipeline.dsirModelLocal]], ~1 KiB whatever the
+    * corpus size) and the stream scores each arriving document in a
+    * STATELESS projection — bucket every token with the shared md5
+    * `hash31` kernel and sum the bucket log-weights embedded as a plan
+    * LITERAL. No join, no state store, no watermark; re-training is a
+    * plan swap (the [[decontaminateStream]]/[[assignCellsStream]] pattern
+    * applied to importance resampling). Parity spec: per-doc scores match
+    * the batch `dsirDocScores` within one round-4 step (the two sides sum
+    * the same terms in different orders). */
+  def dsirScoreStream(docs: DataFrame, bucketWeights: Seq[Double]): DataFrame = {
+    import graft.functions.Kernels.tokens
+    val nB = bucketWeights.size
+    docs.select(col("doc_id"),
+      round(aggregate(
+        transform(tokens(col("text")),
+          w => element_at(typedLit(bucketWeights),
+            (pmod(graft.functions.Kernels.hash31(w), lit(nB.toLong)) + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x), 4).as("score"))
+  }
 }
+
+/** One smoothed traffic tap, emitted (and re-emitted as its hour
+  * accumulates) by [[StreamOps.ewmaStream]]. */
+case class EwmaPoint(event_type: String, hour_ts: Long, cnt: Long, ewma_x15: Long)
 
 /** Per-type running moments for [[StreamOps.anomalies]] (Welford). */
 case class TypeStats(n: Long, mean: Double, m2: Double)

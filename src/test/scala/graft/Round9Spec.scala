@@ -161,6 +161,30 @@ class Round9Spec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) <= r.getLong(4)), "dup grams ≤ total grams")
   }
 
+  test("docs_ccnet_buckets: tiers partition each language near-thirds in score order") {
+    val out = operators.Pipeline.ccnetBuckets(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val langs = out.keys.map(_._1).toSet
+    assert(langs.size == 5, "every language stratum bucketed")
+    langs.foreach { l =>
+      val tiers = Seq("head", "middle", "tail").flatMap(t => out.get((l, t)))
+      assert(tiers.size == 3, s"$l: all three tiers present")
+      val total = tiers.map(_._1).sum
+      val nScored = Tables.documents(spark, Sf).filter(col("lang") === l)
+        .filter(size(split(col("text"), " ")) >= 2).count()
+      assert(total == nScored, s"$l: tiers partition the scored docs")
+      // share near a third (score ties shift whole histogram buckets)
+      tiers.foreach { case (_, bp, _, _) =>
+        assert(bp >= 2000 && bp <= 4800, s"$l: tier share $bp bp not near a third")
+      }
+      // score order: head's worst ≥ middle's best boundary ≥ tail's best
+      val (h, m, t) = (out((l, "head")), out((l, "middle")), out((l, "tail")))
+      assert(h._4 >= m._3 && m._4 >= t._3,
+        s"$l: tier score ranges must be ordered head ≥ middle ≥ tail")
+    }
+  }
+
   test("ev_hourly_hll: every window's estimate is a KAT vs an independent local HLL") {
     // the raw HLL estimator (no linear counting — documented on the batch
     // twin) floors near α·m ≈ 45 for near-empty windows, so an accuracy

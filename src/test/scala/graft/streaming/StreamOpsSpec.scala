@@ -732,6 +732,64 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA twin: latest emission per (type, hour) equals the batch lag chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.Tables.events(spark, Sf)
+    val evs = base
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+      .sortBy(_.ts.getTime) // per-key in-order arrival (the documented assumption)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // an hour re-emits as it accumulates — keep the LAST emission, which
+      // must match the batch row (cnt and the 8/4/2/1 integer EWMA)
+      val streamed = spark.sql(
+        "SELECT event_type, hour_ts, cnt, ewma_x15 FROM ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .foldLeft(Map.empty[(String, Long), (Long, Long)])(_ + _)
+      val batch = graft.operators.Events.ewmaHourly(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed.keySet == batch.keySet, "same (type, hour) coverage")
+      val diverged = batch.filter { case (k, v) => streamed(k) != v }
+      assert(diverged.isEmpty, s"EWMA diverged on ${diverged.take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming DSIR scorer: shipped model reproduces batch doc scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val weights = graft.operators.Pipeline.dsirModelLocal(spark, Sf)
+    assert(weights.size == 128)
+    val docs = graft.Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    case class Doc(doc_id: Long, text: String)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirScoreStream(
+      in.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq); in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, score FROM dsir").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = graft.operators.Pipeline.dsirDocScores(spark, Sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed.keySet == batch.keySet, "every doc scored in-flight")
+      // the two sides sum identical terms in different orders; round-4
+      // may straddle by one step on a re-association ulp
+      val off = batch.filter { case (k, v) => math.abs(streamed(k) - v) > 1.001e-4 }
+      assert(off.isEmpty, s"DSIR scores diverged: ${off.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min twin: counters equal the batch sketch after a split feed") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.Tables.events(spark, Sf)
