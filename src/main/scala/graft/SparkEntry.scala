@@ -73,6 +73,8 @@ object SparkEntry {
     "ev_ohlc_hourly" -> ((s, d) => Events.ohlcHourly(s, d)),
     "ev_rfm" -> ((s, d) => Events.rfm(s, d)),
     "ev_hourly_hll" -> ((s, d) => Events.hourlyHll(s, d)),
+    "ev_error_burst" -> ((s, d) => Events.errorBurst(s, d)),
+    "ev_autocorr" -> ((s, d) => Events.autocorr(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     "ev_skew_join_salted" -> ((s, d) => Joins.skewJoinSalted(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
@@ -129,6 +131,7 @@ object SparkEntry {
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "ann_sq_search" -> ((s, d) => Similarity.sqTopK(s, d)),
     "ann_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
+    "vec_power_iter" -> ((s, d) => Similarity.powerIter(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -147,6 +150,7 @@ object SparkEntry {
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
+    "docs_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -166,6 +170,8 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
     "text_dup_ngram_frac" -> ((s, d) => TextAnalysis.dupNgramFrac(s, d)),
+    "text_ttr" -> ((s, d) => TextAnalysis.ttr(s, d)),
+    "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -468,6 +474,8 @@ object SparkEntry {
     "ev_ohlc_hourly" -> Events.ohlcHourlyOracle,
     "ev_rfm" -> Events.rfmOracle,
     "ev_hourly_hll" -> Events.hourlyHllOracle,
+    "ev_error_burst" -> Events.errorBurstOracle,
+    "ev_autocorr" -> Events.autocorrOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
     "ev_funnel" -> Events.funnelOracle,
@@ -504,6 +512,8 @@ object SparkEntry {
     "text_bigram_lm" -> TextAnalysis.bigramLmOracle,
     "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
     "text_dup_ngram_frac" -> TextAnalysis.dupNgramFracOracle,
+    "text_ttr" -> TextAnalysis.ttrOracle,
+    "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
@@ -533,6 +543,7 @@ object SparkEntry {
     "knn_join" -> Similarity.knnJoinOracle,
     "ann_sq_search" -> Similarity.sqTopKOracle,
     "ann_sq_recall" -> Similarity.sqRecallOracle,
+    "vec_power_iter" -> Similarity.powerIterOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
@@ -546,6 +557,7 @@ object SparkEntry {
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,
+    "docs_reservoir" -> Pipeline.reservoirOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

@@ -1464,6 +1464,102 @@ object Events {
       .orderBy(col("hour"))
   }
 
+  /** Error-burst detection (`ev_error_burst`) — hourly error counts
+    * flagged at mean+3σ, with the WHOLE test kept in exact integer
+    * arithmetic: x > μ+3σ ⇔ n·x−Σx > 0 ∧ (n·x−Σx)² > 9·(n·Σx²−(Σx)²)
+    * (multiply both sides by n² — σ² = (nΣx²−(Σx)²)/n²), so the alert
+    * decision is bit-identical cross-engine with no float epsilon on the
+    * boundary (`ev_anomalies` is the per-event float-z cousin). Stats are
+    * one 3-number aggregate broadcast back onto the \|hours\|-row series;
+    * bursts are scored over ACTIVE hours (an hour with zero errors is
+    * absence of signal, not a sample). */
+  def errorBurst(spark: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .filter(col("event_type") === "error")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    hourly.crossJoin(broadcast(stats))
+      .withColumn("dev_n", col("n") * col("cnt") - col("s1"))
+      .withColumn("burst",
+        col("dev_n") > 0 &&
+          col("dev_n") * col("dev_n") > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("hour_ts"), col("cnt"), col("dev_n"), col("burst"))
+      .orderBy(col("hour_ts"))
+  }
+
+  val errorBurstOracle: String =
+    """WITH h AS (
+      |  SELECT cast(floor(epoch(date_trunc('hour', ts))) AS bigint) AS hour_ts,
+      |    count(*) AS cnt
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |s AS (SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt*cnt) AS s2 FROM h)
+      |SELECT hour_ts, cnt,
+      |  cast(n * cnt - s1 AS bigint) AS dev_n,
+      |  (n * cnt - s1 > 0 AND
+      |   (n * cnt - s1) * (n * cnt - s1) > 9 * (n * s2 - s1 * s1)) AS burst
+      |FROM h, s ORDER BY 1""".stripMargin
+
+  /** Traffic autocorrelation (`ev_autocorr`): Pearson r of each type's
+    * hourly count series against itself at lag 1 h and 24 h — the
+    * seasonality probe that decides whether the EWMA baseline needs a
+    * diurnal term. Pairs come from an equi-join on (type, hour+lag) —
+    * never a window over the raw stream — and every moment (Σx Σy Σxy Σx²
+    * Σy²) is an exact bigint, so r is one fixed-order float finish
+    * (round-4). Series length is bounded by the time range, not the
+    * corpus. */
+  def autocorr(spark: SparkSession, d: String, lags: Seq[Long] = Seq(3600L, 86400L)): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val lagged = hourly
+      .withColumn("lag_sec", explode(array(lags.map(l => lit(l)): _*)))
+      .select(col("event_type"), col("lag_sec"),
+        (col("hour_ts") + col("lag_sec")).as("hour_ts"), col("cnt").as("x"))
+    lagged.join(hourly.select(col("event_type"), col("hour_ts"), col("cnt").as("y")),
+        Seq("event_type", "hour_ts"))
+      .groupBy(col("event_type"), col("lag_sec"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r",
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double")), 4))
+      .select(col("event_type"), col("lag_sec"), col("n_pairs"), col("r"))
+      .orderBy(col("event_type"), col("lag_sec"))
+  }
+
+  val autocorrOracle: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    cast(floor(epoch(date_trunc('hour', ts))) AS bigint) AS hour_ts,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |lags AS (SELECT unnest([3600, 86400]) AS lag_sec),
+      |ax AS (
+      |  SELECT a.event_type, lag_sec, a.hour_ts + lag_sec AS target, a.cnt AS x
+      |  FROM h a CROSS JOIN lags),
+      |p AS (
+      |  SELECT ax.event_type, lag_sec, x, b.cnt AS y
+      |  FROM ax JOIN h b ON b.event_type = ax.event_type
+      |                  AND b.hour_ts = ax.target),
+      |m AS (
+      |  SELECT event_type, lag_sec, count(*) AS n_pairs,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT event_type, cast(lag_sec AS bigint) AS lag_sec, n_pairs,
+      |  round(cast(n_pairs * sxy - sx * sy AS double) /
+      |    sqrt(cast((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)
+      |      AS double)), 4) AS r
+      |FROM m ORDER BY 1, 2""".stripMargin
+
   val hourlyHllOracle: String = {
     import graft.functions.Kernels.sqlHash60
     s"""WITH h AS (

@@ -879,4 +879,34 @@ object Pipeline {
       |  cast(sum(n) * 10000 // min(n_total) AS bigint) AS share_bp,
       |  max(score) AS best_score, min(score) AS worst_score
       |FROM tiers GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Deterministic per-stratum reservoir (`docs_reservoir`): exactly k
+    * docs per source, drawn uniformly by ordering each stratum on the md5
+    * hash of its doc ids and keeping the k smallest — the fixed-size
+    * sample an eval/debug harness wants where [[sampleStratified]]'s
+    * rate-based sampler gives a fixed FRACTION. Reproducible on any
+    * engine, stable under re-runs, and one-pass: the per-source rank is a
+    * WindowGroupLimit (map-side bounded heaps, k rows per source reach
+    * the shuffle — never a full per-stratum sort materialized). */
+  def reservoir(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash31(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .orderBy(col("source"), col("pick"))
+  }
+
+  val reservoirOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    cast(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${sqlHash31("cast(doc_id AS varchar)")}, doc_id) AS int) AS pick
+       |  FROM documents)
+       |SELECT source, doc_id, n_chars, pick
+       |FROM r WHERE pick <= 5 ORDER BY source, pick""".stripMargin
+  }
 }

@@ -1316,4 +1316,51 @@ object Similarity {
       |FROM truth t LEFT JOIN approx a
       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One power-iteration step (`vec_power_iter`) — the dominant-direction
+    * probe of the embedding covariance (anisotropy / "rogue dimension"
+    * audit; two steps of the PCA everyone runs before whitening): with
+    * start vector v₀ = 1⃗, compute v₁ ∝ Σᵢ eᵢ(eᵢ·v₀) in ONE linear pass.
+    * Embeddings quantize to MILLI-integers first (floor(x·1000+0.5)), so
+    * every product and partial sum is exact bigint — the cross-engine sum
+    * re-association float risk is gone BY CONSTRUCTION, the same
+    * integer-totals move as the ADC search. Per-dim output is \|dims\|
+    * rows; the Rayleigh numerator Σᵢ(eᵢ·v₀)² rides every row for the
+    * dominance ratio. Scale: one map + a dims-row partial agg (the
+    * quadratic form never materializes). */
+  def powerIter(spark: SparkSession, d: String): DataFrame = {
+    val milli = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(vecDouble(col("embedding")),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("m"))
+    val dotted = milli
+      .withColumn("dv", aggregate(col("m"), lit(0L), (s, x) => s + x))
+    val ray = dotted.groupBy()
+      .agg(sum(col("dv") * col("dv")).as("rayleigh_num"), count(lit(1)).as("n_vecs"))
+    dotted
+      .select(col("dv"), posexplode(col("m")).as(Seq("dim", "mj")))
+      .groupBy(col("dim"))
+      .agg(sum(col("dv") * col("mj")).as("v1_milli2"))
+      .crossJoin(broadcast(ray))
+      .select(col("dim").cast("long").as("dim"), col("v1_milli2"),
+        col("rayleigh_num"), col("n_vecs"))
+      .orderBy(col("dim"))
+  }
+
+  val powerIterOracle: String =
+    """WITH m AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> cast(floor(x * 1000.0 + 0.5) AS bigint)) AS m
+      |  FROM embeddings),
+      |dd AS (SELECT vec_id, m, list_sum(m) AS dv FROM m),
+      |ray AS (SELECT sum(dv * dv) AS rayleigh_num, count(*) AS n_vecs FROM dd),
+      |ex AS (
+      |  SELECT dv, unnest(m) AS mj,
+      |    unnest(generate_series(0, len(m) - 1)) AS dim
+      |  FROM dd)
+      |SELECT cast(dim AS bigint) AS dim,
+      |  cast(sum(dv * mj) AS bigint) AS v1_milli2,
+      |  cast(rayleigh_num AS bigint) AS rayleigh_num, n_vecs
+      |FROM ex, ray GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
 }

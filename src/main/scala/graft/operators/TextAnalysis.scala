@@ -600,4 +600,92 @@ object TextAnalysis {
        |  cast(sum(n_grams) AS bigint) AS total_grams
        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Type-token ratio audit (`text_ttr`) — per-source lexical diversity:
+    * each doc's distinct/total token ratio in basis points, plus the
+    * corpus-level ratio (which Heaps' law drives DOWN as sources grow —
+    * the comparison between the two is the diversity signal). ALL integer:
+    * per-doc ratios are exact basis points, the per-source mean is an
+    * integer floor division, so there is no float anywhere. One explode +
+    * two partial aggs. */
+  def ttr(spark: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("w")).as("n_types"), count(lit(1)).as("n_tokens"))
+      .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_types")).as("sum_types"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("sum(ttr_bp) div count(1)").as("mean_doc_ttr_bp"))
+      .withColumn("corpus_ttr_bp", expr("sum_types * 10000 div sum_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val ttrOracle: String =
+    """WITH pd AS (
+      |  SELECT doc_id, source, count(DISTINCT w) AS n_types, count(*) AS n_tokens
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(n_types) AS bigint) AS sum_types,
+      |  cast(sum(n_tokens) AS bigint) AS sum_tokens,
+      |  cast(sum(n_types * 10000 // n_tokens) // count(*) AS bigint) AS mean_doc_ttr_bp,
+      |  cast(sum(n_types) * 10000 // sum(n_tokens) AS bigint) AS corpus_ttr_bp
+      |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** N-gram novelty curve (`text_ngram_novelty`) — how much genuinely new
+    * text each document contributes, the dataset-growth health check a
+    * curation pipeline tracks as a corpus accretes: a doc's novelty is the
+    * share of its distinct 3-grams whose FIRST occurrence (min doc_id over
+    * the corpus order) is the doc itself. First-seen is one partial agg on
+    * the 60-bit gram digest; the comparison joins back on the digest (per
+    * distinct gram — no skew); the report aggregates per source. Integer
+    * basis points; mean-of-doc-ratios by exact floor division. */
+  def ngramNovelty(spark: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"), col("t"))
+      .select(col("doc_id"), col("source"),
+        hash60(concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2))).as("h"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_novel")).as("novel_grams"),
+        sum(col("n_grams")).as("total_grams"),
+        expr("sum(novelty_bp) div count(1)").as("mean_novelty_bp"))
+      .orderBy(col("source"))
+  }
+
+  val ngramNoveltyOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${sqlHash60("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+       |  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+       |              FROM documents WHERE len(string_split(text, ' ')) >= 3))),
+       |fs AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, source, count(*) AS n_grams,
+       |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM sh JOIN fs USING (h) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(n_novel) AS bigint) AS novel_grams,
+       |  cast(sum(n_grams) AS bigint) AS total_grams,
+       |  cast(sum(n_novel * 10000 // n_grams) // count(*) AS bigint) AS mean_novelty_bp
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -635,6 +635,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming OHLC bars — the in-flight twin of the batch
+    * `ev_ohlc_hourly`: keyed state per hour is the six-number bar
+    * (open/close carry their (µs, event_id) argmin/argmax keys so
+    * cross-batch ties resolve exactly like the batch's lexicographic
+    * array min/max — O(1) per open hour, never per tick); each batch
+    * folds its ticks in and re-emits the refreshed bar (append mode), so
+    * the latest emission per hour IS the batch row once the hour closes
+    * (parity spec across a mid-stream split). Integer cents throughout. */
+  def ohlcStream(ticks: Dataset[Tick]): Dataset[OhlcBar] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(t => t.ts.getTime / 3600000L * 3600L)
+      .flatMapGroupsWithState[OhlcState, OhlcBar](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (hour: Long, it: Iterator[Tick], state: GroupState[OhlcState]) =>
+          var s = state.getOption.orNull
+          it.foreach { t =>
+            val us = t.ts.getTime * 1000L
+            val cents = math.floor(t.value * 100 + 0.5).toLong
+            s = if (s == null)
+              OhlcState(us, t.event_id, cents, cents, cents, us, t.event_id, cents, 1L, cents)
+            else {
+              val earlier = us < s.openUs || (us == s.openUs && t.event_id < s.openId)
+              val later = us > s.closeUs || (us == s.closeUs && t.event_id > s.closeId)
+              val o = if (earlier) (us, t.event_id, cents) else (s.openUs, s.openId, s.open)
+              val c = if (later) (us, t.event_id, cents) else (s.closeUs, s.closeId, s.close)
+              OhlcState(o._1, o._2, o._3, math.max(s.high, cents), math.min(s.low, cents),
+                c._1, c._2, c._3, s.n + 1L, s.vol + cents)
+            }
+          }
+          if (s == null) Iterator.empty
+          else { state.update(s); Iterator.single(
+            OhlcBar(hour, s.n, s.open, s.high, s.low, s.close, s.vol)) }
+      }
+  }
+
   /** Streaming DSIR scoring — ship-the-model for the text-selection
     * family: the BATCH pass trains the 128-bucket importance model
     * ([[graft.operators.Pipeline.dsirModelLocal]], ~1 KiB whatever the
@@ -661,6 +697,19 @@ object StreamOps {
 /** One smoothed traffic tap, emitted (and re-emitted as its hour
   * accumulates) by [[StreamOps.ewmaStream]]. */
 case class EwmaPoint(event_type: String, hour_ts: Long, cnt: Long, ewma_x15: Long)
+
+/** A priced tick for [[StreamOps.ohlcStream]]. */
+case class Tick(event_id: Long, ts: Timestamp, value: Double)
+
+/** Per-hour bar state: open/close carry their (µs, event_id) ordering keys
+  * so ties resolve like the batch lexicographic argmin/argmax. */
+private case class OhlcState(openUs: Long, openId: Long, open: Long,
+    high: Long, low: Long, closeUs: Long, closeId: Long, close: Long,
+    n: Long, vol: Long)
+
+/** A refreshed hourly bar from [[StreamOps.ohlcStream]]. */
+case class OhlcBar(hour_ts: Long, n_trades: Long, open_cents: Long,
+    high_cents: Long, low_cents: Long, close_cents: Long, volume_cents: Long)
 
 /** Per-type running moments for [[StreamOps.anomalies]] (Welford). */
 case class TypeStats(n: Long, mean: Double, m2: Double)

@@ -161,6 +161,47 @@ class Round9Spec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) <= r.getLong(4)), "dup grams ≤ total grams")
   }
 
+  test("ev_error_burst: integer 3-sigma test agrees with the float computation") {
+    val rows = operators.Events.errorBurst(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val xs = rows.map(_._2.toDouble)
+    val (n, mean) = (xs.length, xs.sum / xs.length)
+    val sigma = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / n)
+    rows.foreach { case (h, cnt, burst) =>
+      val floatBurst = cnt > mean + 3 * sigma
+      assert(burst == floatBurst,
+        s"hour $h: integer test $burst != float test $floatBurst (cnt=$cnt μ=$mean σ=$sigma)")
+    }
+  }
+
+  test("vec_power_iter: one milli-quantized power step matches a local matvec") {
+    val vecs = Tables.embeddings(spark, Sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x * 1000.0 + 0.5).toLong).toArray)
+    val dims = vecs.head.length
+    val dots = vecs.map(_.sum)
+    val v1 = Array.tabulate(dims)(j => vecs.zip(dots).map { case (m, d) => d * m(j) }.sum)
+    val rayleigh = dots.map(d => d * d).sum
+    val out = operators.Similarity.powerIter(spark, Sf).collect()
+    assert(out.length == dims)
+    out.foreach { r =>
+      assert(r.getLong(1) == v1(r.getLong(0).toInt), s"dim ${r.getLong(0)} matvec mismatch")
+      assert(r.getLong(2) == rayleigh && r.getLong(3) == vecs.length)
+    }
+  }
+
+  test("text_ngram_novelty: novelty is total at the frontier and decays with repetition") {
+    val out = operators.TextAnalysis.ngramNovelty(spark, Sf).collect()
+    // grams partition: every gram is novel exactly once corpus-wide
+    val (novel, total) = (out.map(_.getLong(2)).sum, out.map(_.getLong(3)).sum)
+    assert(novel <= total)
+    val distinctGrams = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.Kernels.shingles3(split(col("text"), " "))).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    assert(novel == distinctGrams,
+      "summed novel grams must equal the corpus's distinct gram count")
+  }
+
   test("docs_ccnet_buckets: tiers partition each language near-thirds in score order") {
     val out = operators.Pipeline.ccnetBuckets(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -790,6 +790,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC twin: latest bar per hour equals the batch bar after a split feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value")).collect()
+      .map(r => Tick(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val (b1, b2) = ticks.splitAt(ticks.length / 2)
+    val in = MemoryStream[Tick]
+    val q = StreamOps.ohlcStream(in.toDS())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT hour_ts, n_trades, open_cents, high_cents, low_cents, close_cents, volume_cents FROM ohlc")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .foldLeft(Map.empty[Long, (Long, Long, Long, Long, Long, Long)])(_ + _)
+      val batch = graft.operators.Events.ohlcHourly(spark, Sf).collect()
+        .map(r => r.getTimestamp(0).getTime / 1000L ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(streamed.keySet == batch.keySet, "same hour coverage")
+      val diverged = batch.filter { case (k, v) => streamed(k) != v }
+      assert(diverged.isEmpty, s"bars diverged: ${diverged.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min twin: counters equal the batch sketch after a split feed") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.Tables.events(spark, Sf)
