@@ -53,6 +53,7 @@ object SparkEntry {
     "sse_route" -> ((s, d) => Events.sseRoute(s, d)),
     "sse_project" -> ((s, d) => Events.sseProject(s, d)),
     "sse_extract_field" -> ((s, d) => Events.sseExtractField(s, d)),
+    "sse_schema_infer" -> ((s, d) => Events.schemaInfer(s, d)),
     "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
     "ev_metrics" -> ((s, d) => Events.metrics(s, d)),
     "ev_window_counts" -> ((s, d) => Events.windowCounts(s, d)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
     "text_dup_ngram_frac" -> ((s, d) => TextAnalysis.dupNgramFrac(s, d)),
     "text_ttr" -> ((s, d) => TextAnalysis.ttr(s, d)),
+    "text_top_phrases" -> ((s, d) => TextAnalysis.topPhrases(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
@@ -475,6 +477,7 @@ object SparkEntry {
     "ev_rfm" -> Events.rfmOracle,
     "ev_hourly_hll" -> Events.hourlyHllOracle,
     "ev_error_burst" -> Events.errorBurstOracle,
+    "sse_schema_infer" -> Events.schemaInferOracle,
     "ev_autocorr" -> Events.autocorrOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
@@ -513,6 +516,7 @@ object SparkEntry {
     "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
     "text_dup_ngram_frac" -> TextAnalysis.dupNgramFracOracle,
     "text_ttr" -> TextAnalysis.ttrOracle,
+    "text_top_phrases" -> TextAnalysis.topPhrasesOracle,
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,

@@ -1464,6 +1464,49 @@ object Events {
       .orderBy(col("hour"))
   }
 
+  /** Payload schema-drift audit (`sse_schema_infer`) — the governance
+    * check a connector operator runs on an UNTYPED JSON stream before
+    * committing to a `sse_project` StructType (Kafka-Connect land calls
+    * this schema inference/registry drift): for every TOP-LEVEL key of the
+    * wire document, how many events carry it and what scalar shape its
+    * value takes (null / boolean / number / object / string, classified by
+    * the SAME regex in both engines). Runs the REAL generic-JSON path —
+    * `json_object_keys` + a column-valued `get_json_object` bracket path
+    * (keys like `$schema` survive quoting) — over [[payloadFrame]]; the
+    * oracle reproduces the expected inventory arithmetically from the
+    * frame spec, so a hash match proves Spark's JSON engine lands exactly
+    * on the documented shape. One explode (×\|keys\|) + a (key, type)
+    * partial agg; presence in basis points vs the event total riding a
+    * broadcast back. */
+  def schemaInfer(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.events(spark, d).select(payloadFrame.as("doc"))
+    val total = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc"), explode(json_object_keys(col("doc"))).as("key"))
+      .withColumn("v", expr("get_json_object(doc, concat('$[\\'', key, '\\']'))"))
+      .withColumn("vtype",
+        when(col("v").isNull, "null")
+          .when(col("v").rlike("^(true|false)$"), "boolean")
+          .when(col("v").rlike("^-?[0-9]+$"), "number")
+          .when(col("v").startsWith("{"), "object")
+          .otherwise("string"))
+      .groupBy(col("key"), col("vtype"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("vtype"), col("n"),
+        expr("n * 10000 div n_docs").as("presence_bp"))
+      .orderBy(col("key"), col("vtype"))
+  }
+
+  val schemaInferOracle: String =
+    """WITH n AS (SELECT count(*) AS c FROM events),
+      |shape(key, vtype) AS (VALUES
+      |  ('$schema', 'string'), ('bot', 'boolean'), ('id', 'number'),
+      |  ('length', 'object'), ('meta', 'object'), ('namespace', 'number'),
+      |  ('title', 'string'), ('type', 'string'))
+      |SELECT key, vtype, c AS n, cast(10000 AS bigint) AS presence_bp
+      |FROM shape, n ORDER BY key, vtype""".stripMargin
+
   /** Error-burst detection (`ev_error_burst`) — hourly error counts
     * flagged at mean+3σ, with the WHOLE test kept in exact integer
     * arithmetic: x > μ+3σ ⇔ n·x−Σx > 0 ∧ (n·x−Σx)² > 9·(n·Σx²−(Σx)²)

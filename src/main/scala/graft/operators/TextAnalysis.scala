@@ -601,6 +601,48 @@ object TextAnalysis {
        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Boilerplate-phrase report (`text_top_phrases`) — the 20 most
+    * duplicated word 3-grams corpus-wide with occurrence count and
+    * document spread: the phrase-level view the dedup pipeline publishes
+    * so a human can see WHAT the near-dup mass is (footers, disclaimers,
+    * navigation). The aggregate groups on the 60-bit digest and carries
+    * one representative string via min() (digest↔gram 1:1 up to md5
+    * collisions — the family's standing digest-shuffle rule), so gram
+    * TEXT never shuffles per occurrence; global top-20 plans as
+    * TakeOrderedAndProject (distributed partial top-k, no single-reducer
+    * sort). */
+  def topPhrases(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val sh = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"), col("t"))
+      .select(col("doc_id"), concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
+    sh.groupBy(hash60(col("s")).as("h"))
+      .agg(min(col("s")).as("phrase"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("h"))
+      .limit(k)
+      .select(col("phrase"), col("n_occurrences"), col("n_docs"))
+  }
+
+  val topPhrasesOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH sh AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |              WHERE len(string_split(text, ' ')) >= 3))),
+       |g AS (
+       |  SELECT ${sqlHash60("s")} AS h, min(s) AS phrase,
+       |    count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |  FROM sh GROUP BY 1)
+       |SELECT phrase, n_occurrences, n_docs
+       |FROM g ORDER BY n_occurrences DESC, h LIMIT 20""".stripMargin
+  }
+
   /** Type-token ratio audit (`text_ttr`) — per-source lexical diversity:
     * each doc's distinct/total token ratio in basis points, plus the
     * corpus-level ratio (which Heaps' law drives DOWN as sources grow —

@@ -671,6 +671,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming error-burst monitor — the in-flight form of the batch
+    * `ev_error_burst`, with the honest streaming semantics: an hour is
+    * judged against the integer mean+3σ of the CLOSED hours seen so far
+    * (prefix stats — a live monitor cannot consult the future the batch
+    * audit averages over). Keyed state is O(1) forever: the (n, Σx, Σx²)
+    * moment triple over closed hours plus the one open hour's running
+    * count; a new hour closes the previous one, which is tested with the
+    * SAME all-integer 3σ inequality as the batch row ((n·x−Σx)² >
+    * 9·(n·Σx²−(Σx)²)) and folded into the moments. Same per-key in-order
+    * event-time assumption as the other keyed twins; spec replays the
+    * fold locally and pins every closed-hour verdict. */
+  def burstStream(events: Dataset[StreamEvent]): Dataset[BurstVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BurstVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[StreamEvent], state: GroupState[BurstState]) =>
+          var s = state.getOption.getOrElse(BurstState(0L, 0L, 0L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurstVerdict]
+          def close(): Unit = if (s.openHour >= 0) {
+            val (n, x) = (s.n, s.openCnt)
+            val devN = n * x - s.s1
+            val burst = n > 0 && devN > 0 &&
+              devN * devN > 9L * (n * s.s2 - s.s1 * s.s1)
+            out += BurstVerdict(s.openHour, x, burst)
+            s = BurstState(n + 1, s.s1 + x, s.s2 + x * x, -1L, 0L)
+          }
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val hour = e.ts.getTime / 3600000L * 3600L
+            if (hour != s.openHour) { close(); s = s.copy(openHour = hour, openCnt = 0L) }
+            s = s.copy(openCnt = s.openCnt + 1L)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Streaming DSIR scoring — ship-the-model for the text-selection
     * family: the BATCH pass trains the 128-bucket importance model
     * ([[graft.operators.Pipeline.dsirModelLocal]], ~1 KiB whatever the
@@ -700,6 +739,14 @@ case class EwmaPoint(event_type: String, hour_ts: Long, cnt: Long, ewma_x15: Lon
 
 /** A priced tick for [[StreamOps.ohlcStream]]. */
 case class Tick(event_id: Long, ts: Timestamp, value: Double)
+
+/** Closed-hour moments + the open hour for [[StreamOps.burstStream]]:
+  * n/Σx/Σx² over closed hours, openHour = -1 when none. */
+private case class BurstState(n: Long, s1: Long, s2: Long,
+    openHour: Long, openCnt: Long)
+
+/** A closed hour's burst verdict against prefix statistics. */
+case class BurstVerdict(hour_ts: Long, cnt: Long, burst: Boolean)
 
 /** Per-hour bar state: open/close carry their (µs, event_id) ordering keys
   * so ties resolve like the batch lexicographic argmin/argmax. */

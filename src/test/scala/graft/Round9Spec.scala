@@ -161,6 +161,31 @@ class Round9Spec extends SparkSpec {
     assert(out.forall(r => r.getLong(3) <= r.getLong(4)), "dup grams ≤ total grams")
   }
 
+  test("sse_schema_infer: the generic JSON path lands on the documented shape") {
+    val rows = operators.Events.schemaInfer(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val want = Map("$schema" -> "string", "bot" -> "boolean", "id" -> "number",
+      "length" -> "object", "meta" -> "object", "namespace" -> "number",
+      "title" -> "string", "type" -> "string")
+    assert(rows.map(_._1).toSet == want.keySet, "all top-level keys inventoried")
+    rows.foreach { case (k, t, bp) =>
+      assert(t == want(k), s"key $k inferred $t, want ${want(k)}")
+      assert(bp == 10000L, s"key $k present in every event")
+    }
+  }
+
+  test("text_top_phrases: ordered by duplication, doc spread bounded by occurrences") {
+    val rows = operators.TextAnalysis.topPhrases(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "phrases ordered by occurrence count")
+    rows.foreach { case (p, occ, docs) =>
+      assert(p.split(" ").length == 3, s"'$p' is a word 3-gram")
+      assert(docs <= occ && docs >= 1)
+    }
+  }
+
   test("ev_error_burst: integer 3-sigma test agrees with the float computation") {
     val rows = operators.Events.errorBurst(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))

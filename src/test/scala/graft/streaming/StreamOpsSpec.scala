@@ -820,6 +820,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst monitor: every closed hour's verdict matches a local prefix fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_type"), col("value"), col("ts")).collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+      .sortBy(_.ts.getTime)
+    val (b1, b2) = errs.splitAt(errs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.burstStream(in.toDS())
+      .writeStream.format("memory").queryName("burst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql("SELECT hour_ts, cnt, burst FROM burst").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // local prefix fold over the same hourly series: hour t tested
+      // against the integer mean+3σ of hours < t
+      val hours = errs.groupBy(e => e.ts.getTime / 3600000L * 3600L)
+        .map { case (h, xs) => (h, xs.length.toLong) }.toSeq.sortBy(_._1)
+      val expected = hours.zipWithIndex.dropRight(1).map { case ((h, x), i) =>
+        val prior = hours.take(i).map(_._2)
+        val (n, s1, s2) = (prior.length.toLong, prior.sum, prior.map(c => c * c).sum)
+        val devN = n * x - s1
+        h -> (x, n > 0 && devN > 0 && devN * devN > 9L * (n * s2 - s1 * s1))
+      }.toMap
+      assert(streamed == expected,
+        s"verdicts diverged: ${(expected.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming Count-Min twin: counters equal the batch sketch after a split feed") {
     implicit val sqlCtx = spark.sqlContext
     val base = graft.Tables.events(spark, Sf)
