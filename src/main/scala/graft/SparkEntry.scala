@@ -45,6 +45,8 @@ object SparkEntry {
     "q_mom_delta" -> ((s, d) => Tpch.qMomDelta(s, d)),
     "q_bloom_join" -> ((s, d) => Tpch.qBloomJoin(s, d)),
     "q_delta_join" -> ((s, d) => Tpch.qDeltaJoin(s, d)),
+    "q_integrity_audit" -> ((s, d) => Tpch.qIntegrityAudit(s, d)),
+    "q_data_profile" -> ((s, d) => Tpch.qDataProfile(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "ev_rfm" -> ((s, d) => Events.rfm(s, d)),
     "ev_hourly_hll" -> ((s, d) => Events.hourlyHll(s, d)),
     "ev_error_burst" -> ((s, d) => Events.errorBurst(s, d)),
+    "ev_dq_rules" -> ((s, d) => Events.dqRules(s, d)),
     "ev_autocorr" -> ((s, d) => Events.autocorr(s, d)),
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     "ev_skew_join_salted" -> ((s, d) => Joins.skewJoinSalted(s, d)),
@@ -395,6 +398,8 @@ object SparkEntry {
     "q_mom_delta" -> Tpch.qMomDeltaOracle,
     "q_bloom_join" -> Tpch.qBloomJoinOracle,
     "q_delta_join" -> Tpch.qDeltaJoinOracle,
+    "q_integrity_audit" -> Tpch.qIntegrityAuditOracle,
+    "q_data_profile" -> Tpch.qDataProfileOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -477,6 +482,7 @@ object SparkEntry {
     "ev_rfm" -> Events.rfmOracle,
     "ev_hourly_hll" -> Events.hourlyHllOracle,
     "ev_error_burst" -> Events.errorBurstOracle,
+    "ev_dq_rules" -> Events.dqRulesOracle,
     "sse_schema_infer" -> Events.schemaInferOracle,
     "ev_autocorr" -> Events.autocorrOracle,
     "ev_range_join" -> Joins.rangeJoinOracle,

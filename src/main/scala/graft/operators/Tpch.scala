@@ -901,4 +901,122 @@ object Tpch {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Referential-integrity audit (`q_integrity_audit`) — the foreign-key
+    * constraint suite a lake runs where a warehouse would have enforced
+    * FKs (Deequ's isContainedIn/uniqueness checks): orphaned fact rows
+    * (lineitem → orders), childless parents (orders without lines — a
+    * real condition in this data), and dangling dims (orders → customer),
+    * each as a LEFT ANTI join — the shuffle is key-only, violations in
+    * exact basis points. At 100 TB every check is one hash-partitioned
+    * anti join; nothing ever materializes the non-violating side. */
+  def qIntegrityAudit(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"))
+    val cust = Tables.customer(spark, d).select(col("c_custkey"))
+    def audit(name: String, violations: DataFrame, total: DataFrame): DataFrame = {
+      val v = violations.groupBy().agg(count(lit(1)).as("n_violations"))
+      val t = total.groupBy().agg(count(lit(1)).as("n_total"))
+      v.crossJoin(t).select(lit(name).as("check"), col("n_violations"), col("n_total"),
+        expr("n_violations * 10000 div n_total").as("violation_bp"))
+    }
+    audit("lineitem_orphan_orderkey",
+        li.join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti"), li)
+      .unionAll(audit("orders_childless",
+        ord.select(col("o_orderkey")).join(li.select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_anti"), ord))
+      .unionAll(audit("orders_dangling_custkey",
+        ord.select(col("o_custkey")).join(cust.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti"), ord))
+      .orderBy(col("check"))
+  }
+
+  val qIntegrityAuditOracle: String =
+    """WITH a AS (
+      |  SELECT 'lineitem_orphan_orderkey' AS check,
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |    (SELECT count(*) FROM lineitem) AS n_total
+      |  UNION ALL
+      |  SELECT 'orders_childless',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_dangling_custkey',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT count(*) FROM orders))
+      |SELECT "check", n_violations, n_total,
+      |  n_violations * 10000 // n_total AS violation_bp
+      |FROM a ORDER BY 1""".stripMargin
+
+  /** Column-profile report (`q_data_profile`) — the per-column statistics
+    * pass a data catalog materializes (Deequ/Great-Expectations profiling):
+    * count / nulls / exact distinct / integer min-max for each audited
+    * orders column, numerics normalized to exact integers (cents, epoch
+    * seconds) so the profile hashes cross-engine. ONE scan computes every
+    * column's aggregates side by side; the per-column rows come from
+    * exploding the 1-row aggregate — the unpivot costs nothing at any
+    * scale. Exact countDistinct per column shuffles one digest set per
+    * column (the HLL sketch family is the approximate path at 100 TB). */
+  def qDataProfile(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_cents"),
+        unix_timestamp(col("o_orderdate")).as("date_sec"))
+    val agg = ord.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+      sum(when(col("price_cents").isNull, 1L).otherwise(0L)).as("null_price"),
+      countDistinct(col("price_cents")).as("nd_price"),
+      min(col("price_cents")).as("min_price"), max(col("price_cents")).as("max_price"),
+      sum(when(col("date_sec").isNull, 1L).otherwise(0L)).as("null_date"),
+      countDistinct(col("date_sec")).as("nd_date"),
+      min(col("date_sec")).as("min_date"), max(col("date_sec")).as("max_date"))
+    agg.select(col("n"), explode(array(
+        struct(lit("o_orderkey").as("column"), col("null_key").as("n_null"),
+          col("nd_key").as("n_distinct"), col("min_key").as("min_v"), col("max_key").as("max_v")),
+        struct(lit("o_custkey").as("column"), col("null_cust").as("n_null"),
+          col("nd_cust").as("n_distinct"), col("min_cust").as("min_v"), col("max_cust").as("max_v")),
+        struct(lit("o_totalprice_cents").as("column"), col("null_price").as("n_null"),
+          col("nd_price").as("n_distinct"), col("min_price").as("min_v"), col("max_price").as("max_v")),
+        struct(lit("o_orderdate_sec").as("column"), col("null_date").as("n_null"),
+          col("nd_date").as("n_distinct"), col("min_date").as("min_v"), col("max_date").as("max_v"))
+      )).as("p"))
+      .select(col("p.column").as("column"), col("n"), col("p.n_null").as("n_null"),
+        col("p.n_distinct").as("n_distinct"), col("p.min_v").as("min_v"),
+        col("p.max_v").as("max_v"))
+      .orderBy(col("column"))
+  }
+
+  val qDataProfileOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    cast(floor(o_totalprice * 100 + 0.5) AS bigint) AS price_cents,
+      |    cast(floor(epoch(o_orderdate)) AS bigint) AS date_sec
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS "column", count(*) AS n,
+      |  cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+      |  count(DISTINCT o_orderkey) AS n_distinct,
+      |  min(o_orderkey) AS min_v, max(o_orderkey) AS max_v FROM o
+      |UNION ALL
+      |SELECT 'o_custkey', count(*),
+      |  cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+      |  count(DISTINCT o_custkey), min(o_custkey), max(o_custkey) FROM o
+      |UNION ALL
+      |SELECT 'o_totalprice_cents', count(*),
+      |  cast(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS bigint),
+      |  count(DISTINCT price_cents), min(price_cents), max(price_cents) FROM o
+      |UNION ALL
+      |SELECT 'o_orderdate_sec', count(*),
+      |  cast(sum(CASE WHEN date_sec IS NULL THEN 1 ELSE 0 END) AS bigint),
+      |  count(DISTINCT date_sec), min(date_sec), max(date_sec) FROM o
+      |ORDER BY 1""".stripMargin
 }

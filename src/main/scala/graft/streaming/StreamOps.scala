@@ -671,6 +671,28 @@ object StreamOps {
       }
   }
 
+  /** Streaming schema-drift monitor — the in-flight twin of the batch
+    * `sse_schema_infer`: the stateless half (key explode + regex shape
+    * classifier — the SAME column expressions as the batch audit) rides
+    * the ingest map stage; the keyed half accumulates a (shape → count)
+    * map per JSON key in `mapGroupsWithState` — state O(\|keys\|×\|shapes\|),
+    * bounded by the SCHEMA, never the stream — and re-emits the refreshed
+    * per-key profile each batch, so an operator watches new keys or shape
+    * flips appear live instead of at the next batch audit. Parity spec:
+    * after a split feed the final profile equals the batch inventory. */
+  def schemaInferStream(docs: DataFrame): Dataset[KeyShapeProfile] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Events.keyShapeRows(docs).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], KeyShapeProfile](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { case (_, t) => m = m.updated(t, m.getOrElse(t, 0L) + 1L) }
+          state.update(m)
+          KeyShapeProfile(key, m)
+      }
+  }
+
   /** Streaming error-burst monitor — the in-flight form of the batch
     * `ev_error_burst`, with the honest streaming semantics: an hour is
     * judged against the integer mean+3σ of the CLOSED hours seen so far
@@ -747,6 +769,10 @@ private case class BurstState(n: Long, s1: Long, s2: Long,
 
 /** A closed hour's burst verdict against prefix statistics. */
 case class BurstVerdict(hour_ts: Long, cnt: Long, burst: Boolean)
+
+/** One JSON key's accumulated shape histogram from
+  * [[StreamOps.schemaInferStream]]. */
+case class KeyShapeProfile(key: String, shapes: Map[String, Long])
 
 /** Per-hour bar state: open/close carry their (µs, event_id) ordering keys
   * so ties resolve like the batch lexicographic argmin/argmax. */

@@ -186,6 +186,34 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q_integrity_audit: anti joins and the childless-orders plant behave") {
+    val rows = operators.Tpch.qIntegrityAudit(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("lineitem_orphan_orderkey", "orders_childless",
+      "orders_dangling_custkey"))
+    assert(rows("lineitem_orphan_orderkey")._1 == 0, "every line has an order")
+    assert(rows("orders_dangling_custkey")._1 == 0, "every order has a customer")
+    assert(rows("orders_childless")._1 > 0, "the data genuinely has childless orders")
+    rows.values.foreach { case (v, t, bp) => assert(bp == v * 10000 / t) }
+  }
+
+  test("q_data_profile + ev_dq_rules: one-scan profiles match direct recomputation") {
+    val prof = operators.Tpch.qDataProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nOrders = Tables.orders(spark, Sf).count()
+    assert(prof.keySet.size == 4)
+    prof.values.foreach { case (n, nNull, nd) =>
+      assert(n == nOrders && nNull == 0 && nd > 0 && nd <= n)
+    }
+    assert(prof("o_orderkey")._3 == nOrders, "order keys unique")
+    val dq = operators.Events.dqRules(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(dq.keySet.size == 5)
+    dq.foreach { case (rule, (v, bp)) =>
+      assert(v == 0 && bp == 10000, s"rule $rule should pass on clean synthetic data")
+    }
+  }
+
   test("ev_error_burst: integer 3-sigma test agrees with the float computation") {
     val rows = operators.Events.errorBurst(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))

@@ -820,6 +820,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming schema-drift monitor: final profile equals the batch inventory") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.events(spark, Sf)
+      .select(graft.operators.Events.payloadFrame.as("doc")).collect()
+      .map(_.getString(0))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[String]
+    val q = StreamOps.schemaInferStream(in.toDF().toDF("doc"))
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // counts only grow — keep the largest emission per key
+      val streamed = spark.sql("SELECT key, shapes FROM drift").collect()
+        .map(r => (r.getString(0), r.getMap[String, Long](1).toMap))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_.values.sum) }
+      val batch = graft.operators.Events.schemaInfer(spark, Sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(r => r._2 -> r._3).toMap }
+      assert(streamed == batch,
+        s"drift profile diverged: stream keys ${streamed.keySet}, batch ${batch.keySet}")
+    } finally q.stop()
+  }
+
   test("streaming burst monitor: every closed hour's verdict matches a local prefix fold") {
     implicit val sqlCtx = spark.sqlContext
     val errs = graft.Tables.events(spark, Sf)
