@@ -47,6 +47,7 @@ object SparkEntry {
     "q_delta_join" -> ((s, d) => Tpch.qDeltaJoin(s, d)),
     "q_integrity_audit" -> ((s, d) => Tpch.qIntegrityAudit(s, d)),
     "q_data_profile" -> ((s, d) => Tpch.qDataProfile(s, d)),
+    "q_market_basket" -> ((s, d) => Tpch.marketBasket(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -68,6 +69,8 @@ object SparkEntry {
     "ev_ewma_hourly" -> ((s, d) => Events.ewmaHourly(s, d)),
     "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
+    "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(s, d)),
+    "ev_seasonality" -> ((s, d) => Events.seasonality(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
@@ -99,6 +102,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
@@ -136,6 +140,7 @@ object SparkEntry {
     "ann_sq_search" -> ((s, d) => Similarity.sqTopK(s, d)),
     "ann_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "vec_power_iter" -> ((s, d) => Similarity.powerIter(s, d)),
+    "vec_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -155,6 +160,7 @@ object SparkEntry {
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
     "docs_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
+    "docs_mad_outliers" -> ((s, d) => Pipeline.madOutliers(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -177,6 +183,7 @@ object SparkEntry {
     "text_ttr" -> ((s, d) => TextAnalysis.ttr(s, d)),
     "text_top_phrases" -> ((s, d) => TextAnalysis.topPhrases(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
+    "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -400,6 +407,7 @@ object SparkEntry {
     "q_delta_join" -> Tpch.qDeltaJoinOracle,
     "q_integrity_audit" -> Tpch.qIntegrityAuditOracle,
     "q_data_profile" -> Tpch.qDataProfileOracle,
+    "q_market_basket" -> Tpch.marketBasketOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -474,6 +482,8 @@ object SparkEntry {
     "ev_ewma_hourly" -> Events.ewmaHourlyOracle,
     "ev_attribution" -> Events.attributionOracle,
     "ev_ab_test" -> Events.abTestOracle,
+    "ev_transition_matrix" -> Events.transitionMatrixOracle,
+    "ev_seasonality" -> Events.seasonalityOracle,
     "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
@@ -524,12 +534,14 @@ object SparkEntry {
     "text_ttr" -> TextAnalysis.ttrOracle,
     "text_top_phrases" -> TextAnalysis.topPhrasesOracle,
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
+    "text_substr_dup" -> TextAnalysis.substrDupOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
@@ -554,6 +566,7 @@ object SparkEntry {
     "ann_sq_search" -> Similarity.sqTopKOracle,
     "ann_sq_recall" -> Similarity.sqRecallOracle,
     "vec_power_iter" -> Similarity.powerIterOracle,
+    "vec_silhouette" -> Similarity.silhouetteOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
@@ -568,6 +581,7 @@ object SparkEntry {
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,
     "docs_reservoir" -> Pipeline.reservoirOracle,
+    "docs_mad_outliers" -> Pipeline.madOutliersOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

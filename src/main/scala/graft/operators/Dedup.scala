@@ -1326,4 +1326,88 @@ object Dedup {
       |  max(cos) AS max_cos
       |FROM pairs WHERE cos >= 0.95
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Dedup-threshold calibration curve (`dedup_threshold_curve`) — the
+    * sweep a pipeline operator runs BEFORE committing to a Jaccard cutoff:
+    * candidate pairs histogrammed into 5%-wide similarity buckets
+    * (jaccard ≥ 20%), each bucket reporting its pair count, distinct
+    * documents touched, and the CUMULATIVE pair count from the top — i.e.
+    * exactly how many pairs a threshold at that bucket's floor would
+    * flag. Reading the curve picks the knee; `dedup_ngram_jaccard` then
+    * runs the chosen cutoff.
+    *
+    * Same blocked + df-capped inverted-index self-join as the Jaccard
+    * operator (cost Σ df(s)² ≤ maxDf·\|index\| — linear in the corpus),
+    * but similarity stays in INTEGER basis points (n_common·10⁴ floor-div
+    * union), so bucketing is exact in both engines. The histogram is ≤17
+    * rows at any corpus size; the cumulative window runs over those rows
+    * only — a driver-sized frame, never a corpus window. */
+  def thresholdCurve(spark: SparkSession, d: String,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val docs = boilerplateDocs(spark, d)
+      .withColumn("lb", floor(length(col("text")) / 100))
+    val sh = cappedShingles(docs, maxDf, Seq("lang", "lb"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("s"), col("lang"), col("lb"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("s"), col("lang"), col("lb"))
+    val pairs = shA.join(shB, Seq("s", "lang", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_common * 10000 div (n_a + n_b - n_common)").as("jac_bp"))
+      .filter(col("jac_bp") >= 2000)
+      .withColumn("bucket", expr("jac_bp div 500"))
+    val hist = pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsTouched = pairs
+      .select(col("bucket"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("bucket")).agg(countDistinct(col("doc")).as("n_docs"))
+    // cumulative-from-the-top via a broadcast inequality join over the
+    // ≤17-row histogram — an unpartitioned running-sum window would funnel
+    // through one reducer as a matter of plan shape (the repo-wide lint
+    // forbids it even when the input is provably tiny)
+    val cum = hist.select(col("bucket").as("b2"), col("n_pairs").as("np2"))
+    hist.join(docsTouched, "bucket")
+      .join(broadcast(cum), col("b2") >= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n_pairs")).as("n_pairs"), max(col("n_docs")).as("n_docs"),
+        sum(col("np2")).as("cum_pairs"))
+      .withColumn("thr_bp", col("bucket") * 500)
+      .select(col("bucket"), col("thr_bp"), col("n_pairs"), col("n_docs"),
+        col("cum_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val thresholdCurveOracle: String =
+    s"""WITH $sqlBoilerplateDocs,
+       |bdocs2 AS (SELECT doc_id, text, lang, length(text) // 100 AS lb FROM bdocs),
+       |${sqlCappedShingles("bdocs2", MaxShingleDf, Seq("lang", "lb"))},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh p JOIN sh q
+       |    ON p.s = q.s AND p.lang = q.lang AND p.lb = q.lb
+       |    AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    cast(n_common * 10000 // (sa.n + sb.n - n_common) AS bigint) AS jac_bp
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE n_common * 10000 // (sa.n + sb.n - n_common) >= 2000),
+       |bp AS (SELECT doc_a, doc_b, jac_bp, jac_bp // 500 AS bucket FROM pairs),
+       |hist AS (SELECT bucket, count(*) AS n_pairs FROM bp GROUP BY 1),
+       |dt AS (
+       |  SELECT bucket, count(DISTINCT doc) AS n_docs
+       |  FROM (SELECT bucket, unnest([doc_a, doc_b]) AS doc FROM bp)
+       |  GROUP BY 1)
+       |SELECT hist.bucket, cast(hist.bucket * 500 AS bigint) AS thr_bp,
+       |  max(hist.n_pairs) AS n_pairs, max(dt.n_docs) AS n_docs,
+       |  cast(sum(c.n_pairs) AS bigint) AS cum_pairs
+       |FROM hist JOIN dt ON hist.bucket = dt.bucket
+       |JOIN hist c ON c.bucket >= hist.bucket
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -1700,4 +1700,104 @@ object Events {
        |FROM st JOIN ex ON st.hour = ex.hour
        |ORDER BY 1""".stripMargin
   }
+
+  /** First-order Markov transition model (`ev_transition_matrix`) — the
+    * probability layer on top of `ev_user_paths`' raw counts: per
+    * (from_type → to_type) edge the transition count, its probability in
+    * exact basis points of the from-row total, and the mean dwell time
+    * (µs between the two events, integer floor division). The layer a
+    * product-analytics engine publishes as "what happens next and how
+    * fast" (Markov attribution / next-event prediction baselines).
+    *
+    * Plan shape: one high-cardinality user window (lag over user_id — the
+    * same per-user partitioning every sequence operator here rides), a
+    * \|types\|²-row partial agg, and the row totals broadcast back onto
+    * the matrix — nothing corpus-sized shuffles twice, and the output is
+    * \|types\|² rows at any event volume. All arithmetic is integer
+    * (µs gaps, basis points), so the oracle matches bit-for-bit. */
+  def transitionMatrix(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("from_us", lag(col("us"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+    val cnt = seq.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("us") - col("from_us")).as("gap_sum_us"))
+    val tot = cnt.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("row_total"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr("n_transitions * 10000 div row_total").as("prob_bp"),
+        expr("gap_sum_us div n_transitions").as("mean_gap_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionMatrixOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER w AS from_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |cnt AS (
+      |  SELECT from_type, event_type AS to_type,
+      |    count(*) AS n_transitions, sum(gap_us) AS gap_sum_us
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n_transitions) AS row_total
+      |        FROM cnt GROUP BY 1)
+      |SELECT from_type, to_type, n_transitions,
+      |  cast(n_transitions * 10000 // row_total AS bigint) AS prob_bp,
+      |  cast(gap_sum_us // n_transitions AS bigint) AS mean_gap_us
+      |FROM cnt JOIN tot USING (from_type) ORDER BY 1, 2""".stripMargin
+
+  /** Weekly seasonality profile (`ev_seasonality`) — the day-of-week ×
+    * hour-of-day traffic matrix (168 cells) an operations dashboard keeps
+    * for capacity planning and anomaly baselines: events, purchases, exact
+    * revenue cents, mean value cents (floor division), and each cell's
+    * share of total traffic in basis points.
+    *
+    * Calendar terms are computed ARITHMETICALLY from epoch-µs integers
+    * (day index + 4 mod 7 puts Sunday at 0 — 1970-01-01 was a Thursday),
+    * never via engine calendar functions whose week-start conventions
+    * differ; every number is integer, so the oracle is bit-exact. One
+    * partial agg to 168 rows + a one-row total broadcast back — the
+    * output is fixed-size at any event volume. */
+  def seasonality(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(spark, d)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .select(expr("(us div 86400000000 + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"),
+        col("event_type"), col("cents"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(col("cents")).as("rev_cents"))
+    val tot = cells.agg(sum(col("n_events")).as("total_events"))
+    cells.join(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_purchases"),
+        col("rev_cents"),
+        expr("rev_cents div n_events").as("mean_cents"),
+        expr("n_events * 10000 div total_events").as("share_bp"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val seasonalityOracle: String =
+    """WITH cells AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    count(*) AS n_events,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+      |    sum(cast(floor(value * 100 + 0.5) AS bigint)) AS rev_cents
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_events) AS total_events FROM cells)
+      |SELECT cast(dow AS bigint) AS dow, cast(hour AS bigint) AS hour,
+      |  n_events, cast(n_purchases AS bigint) AS n_purchases,
+      |  cast(rev_cents AS bigint) AS rev_cents,
+      |  cast(rev_cents // n_events AS bigint) AS mean_cents,
+      |  cast(n_events * 10000 // total_events AS bigint) AS share_bp
+      |FROM cells, tot ORDER BY 1, 2""".stripMargin
 }

@@ -909,4 +909,61 @@ object Pipeline {
        |SELECT source, doc_id, n_chars, pick
        |FROM r WHERE pick <= 5 ORDER BY source, pick""".stripMargin
   }
+
+  /** Robust length-outlier audit (`docs_mad_outliers`) — median/MAD document
+    * screening per source: the robust-statistics alternative to the 3-sigma
+    * rule (`ev_anomalies`) that a curation pipeline prefers on heavy-tailed
+    * length distributions, where a handful of giant documents drag the mean
+    * and variance but leave the median untouched. A doc is flagged when
+    * \|len − median\| > 3·MAD (MAD = median absolute deviation).
+    *
+    * Exactness: medians ride DOUBLED integers — `median_x2 = 2·median` is
+    * always integral (exact `percentile` of ints interpolates at most a
+    * half), `mad_x4 = 2·median(2·dev)`, and the flag `2·dev_x2 > 3·mad_x4`
+    * is the original inequality scaled by 4 — every comparison is bigint,
+    * no float threshold anywhere. Plan: two per-source exact-percentile
+    * aggs (the \|sources\|-row models broadcast back onto the scan) + one
+    * counting agg; at 100 TB the percentile passes swap for the log-linear
+    * quantile sketch, same report schema. */
+  def madOutliers(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg((percentile(col("n_chars"), lit(0.5)) * 2).cast("long").as("median_x2"))
+    val dev = docs.join(broadcast(med), "source")
+      .select(col("source"), col("median_x2"),
+        abs(col("n_chars") * 2 - col("median_x2")).as("dev_x2"))
+    val mad = dev.groupBy(col("source"))
+      .agg((percentile(col("dev_x2"), lit(0.5)) * 2).cast("long").as("mad_x4"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("median_x2")).as("median_x2"),
+        max(col("mad_x4")).as("mad_x4"),
+        sum(when(col("dev_x2") * 2 > col("mad_x4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("median_x2"), col("mad_x4"),
+        col("n_outliers"),
+        expr("n_outliers * 10000 div n_docs").as("outlier_bp"))
+      .orderBy(col("source"))
+  }
+
+  val madOutliersOracle: String =
+    """WITH med AS (
+      |  SELECT source,
+      |    cast(quantile_cont(n_chars, 0.5) * 2 AS bigint) AS median_x2
+      |  FROM documents GROUP BY 1),
+      |dev AS (
+      |  SELECT d.source, abs(n_chars * 2 - median_x2) AS dev_x2, median_x2
+      |  FROM documents d JOIN med ON d.source = med.source),
+      |mad AS (
+      |  SELECT source, cast(quantile_cont(dev_x2, 0.5) * 2 AS bigint) AS mad_x4
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.source, count(*) AS n_docs,
+      |  max(median_x2) AS median_x2, max(mad.mad_x4) AS mad_x4,
+      |  cast(sum(CASE WHEN dev_x2 * 2 > mad.mad_x4 * 3 THEN 1 ELSE 0 END)
+      |    AS bigint) AS n_outliers,
+      |  cast(sum(CASE WHEN dev_x2 * 2 > mad.mad_x4 * 3 THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS bigint) AS outlier_bp
+      |FROM dev JOIN mad ON dev.source = mad.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

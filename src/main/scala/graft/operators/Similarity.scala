@@ -1363,4 +1363,89 @@ object Similarity {
       |  cast(sum(dv * mj) AS bigint) AS v1_milli2,
       |  cast(rayleigh_num AS bigint) AS rayleigh_num, n_vecs
       |FROM ex, ray GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
+  /** Simplified-silhouette clustering quality (`vec_silhouette`) — per
+    * label the centroid-based silhouette score (Hruschka et al.'s
+    * simplified silhouette: distances to CENTROIDS, not all pairs — the
+    * only form that scales, O(n·k) instead of O(n²)): a = squared distance
+    * to the own-label centroid, b = min squared distance to any other
+    * centroid, s = (b−a)/max(a,b) in basis points. Mean/min/max s per
+    * label plus the misfit count (s<0 ⇔ another centroid is closer ⇔ the
+    * vector is on the wrong side of a cluster boundary) — the health
+    * report a clustering/ANN pipeline reads before trusting labels as IVF
+    * cells.
+    *
+    * Exactness: embeddings quantize to MILLI-integers, centroids are
+    * integer floor-divisions, so every squared distance is an exact
+    * bigint computed as dot(x,x) − 2·dot(x,c) + dot(c,c) via the native
+    * codegen'd dot kernel (products stay ≪ 2^53 — exact in double, cast
+    * back to long); s lands in integer basis points — bit-exact oracle.
+    * Plan: the \|labels\|×dims centroid model aggregates small and
+    * broadcasts back; the corpus side is ONE map pass producing
+    * \|vecs\|·k distance rows that immediately partial-agg to \|vecs\|
+    * then \|labels\| rows — nothing quadratic, no corpus shuffle. */
+  def silhouette(spark: SparkSession, d: String): DataFrame = {
+    val milli = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        transform(vecDouble(col("embedding")), v => floor(v * 1000 + lit(0.5)))
+          .cast("array<double>").as("m"))
+    val cents = milli
+      .select(col("label"), posexplode(col("m")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("dim"), expr("s div n").as("c"))
+    val packed = cents.groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("clabel"),
+        transform(col("dc"), x => x.getField("c").cast("double")).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    val d2 = milli.join(broadcast(packed))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (dot(col("m"), col("m")) - lit(2.0) * dot(col("m"), col("cv")) + col("cc"))
+          .cast("long").as("d2"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      .select(col("label"),
+        expr("(b2 - a2) * 10000 div greatest(a2, b2, 1)").as("s_bp"))
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_bp) div count(1)").as("mean_s_bp"),
+        min(col("s_bp")).as("min_s_bp"),
+        max(col("s_bp")).as("max_s_bp"),
+        sum(when(col("s_bp") < 0, 1L).otherwise(0L)).as("n_misfit"))
+      .orderBy(col("label"))
+  }
+
+  val silhouetteOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> cast(floor(x * 1000 + 0.5) AS bigint)) AS m
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, j, m[j] AS val
+      |  FROM (SELECT vec_id, label, m,
+      |          unnest(generate_series(1, len(m))) AS j FROM v)),
+      |cents AS (
+      |  SELECT label AS clabel, j, cast(sum(val) // count(*) AS bigint) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT comp.vec_id, comp.label, cents.clabel,
+      |    sum((val - c) * (val - c)) AS d2
+      |  FROM comp JOIN cents ON comp.j = cents.j
+      |  GROUP BY 1, 2, 3),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN clabel = label THEN d2 END) AS a2,
+      |    min(CASE WHEN clabel <> label THEN d2 END) AS b2
+      |  FROM d2 GROUP BY 1, 2),
+      |s AS (SELECT label,
+      |        cast((b2 - a2) * 10000 // greatest(a2, b2, 1) AS bigint) AS s_bp
+      |      FROM ab)
+      |SELECT label, count(*) AS n_vecs,
+      |  cast(sum(s_bp) // count(*) AS bigint) AS mean_s_bp,
+      |  min(s_bp) AS min_s_bp, max(s_bp) AS max_s_bp,
+      |  cast(sum(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS bigint) AS n_misfit
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -730,4 +730,70 @@ object TextAnalysis {
        |  cast(sum(n_novel * 10000 // n_grams) // count(*) AS bigint) AS mean_novelty_bp
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** ExactSubstr-style duplicated-passage audit (`text_substr_dup`) — the
+    * character-level analogue of Lee et al.'s ExactSubstr dedup
+    * ("Deduplicating Training Data Makes Language Models Better", §3.1):
+    * EVERY 40-char window of every document (stride 1 — the same position
+    * universe a suffix array indexes, so a shared passage is caught at
+    * ANY alignment); a window whose digest appears in ≥2 DISTINCT
+    * documents marks a shared passage (cross-document boilerplate the
+    * word-3-gram view of [[dupNgramFrac]] underweights — long verbatim
+    * spans). Per source: docs with ≥1 shared passage, the mean share of a
+    * doc's windows that are shared (basis points, floor division), and
+    * corpus totals.
+    *
+    * The suffix-array machinery of the paper is replaced by the engine's
+    * native shape: \|chars\| window rows (exactly the paper's index size)
+    * reduce to 60-bit digests immediately (raw 40-char strings never
+    * shuffle), the doc-frequency pass is one distinct + partial agg on
+    * the digest, and the join back runs per DISTINCT window digest —
+    * never per occurrence, so a viral passage cannot hot-spot a
+    * reducer. Output is \|sources\| rows at any corpus size. */
+  def substrDup(spark: SparkSession, d: String): DataFrame = {
+    val win = Tables.documents(spark, d)
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        hash60(expr("substring(text, i, 40)")).as("h"))
+      .distinct()
+    val df = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val perDoc = win.join(df, "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        sum(col("n_shared")).as("shared_windows"),
+        sum(col("n_windows")).as("total_windows"),
+        expr("sum(n_shared * 10000 div n_windows) div count(1)").as("mean_shared_bp"))
+      .orderBy(col("source"))
+  }
+
+  val substrDupOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH win AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${sqlHash60("substr(text, i, 40)")} AS h
+       |  FROM (SELECT doc_id, source, text,
+       |          unnest(generate_series(1, len(text) - 39)) AS i
+       |        FROM documents WHERE len(text) >= 40)),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM win GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, source, count(*) AS n_windows,
+       |    sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM win JOIN df USING (h) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS bigint)
+       |    AS docs_with_dup,
+       |  cast(sum(n_shared) AS bigint) AS shared_windows,
+       |  cast(sum(n_windows) AS bigint) AS total_windows,
+       |  cast(sum(n_shared * 10000 // n_windows) // count(*) AS bigint)
+       |    AS mean_shared_bp
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

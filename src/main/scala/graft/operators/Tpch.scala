@@ -1019,4 +1019,56 @@ object Tpch {
       |  cast(sum(CASE WHEN date_sec IS NULL THEN 1 ELSE 0 END) AS bigint),
       |  count(DISTINCT date_sec), min(date_sec), max(date_sec) FROM o
       |ORDER BY 1""".stripMargin
+
+  /** Market-basket affinity (`q_market_basket`) — the top co-purchased part
+    * pairs with support and lift: the classic association-rule readout a
+    * retail analytics engine serves ("customers who bought A also bought
+    * B"). Support = orders containing both parts; lift (in basis points) =
+    * support·N / (cnt_a·cnt_b) — >10000 means the pair co-occurs more than
+    * independence predicts.
+    *
+    * Plan shape: one distinct (order, part) projection feeds BOTH sides of
+    * the pair self-join, so the orderkey exchange is computed once and
+    * reused (ReusedExchange); baskets are bounded (≤7 lines/order in
+    * TPC-H), so the pair explosion is ≤ C(7,2)·\|orders\| — linear in the
+    * fact table, never quadratic in the catalog. Per-part counts join the
+    * \|parts\|-sized dimension aggregate, the one-row order total is a
+    * broadcast, and the global top-20 plans as TakeOrderedAndProject
+    * (distributed partial top-k). All-integer lift — bit-exact oracle. */
+  def marketBasket(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(pc.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("cnt", "cnt_a"), "part_a")
+      .join(pc.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("cnt", "cnt_b"), "part_b")
+      .join(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("support"), col("cnt_a"), col("cnt_b"),
+        expr("support * n_orders * 10000 div (cnt_a * cnt_b)").as("lift_bp"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  val marketBasketOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      |pc AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS support
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+      |  cast(support * n_orders * 10000 // (ca.cnt * cb.cnt) AS bigint) AS lift_bp
+      |FROM pairs
+      |JOIN pc ca ON pairs.part_a = ca.l_partkey
+      |JOIN pc cb ON pairs.part_b = cb.l_partkey, tot
+      |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin
 }

@@ -753,7 +753,49 @@ object StreamOps {
             (pmod(graft.functions.Kernels.hash31(w), lit(nB.toLong)) + 1).cast("int"))),
         lit(0.0), (acc, x) => acc + x), 4).as("score"))
   }
+
+  /** Streaming Markov-transition monitor — the in-flight twin of the batch
+    * `ev_transition_matrix`: per-user state is the LAST event only (type +
+    * epoch-µs — O(1) per user, the streaming form of the batch query's
+    * per-user lag window), and each arriving event emits its (from → to)
+    * edge with the dwell gap immediately (append mode). Downstream a plain
+    * streaming agg keeps the live transition-count/gap-sum matrix; the
+    * parity spec pins per-edge counts AND µs gap sums against the batch
+    * operator across a mid-stream batch split, so state provably carries
+    * last-event context over batch boundaries. Same per-key in-order
+    * assumption as [[scd2Stream]]/[[funnel]]. */
+  def transitionStream(events: Dataset[ChangeEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[ChangeEvent], state: GroupState[LastEvent]) =>
+          // full-µs event time: getTime carries ms, getNanos the fraction
+          def us(e: ChangeEvent): Long =
+            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = us(e)
+            if (s != null)
+              out += Transition(uid, s.event_type, e.event_type, t - s.us)
+            s = LastEvent(e.event_type, t)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }
+
+/** One (from → to) edge with its dwell gap, emitted per arriving event by
+  * [[StreamOps.transitionStream]]. */
+case class Transition(user_id: Long, from_type: String, to_type: String,
+    gap_us: Long)
+
+/** Last-seen event per user — O(1) state for
+  * [[StreamOps.transitionStream]]. */
+private case class LastEvent(event_type: String, us: Long)
 
 /** One smoothed traffic tap, emitted (and re-emitted as its hour
   * accumulates) by [[StreamOps.ewmaStream]]. */

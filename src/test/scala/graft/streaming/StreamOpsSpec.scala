@@ -909,4 +909,39 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming transition twin: per-edge counts and mean gaps match batch ev_transition_matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT from_type, to_type, count(*) AS n,
+          |  sum(gap_us) div count(*) AS mean_gap
+          |FROM trans GROUP BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val batch = graft.operators.Events.transitionMatrix(spark, Sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4)))
+        .toMap
+      assert(streamed == batch,
+        s"transition stream/batch divergence: ${streamed.size} vs ${batch.size} edges")
+      // edge conservation: every event after a user's first emits exactly one edge
+      val nEvents = evs.length
+      val nUsers = evs.map(_.user_id).distinct.length
+      assert(streamed.values.map(_._1).sum == nEvents - nUsers)
+    } finally q.stop()
+  }
 }
