@@ -48,6 +48,7 @@ object SparkEntry {
     "q_integrity_audit" -> ((s, d) => Tpch.qIntegrityAudit(s, d)),
     "q_data_profile" -> ((s, d) => Tpch.qDataProfile(s, d)),
     "q_market_basket" -> ((s, d) => Tpch.marketBasket(s, d)),
+    "q_triangle_count" -> ((s, d) => Joins.triangleCount(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -71,6 +72,8 @@ object SparkEntry {
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
     "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(s, d)),
     "ev_seasonality" -> ((s, d) => Events.seasonality(s, d)),
+    "ev_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
+    "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
     "ev_agg_salted" -> ((s, d) => Events.aggSalted(s, d)),
@@ -184,6 +187,7 @@ object SparkEntry {
     "text_top_phrases" -> ((s, d) => TextAnalysis.topPhrases(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
+    "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -408,6 +412,7 @@ object SparkEntry {
     "q_integrity_audit" -> Tpch.qIntegrityAuditOracle,
     "q_data_profile" -> Tpch.qDataProfileOracle,
     "q_market_basket" -> Tpch.marketBasketOracle,
+    "q_triangle_count" -> Joins.triangleCountOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -484,6 +489,8 @@ object SparkEntry {
     "ev_ab_test" -> Events.abTestOracle,
     "ev_transition_matrix" -> Events.transitionMatrixOracle,
     "ev_seasonality" -> Events.seasonalityOracle,
+    "ev_sliding_counts" -> Events.slidingCountsOracle,
+    "ev_gap_histogram" -> Events.gapHistogramOracle,
     "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,
     "ev_asof_join" -> Joins.asofJoinOracle,
@@ -535,6 +542,7 @@ object SparkEntry {
     "text_top_phrases" -> TextAnalysis.topPhrasesOracle,
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_substr_dup" -> TextAnalysis.substrDupOracle,
+    "text_code_detect" -> TextAnalysis.codeDetectOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,

@@ -1701,6 +1701,77 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Sliding-window traffic counts (`ev_sliding_counts`) — the OVERLAPPING
+    * window shape (1 h window, 15 min slide: every event lands in exactly
+    * 4 windows) a monitoring dashboard reads for smooth trend lines, where
+    * [[windowCounts]] is the tumbling form. Uses Spark's native
+    * `window()` generator — the same epoch-aligned window assignment the
+    * streaming `StreamOps.windowedCounts` runs with a watermark, so batch
+    * and stream agree window-for-window (the slide parity spec pins it).
+    * The ×4 row expansion happens map-side inside the generator and
+    * partial-aggregates before the one (window, type) shuffle; revenue in
+    * exact cents, window starts exported as epoch-µs integers so the
+    * oracle reproduces the assignment arithmetically. */
+  def slidingCounts(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("rev_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("rev_cents"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  val slidingCountsOracle: String =
+    """WITH x AS (
+      |  SELECT epoch_us(ts) AS us, event_type,
+      |    cast(floor(value * 100 + 0.5) AS bigint) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT (us // 900000000 - k) * 900000000 AS window_start_us,
+      |    event_type, cents
+      |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) g)
+      |SELECT window_start_us, event_type, count(*) AS n_events,
+      |  cast(sum(cents) AS bigint) AS rev_cents
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Inter-event gap histogram (`ev_gap_histogram`) — per event type, the
+    * distribution of per-user dwell gaps in OCTAVE (log2-second) buckets:
+    * the traffic-texture companion of [[burstiness]] (which reduces the
+    * distribution to one index) and the calibration input for session-gap
+    * and watermark choices. Bucket = bit-length of (gap seconds + 1) via
+    * `length(bin(x))` — pure integer, identical in both engines (the
+    * `ev_key_skew` trick); output is ≤ \|types\|·~40 rows at any volume.
+    * One user-partitioned lag window + a partial agg. */
+  def gapHistogram(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_us", lag(col("us"), 1).over(byUser))
+      .filter(col("from_us").isNotNull)
+      .select(col("event_type"),
+        expr("(us - from_us) div 1000000").as("gs"))
+      .groupBy(col("event_type"),
+        length(bin(expr("gs + 1"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gs")).as("min_gap_s"), max(col("gs")).as("max_gap_s"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val gapHistogramOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gs
+      |  FROM events)
+      |SELECT event_type, cast(length(bin(gs + 1)) AS bigint) AS bucket,
+      |  count(*) AS n_gaps,
+      |  cast(min(gs) AS bigint) AS min_gap_s,
+      |  cast(max(gs) AS bigint) AS max_gap_s
+      |FROM seq WHERE gs IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** First-order Markov transition model (`ev_transition_matrix`) — the
     * probability layer on top of `ev_user_paths`' raw counts: per
     * (from_type → to_type) edge the transition count, its probability in

@@ -170,4 +170,68 @@ object Joins {
       |SELECT event_id AS p_id, user_id, tsec AS p_tsec, e_id, e_tsec,
       |  e_tsec - tsec AS gap_sec
       |FROM w WHERE kind=0 ORDER BY p_id""".stripMargin
+
+  /** Triangle census of the co-purchase graph (`q_triangle_count`) — the
+    * standard distributed graph-analytics kernel (edge-join-edge wedge
+    * enumeration, the shape GraphX/Pregel systems reduce to): vertices are
+    * parts, an edge joins two parts co-purchased in ≥2 orders (the
+    * support-2 cut drops the random co-occurrence noise that would make
+    * wedge enumeration quadratic), and the census reports vertices, edges,
+    * wedges (open 2-paths), triangles, and the global clustering
+    * coefficient 3·Δ/wedges in basis points — the graph-health number a
+    * recommender pipeline watches.
+    *
+    * Canonical-order trick: every edge is stored once as (lo, hi); wedges
+    * join edges on their LOW endpoint with b < c, so each triangle is
+    * counted exactly once as its (min, mid, max) orientation — no 3× or 6×
+    * overcount to divide away, and the two joins shuffle on single vertex
+    * keys (degree-bounded fan-out, the support cut caps the hot vertex).
+    * All integer; one-row output at any scale. */
+  def triangleCount(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("pa"), col("pb"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.pa") === col("e2.pa") &&
+        col("e1.pb") < col("e2.pb"))
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+    val tri = wedges.join(e, col("b") === col("pa") && col("c") === col("pb"))
+    val nVerts = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .agg(countDistinct(col("v")).as("n_vertices"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = tri.agg(count(lit(1)).as("n_triangles"))
+    nVerts.join(nE).join(nW).join(nT)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("n_triangles * 3 * 10000 div greatest(n_wedges, 1)").as("gcc_bp"))
+  }
+
+  val triangleCountOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |w AS (
+      |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      |  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb),
+      |t AS (SELECT count(*) AS n_triangles
+      |      FROM w JOIN e ON w.b = e.pa AND w.c = e.pb)
+      |SELECT
+      |  (SELECT count(DISTINCT v) FROM
+      |    (SELECT unnest([pa, pb]) AS v FROM e)) AS n_vertices,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(*) FROM w) AS n_wedges,
+      |  n_triangles,
+      |  cast(n_triangles * 3 * 10000 //
+      |    greatest((SELECT count(*) FROM w), 1) AS bigint) AS gcc_bp
+      |FROM t""".stripMargin
 }

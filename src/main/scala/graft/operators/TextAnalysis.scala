@@ -796,4 +796,50 @@ object TextAnalysis {
        |    AS mean_shared_bp
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Code-vs-prose detection (`text_code_detect`) — the corpus-routing
+    * signal a pretraining pipeline computes before sending documents to a
+    * code-specific vs natural-language processing path (StarCoder/RedPajama
+    * style source separation): per doc the density of code-symbol
+    * characters (`{}();=<>[]#`) and digits per mille of characters, a doc
+    * is routed `code` when symbol density exceeds 20‰. Character counts
+    * use `translate` deletion (length minus length-after-removal) —
+    * engine-identical by construction where regex counting would hinge on
+    * two engines' regex dialects; everything integer. Per source: docs,
+    * code-routed docs and share, floor-div mean densities — a pure map +
+    * \|sources\|-row partial agg, one corpus pass. */
+  def codeDetect(spark: SparkSession, d: String): DataFrame = {
+    Tables.documents(spark, d)
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        expr("(length(text) - length(translate(text, '{}();=<>[]#', ''))) " +
+          "* 1000L div length(text)").as("sym_pm"),
+        expr("(length(text) - length(translate(text, '0123456789', ''))) " +
+          "* 1000L div length(text)").as("dig_pm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sym_pm") > 20, 1L).otherwise(0L)).as("n_code"),
+        expr("sum(sym_pm) div count(1)").as("mean_sym_pm"),
+        expr("sum(dig_pm) div count(1)").as("mean_dig_pm"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        expr("n_code * 10000 div n_docs").as("code_bp"),
+        col("mean_sym_pm"), col("mean_dig_pm"))
+      .orderBy(col("source"))
+  }
+
+  val codeDetectOracle: String =
+    """WITH x AS (
+      |  SELECT source,
+      |    (length(text) - length(translate(text, '{}();=<>[]#', '')))
+      |      * 1000 // length(text) AS sym_pm,
+      |    (length(text) - length(translate(text, '0123456789', '')))
+      |      * 1000 // length(text) AS dig_pm
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(CASE WHEN sym_pm > 20 THEN 1 ELSE 0 END) AS bigint) AS n_code,
+      |  cast(sum(CASE WHEN sym_pm > 20 THEN 1 ELSE 0 END) * 10000 // count(*)
+      |    AS bigint) AS code_bp,
+      |  cast(sum(sym_pm) // count(*) AS bigint) AS mean_sym_pm,
+      |  cast(sum(dig_pm) // count(*) AS bigint) AS mean_dig_pm
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 }

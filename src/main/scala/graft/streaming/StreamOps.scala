@@ -27,13 +27,18 @@ private case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   */
 object StreamOps {
 
-  /** Tumbling-window counts per event type with a watermark: late events
-    * beyond `lateness` are dropped and window state is reclaimed. */
+  /** Windowed counts per event type with a watermark: late events beyond
+    * `lateness` are dropped and window state is reclaimed. `slide` defaults
+    * to the window size (tumbling); a smaller slide gives the OVERLAPPING
+    * form — the same native epoch-aligned window generator the batch
+    * `ev_sliding_counts` runs, so batch and stream agree window-for-window
+    * (slide parity spec). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-      lateness: String = "1 hour"): DataFrame =
+      lateness: String = "1 hour", slide: String = null): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      .groupBy(window(col("ts"), window_,
+        if (slide == null) window_ else slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, Pipeline, Similarity, TextAnalysis, Tpch}
+import graft.operators.{Dedup, Events, Joins, Pipeline, Similarity, TextAnalysis, Tpch}
 import org.apache.spark.sql.functions._
 
 /** Round-10 coverage: Markov transition algebra, seasonality-cell
@@ -137,5 +137,53 @@ class Round10Spec extends SparkSpec {
       case _ => true
     })
     assert(sorted.head.getLong(4) == rows.map(_.getLong(2)).sum)
+  }
+
+  test("q_triangle_count: census internally consistent") {
+    val r = Joins.triangleCount(spark, Sf).collect()
+    assert(r.length == 1)
+    val (v, e, w, t, gcc) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4))
+    assert(v >= 2 && e >= 1, "support-2 graph is non-empty at sf0.001")
+    assert(v <= 2 * e, "every vertex touches an edge")
+    assert(t <= w, "a triangle closes a wedge")
+    assert(gcc == 3 * t * 10000 / math.max(w, 1), "gcc recomputes exactly")
+  }
+
+  test("ev_sliding_counts: every event lands in exactly 4 slide-aligned windows") {
+    val rows = Events.slidingCounts(spark, Sf).collect()
+    assert(rows.forall(_.getLong(0) % 900000000L == 0L),
+      "window starts align to the 15-min slide grid")
+    val nEvents = Tables.events(spark, Sf).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents * 4,
+      "1 h window / 15 min slide covers each event exactly 4 times")
+    // tumbling consistency: 4 consecutive slides partition one window span
+    val byType = rows.groupBy(_.getString(1))
+    assert(byType.nonEmpty)
+  }
+
+  test("ev_gap_histogram: gaps conserve events and octave bounds hold") {
+    val rows = Events.gapHistogram(spark, Sf).collect()
+    val nEvents = Tables.events(spark, Sf).count()
+    val nUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers,
+      "every event after a user's first contributes one gap")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(lo <= hi)
+      assert((lo + 1) >= (1L << (b - 1).toInt) && (hi + 1) < (1L << b.toInt),
+        s"bucket $b must contain gs+1 in [2^${b - 1}, 2^$b)")
+    }
+  }
+
+  test("text_code_detect: densities bounded, routing share recomputes") {
+    val rows = TextAnalysis.codeDetect(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "code docs bounded by docs")
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000, "per-mille bound")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000)
+    }
   }
 }

@@ -944,4 +944,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed.values.map(_._1).sum == nEvents - nUsers)
     } finally q.stop()
   }
+
+  test("sliding-window parity: streaming windowedCounts(slide=15m) equals batch ev_sliding_counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.windowedCounts(in.toDF(), "1 hour", "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT unix_micros(window.start), event_type, n_events FROM slide")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Events.slidingCounts(spark, Sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"slide parity: ${streamed.size} stream vs ${batch.size} batch windows")
+      // overlap accounting: each event counted in exactly window/slide = 4 windows
+      assert(batch.values.sum == evs.length * 4L)
+    } finally q.stop()
+  }
 }
