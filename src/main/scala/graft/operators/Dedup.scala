@@ -1359,18 +1359,24 @@ object Dedup {
         expr("n_common * 10000 div (n_a + n_b - n_common)").as("jac_bp"))
       .filter(col("jac_bp") >= 2000)
       .withColumn("bucket", expr("jac_bp div 500"))
-    val hist = pairs.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docsTouched = pairs
+    // ONE pass over the expensive pair set: exploding to endpoints lets a
+    // single aggregate carry both the pair count (2 endpoint rows per
+    // pair) and the distinct-doc count — a second consumer of `pairs`
+    // would re-run the whole inverted-index self-join. The ≤17-row result
+    // is then localCheckpoint-pinned (the deciles-range precedent) so the
+    // cumulative join below cannot re-trigger the pipeline either.
+    val hist = pairs
       .select(col("bucket"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-      .groupBy(col("bucket")).agg(countDistinct(col("doc")).as("n_docs"))
+      .groupBy(col("bucket"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+      .localCheckpoint()
     // cumulative-from-the-top via a broadcast inequality join over the
     // ≤17-row histogram — an unpartitioned running-sum window would funnel
     // through one reducer as a matter of plan shape (the repo-wide lint
     // forbids it even when the input is provably tiny)
     val cum = hist.select(col("bucket").as("b2"), col("n_pairs").as("np2"))
-    hist.join(docsTouched, "bucket")
-      .join(broadcast(cum), col("b2") >= col("bucket"))
+    hist.join(broadcast(cum), col("b2") >= col("bucket"))
       .groupBy(col("bucket"))
       .agg(max(col("n_pairs")).as("n_pairs"), max(col("n_docs")).as("n_docs"),
         sum(col("np2")).as("cum_pairs"))

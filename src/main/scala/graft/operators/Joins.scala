@@ -190,6 +190,10 @@ object Joins {
   def triangleCount(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // localCheckpoint pins ONE materialization of the edge set: four
+    // consumers below (both wedge sides, the closing join, the censuses)
+    // would otherwise each re-run the fact-table self-join that builds it,
+    // and the support-2 cut makes the pinned set dimension-sized
     val e = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
@@ -197,6 +201,7 @@ object Joins {
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .select(col("pa"), col("pb"))
+      .localCheckpoint()
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.pa") === col("e2.pa") &&
         col("e1.pb") < col("e2.pb"))
