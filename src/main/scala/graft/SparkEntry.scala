@@ -49,6 +49,7 @@ object SparkEntry {
     "q_data_profile" -> ((s, d) => Tpch.qDataProfile(s, d)),
     "q_market_basket" -> ((s, d) => Tpch.marketBasket(s, d)),
     "q_triangle_count" -> ((s, d) => Joins.triangleCount(s, d)),
+    "q_pareto_bands" -> ((s, d) => Tpch.paretoBands(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -73,6 +74,8 @@ object SparkEntry {
     "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(s, d)),
     "ev_seasonality" -> ((s, d) => Events.seasonality(s, d)),
     "ev_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
+    "ev_changepoint" -> ((s, d) => Events.changepoint(s, d)),
+    "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
     "q_cdc_merge" -> ((s, d) => Events.cdcMerge(s, d)),
@@ -413,6 +416,7 @@ object SparkEntry {
     "q_data_profile" -> Tpch.qDataProfileOracle,
     "q_market_basket" -> Tpch.marketBasketOracle,
     "q_triangle_count" -> Joins.triangleCountOracle,
+    "q_pareto_bands" -> Tpch.paretoBandsOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -490,6 +494,8 @@ object SparkEntry {
     "ev_transition_matrix" -> Events.transitionMatrixOracle,
     "ev_seasonality" -> Events.seasonalityOracle,
     "ev_sliding_counts" -> Events.slidingCountsOracle,
+    "ev_changepoint" -> Events.changepointOracle,
+    "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
     "ev_key_skew" -> Events.keySkewOracle,
     "q_cdc_merge" -> Events.cdcMergeOracle,

@@ -1701,6 +1701,115 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** CUSUM change-point audit (`ev_changepoint`) — per event type, the
+    * maximum cumulative upward drift of hourly traffic against the
+    * series' own mean rate, and the hour where it peaks: Page's CUSUM
+    * statistic max_t (P_t − min_{j≤t} P_j) over P = prefix sums of
+    * (count − mean), the standard mean-shift detector an operations team
+    * runs over rate series. Each type's trailing OPEN hour is excluded —
+    * a change-point verdict on a partial hour would flap (and the
+    * exclusion is exactly what the streaming twin [[graft.streaming.StreamOps.cusumStream]]
+    * sees, so batch and stream agree on the closed-hour universe).
+    *
+    * Plan shape: the corpus collapses to a \|types\|×\|hours\| hourly
+    * matrix FIRST (partial agg), so the two stacked windows (prefix sum,
+    * then running min) run over series bounded by TIME, never event
+    * volume — a year is 8760 rows per type whatever the TB count. All
+    * integer (floor-div mean), ties on max drift resolve to the earliest
+    * hour via lexicographic [drift, −hour] max in both engines. */
+  def changepoint(spark: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(spark, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val lastH = hourly.groupBy(col("event_type")).agg(max(col("hour")).as("maxh"))
+    val closed = hourly.join(broadcast(lastH), "event_type")
+      .filter(col("hour") < col("maxh"))
+    val stats = closed.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("nh"))
+      .select(col("event_type"), col("nh"), expr("total div nh").as("mean_n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    closed.join(broadcast(stats), "event_type")
+      .withColumn("p", sum(col("n") - col("mean_n")).over(w))
+      .withColumn("runmin", min(col("p")).over(w))
+      .withColumn("drift", col("p") - col("runmin"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nh")).as("n_hours"), max(col("mean_n")).as("mean_per_hour"),
+        max(array(col("drift"), -col("hour"))).as("dm"))
+      .select(col("event_type"), col("n_hours"), col("mean_per_hour"),
+        element_at(col("dm"), 1).as("max_drift"),
+        (-element_at(col("dm"), 2)).as("drift_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val changepointOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |closed AS (
+      |  SELECT h.* FROM hourly h
+      |  JOIN (SELECT event_type, max(hour) AS maxh FROM hourly GROUP BY 1) m
+      |    ON h.event_type = m.event_type AND h.hour < m.maxh),
+      |stats AS (
+      |  SELECT event_type, count(*) AS nh,
+      |    cast(sum(n) // count(*) AS bigint) AS mean_n
+      |  FROM closed GROUP BY 1),
+      |ser AS (
+      |  SELECT closed.event_type, hour, nh, mean_n,
+      |    sum(n - mean_n) OVER (PARTITION BY closed.event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM closed JOIN stats ON closed.event_type = stats.event_type),
+      |dr AS (
+      |  SELECT event_type, hour, nh, mean_n,
+      |    p - min(p) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drift
+      |  FROM ser)
+      |SELECT event_type, cast(max(nh) AS bigint) AS n_hours,
+      |  max(mean_n) AS mean_per_hour,
+      |  cast(max([drift, -hour])[1] AS bigint) AS max_drift,
+      |  cast(-max([drift, -hour])[2] AS bigint) AS drift_hour
+      |FROM dr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Order-to-ship latency (`q_ship_latency`) — fulfilment-cycle SLA per
+    * order priority: integer day gaps between o_orderdate and each line's
+    * l_shipdate, with exact p50/p90 carried as DOUBLED integers (the
+    * `docs_mad_outliers` trick — exact `percentile` of ints interpolates
+    * at most a half, so 2× is always integral) and a floor-div mean. The
+    * orders→lineitem join is the standard fact-fact orderkey shuffle; the
+    * report is \|priorities\| rows. At 100 TB the exact percentile swaps
+    * for the log-linear quantile sketch, same schema. */
+  def shipLatency(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      // dates are TIMESTAMP_NTZ in the testdata; the session tz is pinned
+      // UTC so the instant cast is value-identical (the Tables.events rule)
+      .select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sus"))
+      .join(Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(sus - ous) div 86400000000").as("gap_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(gap_days) div count(1)").as("mean_days"),
+        (percentile(col("gap_days"), lit(0.5)) * 2).cast("long").as("p50_x2"),
+        (percentile(col("gap_days"), lit(0.9)) * 2).cast("long").as("p90_x2"))
+      .orderBy(col("o_orderpriority"))
+
+  val shipLatencyOracle: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+      |      AS gap_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      |  cast(sum(gap_days) // count(*) AS bigint) AS mean_days,
+      |  cast(quantile_cont(gap_days, 0.5) * 2 AS bigint) AS p50_x2,
+      |  cast(quantile_cont(gap_days, 0.9) * 2 AS bigint) AS p90_x2
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sliding-window traffic counts (`ev_sliding_counts`) — the OVERLAPPING
     * window shape (1 h window, 15 min slide: every event lands in exactly
     * 4 windows) a monitoring dashboard reads for smooth trend lines, where

@@ -1055,6 +1055,71 @@ object Tpch {
       .limit(k)
   }
 
+  /** Banded Pareto / ABC analysis (`q_pareto_bands`) — the concentration
+    * report behind "80% of revenue comes from the top suppliers": suppliers
+    * bucket into LOG-LINEAR revenue bands (octave = bit-length of gross
+    * cents, 64 linear sub-buckets per octave — the quantile sketch's
+    * HdrHistogram-style geometry, ≤1.6% relative band width), each band
+    * reporting its supplier count, revenue, cumulative revenue share from
+    * the richest band down, and the ABC class the cumulative share
+    * implies (A ≤ 80%, B ≤ 95%, else C). The EXACT per-supplier ABC cut
+    * needs a global revenue sort; the banded form is its distributed
+    * sketch — band count bounded by the VALUE RANGE (64·octaves rows at
+    * any corpus size), cut points off by at most one band width, no
+    * global sort or unpartitioned window anywhere. Cumulative rides the
+    * broadcast inequality join over the checkpointed band rows (the
+    * `dedup_threshold_curve` shape); all integer. */
+  def paretoBands(spark: SparkSession, d: String): DataFrame = {
+    val bands = Tables.lineitem(spark, d)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("rev"))
+      .withColumn("e", length(bin(col("rev"))))
+      .groupBy(expr("cast(e AS bigint) * 64 + rev * 64 div shiftleft(1L, e - 1) - 64")
+        .as("band"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("rev_cents"))
+      .localCheckpoint()
+    val tot = bands.agg(sum(col("rev_cents")).as("total"))
+    val cum = bands.select(col("band").as("b2"), col("rev_cents").as("rc2"))
+    bands.join(broadcast(cum), col("b2") >= col("band"))
+      .groupBy(col("band"))
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        max(col("rev_cents")).as("rev_cents"),
+        sum(col("rc2")).as("cum_rev"))
+      .join(broadcast(tot))
+      .select(col("band"), col("n_suppliers"), col("rev_cents"),
+        expr("cum_rev * 10000 div total").as("cum_share_bp"))
+      .withColumn("abc_class",
+        when(col("cum_share_bp") <= 8000, "A")
+          .when(col("cum_share_bp") <= 9500, "B")
+          .otherwise("C"))
+      .orderBy(col("band").desc)
+  }
+
+  val paretoBandsOracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(cast(round(l_extendedprice * 100) AS bigint)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |bands AS (
+      |  SELECT cast(length(bin(rev)) * 64
+      |      + rev * 64 // (1::bigint << (length(bin(rev)) - 1)) - 64
+      |      AS bigint) AS band,
+      |    count(*) AS n_suppliers, cast(sum(rev) AS bigint) AS rev_cents
+      |  FROM rev GROUP BY 1),
+      |tot AS (SELECT sum(rev_cents) AS total FROM bands),
+      |cum AS (
+      |  SELECT b.band, max(b.n_suppliers) AS n_suppliers,
+      |    max(b.rev_cents) AS rev_cents, sum(c.rev_cents) AS cum_rev
+      |  FROM bands b JOIN bands c ON c.band >= b.band
+      |  GROUP BY 1)
+      |SELECT band, n_suppliers, rev_cents,
+      |  cast(cum_rev * 10000 // total AS bigint) AS cum_share_bp,
+      |  CASE WHEN cum_rev * 10000 // total <= 8000 THEN 'A'
+      |       WHEN cum_rev * 10000 // total <= 9500 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM cum, tot ORDER BY band DESC""".stripMargin
+
   val marketBasketOracle: String =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),

@@ -759,6 +759,54 @@ object StreamOps {
         lit(0.0), (acc, x) => acc + x), 4).as("score"))
   }
 
+  /** Streaming CUSUM change-point monitor — the in-flight twin of the batch
+    * `ev_changepoint`, in ship-the-model form: the batch run publishes each
+    * type's mean hourly rate (the CUSUM reference k — a \|types\|-sized
+    * model), the stream tracks Page's statistic against it live. Per-type
+    * state is O(1) FOREVER: the open hour's count plus the (prefix sum,
+    * running min, max drift, drift hour, closed hours) tuple — never a
+    * series. An hour closes when a later-hour event of the same type
+    * arrives, so the closed-hour universe is exactly the batch operator's
+    * (which excludes each type's trailing open hour) and the parity spec
+    * pins the final emission equal to the batch row. Emits the refreshed
+    * verdict per batch (update semantics downstream). */
+  def cusumStream(events: Dataset[StreamEvent],
+      refMeans: Map[String, Long]): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[StreamEvent], state: GroupState[CusumState]) =>
+          val ref = refMeans.getOrElse(typ, 0L)
+          var s = state.getOption.orNull
+          def closeHour(): Unit = {
+            val p = s.p + s.cnt - ref
+            val runmin = math.min(s.runmin, p)
+            val drift = p - runmin
+            val (md, dh) =
+              if (drift > s.maxDrift) (drift, s.openHour)
+              else (s.maxDrift, s.driftHour)
+            s = CusumState(s.openHour, 0L, p, runmin, md, dh, s.nClosed + 1)
+          }
+          it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+            val h = e.ts.getTime / 3600000L
+            s match {
+              // maxDrift starts at −1 so the FIRST closed hour claims the
+              // all-zero-drift tie — the batch lexicographic [drift, −hour]
+              // max resolves the same way (earliest hour)
+              case null => s = CusumState(h, 1L, 0L, Long.MaxValue, -1L, -1L, 0L)
+              case st if h == st.openHour => s = st.copy(cnt = st.cnt + 1)
+              case _ =>
+                closeHour()
+                s = s.copy(openHour = h, cnt = 1L)
+            }
+          }
+          state.update(s)
+          Iterator.single(CusumPoint(typ, s.nClosed, s.maxDrift, s.driftHour))
+      }
+  }
+
   /** Streaming Markov-transition monitor — the in-flight twin of the batch
     * `ev_transition_matrix`: per-user state is the LAST event only (type +
     * epoch-µs — O(1) per user, the streaming form of the batch query's
@@ -792,6 +840,16 @@ object StreamOps {
       }
   }
 }
+
+/** CUSUM monitor state per event type — O(1) forever: the open hour plus
+  * the running (prefix sum, min, max drift) triple. */
+private case class CusumState(openHour: Long, cnt: Long, p: Long,
+    runmin: Long, maxDrift: Long, driftHour: Long, nClosed: Long)
+
+/** The refreshed change-point verdict for one type, emitted per batch by
+  * [[StreamOps.cusumStream]]. */
+case class CusumPoint(event_type: String, n_hours: Long, max_drift: Long,
+    drift_hour: Long)
 
 /** One (from → to) edge with its dwell gap, emitted per arriving event by
   * [[StreamOps.transitionStream]]. */

@@ -176,6 +176,53 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ev_changepoint: drift matches a local CUSUM fold over the closed hourly series") {
+    val rows = Events.changepoint(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // local recompute per type from the raw table
+    val hourly = Tables.events(spark, Sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .groupBy(_._1._1)
+      .map { case (t, m) => t -> m.map { case ((_, h), n) => h -> n }.toSeq.sortBy(_._1) }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = hourly(t).dropRight(1) // trailing open hour excluded
+      val mean = series.map(_._2).sum / series.length
+      var p = 0L; var runmin = Long.MaxValue; var best = -1L; var bestH = -1L
+      series.foreach { case (h, n) =>
+        p += n - mean; runmin = math.min(runmin, p)
+        if (p - runmin > best) { best = p - runmin; bestH = h }
+      }
+      assert(r.getLong(1) == series.length && r.getLong(2) == mean)
+      assert(r.getLong(3) == best && r.getLong(4) == bestH,
+        s"$t: drift ${r.getLong(3)}@${r.getLong(4)} vs local $best@$bestH")
+    }
+  }
+
+  test("q_ship_latency: gaps non-negative, percentiles ordered, lines conserved") {
+    val rows = Events.shipLatency(spark, Sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, Sf).count(),
+      "every lineitem lands in exactly one priority row")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0, "ship date never precedes order date")
+      assert(r.getLong(3) <= r.getLong(4), "p50 ≤ p90")
+    }
+  }
+
+  test("q_pareto_bands: shares monotone from the top, classes ordered A→C") {
+    val rows = Tpch.paretoBands(spark, Sf).collect() // ordered band DESC
+    assert(rows.length >= 3, "log-linear banding must resolve the revenue range")
+    assert(rows.last.getLong(3) == 10000, "bottom band carries the full share")
+    assert(rows.sliding(2).forall {
+      case Array(hi, lo) => hi.getLong(3) <= lo.getLong(3)
+      case _ => true
+    }, "cumulative share grows as bands descend")
+    val classes = rows.map(_.getString(4)).distinct
+    assert(classes.sameElements(classes.sorted), "A before B before C")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)

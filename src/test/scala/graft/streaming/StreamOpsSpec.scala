@@ -973,4 +973,41 @@ class StreamOpsSpec extends SparkSpec {
       assert(batch.values.sum == evs.length * 4L)
     } finally q.stop()
   }
+
+  test("streaming CUSUM twin: final drift verdict matches batch ev_changepoint (ship-the-model ref)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch run publishes each type's mean hourly rate — the CUSUM
+    // reference the stream monitors against
+    val batchRows = graft.operators.Events.changepoint(spark, Sf).collect()
+    val refs = batchRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val batch = batchRows
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+      .sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.cusumStream(in.toDS(), refs)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // the LAST emission per type is the live verdict; it must equal the
+      // batch row (same closed-hour universe: the trailing open hour is
+      // excluded on both sides)
+      val streamed = spark.sql(
+        """SELECT event_type, n_hours, max_drift, drift_hour FROM cusum""")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) => t -> {
+          val r = rows.maxBy(_.getLong(1))
+          (r.getLong(1), r.getLong(2), r.getLong(3))
+        } }
+      assert(streamed == batch,
+        s"CUSUM stream/batch divergence: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
