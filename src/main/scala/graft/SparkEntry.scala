@@ -50,6 +50,7 @@ object SparkEntry {
     "q_market_basket" -> ((s, d) => Tpch.marketBasket(s, d)),
     "q_triangle_count" -> ((s, d) => Joins.triangleCount(s, d)),
     "q_pareto_bands" -> ((s, d) => Tpch.paretoBands(s, d)),
+    "q_segment_migration" -> ((s, d) => Tpch.segmentMigration(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -75,6 +76,8 @@ object SparkEntry {
     "ev_seasonality" -> ((s, d) => Events.seasonality(s, d)),
     "ev_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
     "ev_changepoint" -> ((s, d) => Events.changepoint(s, d)),
+    "ev_top_paths" -> ((s, d) => Events.topPaths(s, d)),
+    "ev_transition_entropy" -> ((s, d) => Events.transitionEntropy(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
@@ -191,6 +194,7 @@ object SparkEntry {
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -417,6 +421,7 @@ object SparkEntry {
     "q_market_basket" -> Tpch.marketBasketOracle,
     "q_triangle_count" -> Joins.triangleCountOracle,
     "q_pareto_bands" -> Tpch.paretoBandsOracle,
+    "q_segment_migration" -> Tpch.segmentMigrationOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -495,6 +500,8 @@ object SparkEntry {
     "ev_seasonality" -> Events.seasonalityOracle,
     "ev_sliding_counts" -> Events.slidingCountsOracle,
     "ev_changepoint" -> Events.changepointOracle,
+    "ev_top_paths" -> Events.topPathsOracle,
+    "ev_transition_entropy" -> Events.transitionEntropyOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
     "ev_key_skew" -> Events.keySkewOracle,
@@ -549,6 +556,7 @@ object SparkEntry {
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_substr_dup" -> TextAnalysis.substrDupOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,
+    "text_readability" -> TextAnalysis.readabilityOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,

@@ -1701,6 +1701,114 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Top session paths (`ev_top_paths`) — the 20 most common session
+    * OPENINGS (first ≤5 event types, in order) across gap-sessionized
+    * user activity: the "how do sessions start" report a product team
+    * reads next to the funnel (which fixes ONE path; this surfaces which
+    * paths exist). Sessions are the same gaps-and-islands pass as
+    * [[sessionize]] (lag → flag → running sum, all user-partitioned);
+    * each session's opening is a sort_array over its (µs, event_id, type)
+    * struct rows — deterministic total order, the OHLC tie rule — sliced
+    * to 5 and joined with '>' so the group key is a bounded string
+    * whatever the session length; global top-20 plans as
+    * TakeOrderedAndProject. Per-session rows are bounded by user activity
+    * (the sessionize contract), the path agg by 5·\|types\|⁵. */
+  def topPaths(spark: SparkSession, d: String, gapSec: Long = 1800L,
+      pathLen: Int = 5, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        array_join(slice(transform(col("evs"), e => e.getField("event_type")),
+          1, pathLen), ">").as("path"))
+    sess.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  val topPathsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR
+      |      cast(floor(epoch(ts)) AS bigint)
+      |        - cast(floor(epoch(lag(ts) OVER w)) AS bigint) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM seq),
+      |paths AS (
+      |  SELECT user_id,
+      |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+      |      AS path
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT path, count(*) AS n_sessions,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  /** Next-event entropy (`ev_transition_entropy`) — per from-type, the
+    * Shannon entropy of the next-event distribution beside its maximum
+    * (ln of the branch count): how PREDICTABLE each state is — low
+    * entropy = a dominant next step (funnel-like), near-max = the stream
+    * wanders. Uses H = ln(total) − (Σ n·ln n)/total with each edge's
+    * `ln n` SNAPPED TO MICRO-INTEGERS first (floor-form rounding), so the
+    * Σ is an exact order-independent bigint — a raw float sum would drift
+    * with partial-agg order — and the only remaining floats are one `ln`
+    * per edge of an exact integer (the DSIR round-4 family rule) plus the
+    * final division. Round-6 output over the \|types\|²-row aggregate. */
+  def transitionEntropy(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_branches"),
+        sum(col("n")).as("row_total"),
+        sum(col("n") * floor(log(col("n").cast("double")) * 1e6 + lit(0.5))
+          .cast("long")).as("snln_u"))
+      .select(col("from_type"), col("n_branches"), col("row_total"),
+        round(log(col("row_total").cast("double"))
+          - col("snln_u").cast("double") / 1e6 / col("row_total").cast("double"),
+          6).as("entropy"),
+        round(log(col("n_branches").cast("double")), 6).as("max_entropy"))
+      .orderBy(col("from_type"))
+  }
+
+  val transitionEntropyOracle: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS from_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, count(*) AS n_branches,
+      |  cast(sum(n) AS bigint) AS row_total,
+      |  round(ln(cast(sum(n) AS double))
+      |    - cast(sum(n * cast(floor(ln(cast(n AS double)) * 1e6 + 0.5)
+      |        AS bigint)) AS double)
+      |      / 1e6 / cast(sum(n) AS double), 6) AS entropy,
+      |  round(ln(cast(count(*) AS double)), 6) AS max_entropy
+      |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CUSUM change-point audit (`ev_changepoint`) — per event type, the
     * maximum cumulative upward drift of hourly traffic against the
     * series' own mean rate, and the hour where it peaks: Page's CUSUM

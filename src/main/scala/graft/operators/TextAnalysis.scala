@@ -797,6 +797,68 @@ object TextAnalysis {
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Readability audit (`text_readability`) — per-source Flesch reading
+    * ease in MILLI-POINTS, fully integer: per doc, words per sentence and
+    * syllables per word (per mille, floor-div) feed the scaled Flesch
+    * formula 206835 − 1015·wps − 84600·spw. The syllable proxy is the
+    * VOWEL-GROUP count — runs of `[aeiouy]+` collapsed by regexp_replace
+    * (the `normText` precedent: same pattern semantics in both regex
+    * engines, DuckDB with the 'g' flag) and counted by length
+    * difference — the standard cheap estimator. Sentences count period
+    * characters (+1). One map pass + a \|sources\|-row partial agg; the
+    * quality-score family's reading-level signal beside [[quality]]'s
+    * length/stopword rules. */
+  def readability(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("words"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))
+          + 1).cast("long").as("sentences"),
+        regexp_replace(lower(col("text")), "[aeiouy]+", "V").as("vg"))
+      .select(col("source"), col("words"), col("sentences"),
+        greatest((length(col("vg")) - length(regexp_replace(col("vg"), "V", "")))
+          .cast("long"), lit(1L)).as("syl"))
+      .select(col("source"),
+        expr("words * 1000 div sentences").as("wps_pm"),
+        expr("syl * 1000 div words").as("spw_pm"))
+      .withColumn("flesch_m",
+        expr("206835 - 1015 * wps_pm div 1000 - 84600 * spw_pm div 1000"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(wps_pm) div count(1)").as("mean_wps_pm"),
+        expr("sum(spw_pm) div count(1)").as("mean_spw_pm"),
+        expr("sum(flesch_m) div count(1)").as("mean_flesch_m"))
+      .orderBy(col("source"))
+  }
+
+  val readabilityOracle: String =
+    """WITH x AS (
+      |  SELECT source,
+      |    cast(len(string_split(text, ' ')) AS bigint) AS words,
+      |    cast(length(text) - length(replace(text, '.', '')) + 1 AS bigint)
+      |      AS sentences,
+      |    regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS vg
+      |  FROM documents WHERE length(text) > 0),
+      |y AS (
+      |  SELECT source, words, sentences,
+      |    greatest(cast(length(vg) - length(replace(vg, 'V', '')) AS bigint),
+      |      1) AS syl
+      |  FROM x),
+      |z AS (
+      |  SELECT source, words * 1000 // sentences AS wps_pm,
+      |    syl * 1000 // words AS spw_pm
+      |  FROM y),
+      |f AS (
+      |  SELECT source, wps_pm, spw_pm,
+      |    206835 - 1015 * wps_pm // 1000 - 84600 * spw_pm // 1000 AS flesch_m
+      |  FROM z)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(wps_pm) // count(*) AS bigint) AS mean_wps_pm,
+      |  cast(sum(spw_pm) // count(*) AS bigint) AS mean_spw_pm,
+      |  cast(sum(flesch_m) // count(*) AS bigint) AS mean_flesch_m
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Code-vs-prose detection (`text_code_detect`) — the corpus-routing
     * signal a pretraining pipeline computes before sending documents to a
     * code-specific vs natural-language processing path (StarCoder/RedPajama

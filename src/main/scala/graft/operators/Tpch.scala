@@ -1055,6 +1055,75 @@ object Tpch {
       .limit(k)
   }
 
+  /** Customer segment migration (`q_segment_migration`) — the
+    * cohort-movement matrix a retention team reads: customers segmented
+    * low/mid/high by spend in each HALF of the timeline (split at the
+    * epoch-µs midpoint), the output counts every (first-half segment →
+    * second-half segment) move including `none` (acquired / churned).
+    * Segments are RELATIVE to each half's own mean spend (floor-div, so
+    * the cut is exact integer: <50% of mean = low, <200% = mid, else
+    * high) — SF-independent where absolute thresholds would rot.
+    * Plan: one fact pass → per (customer, half) partial agg, the 2-row
+    * mean model broadcast back, halves pivoted by conditional max (no
+    * pivot shuffle — the `ev_pivot_hour` rule), ≤16-row matrix out. */
+  def segmentMigration(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mid = o.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val spend = o.join(broadcast(mid))
+      .select(col("o_custkey"),
+        when(col("us") <= col("mid_us"), "h1").otherwise("h2").as("half"),
+        col("cents"))
+      .groupBy(col("o_custkey"), col("half"))
+      .agg(sum(col("cents")).as("spend"))
+    val means = spend.groupBy(col("half"))
+      .agg(expr("sum(spend) div count(1)").as("mean_spend"))
+    val seg = spend.join(broadcast(means), "half")
+      .withColumn("ratio_bp", expr("spend * 10000 div mean_spend"))
+      .select(col("o_custkey"), col("half"),
+        when(col("ratio_bp") < 5000, "low")
+          .when(col("ratio_bp") < 20000, "mid")
+          .otherwise("high").as("seg"))
+    seg.groupBy(col("o_custkey"))
+      .agg(coalesce(max(when(col("half") === "h1", col("seg"))), lit("none"))
+        .as("seg_h1"),
+        coalesce(max(when(col("half") === "h2", col("seg"))), lit("none"))
+          .as("seg_h2"))
+      .groupBy(col("seg_h1"), col("seg_h2"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("seg_h1"), col("seg_h2"))
+  }
+
+  val segmentMigrationOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) AS us,
+      |    cast(round(o_totalprice * 100) AS bigint) AS cents
+      |  FROM orders),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM o),
+      |spend AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN us <= mid_us THEN 'h1' ELSE 'h2' END AS half,
+      |    sum(cents) AS spend
+      |  FROM o, mid GROUP BY 1, 2),
+      |means AS (
+      |  SELECT half, sum(spend) // count(*) AS mean_spend
+      |  FROM spend GROUP BY 1),
+      |seg AS (
+      |  SELECT o_custkey, spend.half,
+      |    CASE WHEN spend * 10000 // mean_spend < 5000 THEN 'low'
+      |         WHEN spend * 10000 // mean_spend < 20000 THEN 'mid'
+      |         ELSE 'high' END AS seg
+      |  FROM spend JOIN means ON spend.half = means.half),
+      |wide AS (
+      |  SELECT o_custkey,
+      |    coalesce(max(CASE WHEN half = 'h1' THEN seg END), 'none') AS seg_h1,
+      |    coalesce(max(CASE WHEN half = 'h2' THEN seg END), 'none') AS seg_h2
+      |  FROM seg GROUP BY 1)
+      |SELECT seg_h1, seg_h2, count(*) AS n_customers
+      |FROM wide GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Banded Pareto / ABC analysis (`q_pareto_bands`) — the concentration
     * report behind "80% of revenue comes from the top suppliers": suppliers
     * bucket into LOG-LINEAR revenue bands (octave = bit-length of gross

@@ -223,6 +223,58 @@ class Round10Spec extends SparkSpec {
     assert(classes.sameElements(classes.sorted), "A before B before C")
   }
 
+  test("ev_top_paths: paths bounded to 5 hops, session accounting consistent") {
+    val rows = Events.topPaths(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val hops = r.getString(0).split(">")
+      assert(hops.length >= 1 && hops.length <= 5)
+      assert(hops.forall(Events.EventTypes.contains), "hops from the vocabulary")
+      assert(r.getLong(2) <= r.getLong(1), "users ≤ sessions per path")
+    }
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+      case _ => true
+    }, "(count desc, path asc) order")
+  }
+
+  test("ev_transition_entropy: 0 ≤ H ≤ ln(branches), micro-snap within tolerance") {
+    val rows = Events.transitionEntropy(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, hmax) = (r.getDouble(3), r.getDouble(4))
+      assert(h >= -1e-6, "entropy non-negative")
+      // micro-integer ln snapping perturbs H by < |edges|·1e-6
+      assert(h <= hmax + 1e-4, s"H $h exceeds ln(branches) $hmax")
+    }
+  }
+
+  test("q_segment_migration: matrix partitions customers, halves meaningful") {
+    val rows = Tpch.segmentMigration(spark, Sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nCust = Tables.orders(spark, Sf).select("o_custkey").distinct().count()
+    assert(total == nCust, "every ordering customer lands in exactly one cell")
+    val segs = Set("low", "mid", "high", "none")
+    assert(rows.forall(r => segs(r.getString(0)) && segs(r.getString(1))))
+    assert(!rows.exists(r => r.getString(0) == "none" && r.getString(1) == "none"),
+      "a customer absent from both halves has no orders at all")
+  }
+
+  test("text_readability: rates bounded, Flesch recomputes from its factors") {
+    val rows = TextAnalysis.readability(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wps, spw, f) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(wps >= 1000, "at least one word per sentence (floor per-mille)")
+      assert(spw >= 0 && spw <= 8000, "syllables per word sane")
+      // the per-source mean of per-doc Flesch stays inside the score's
+      // affine hull of the mean rates (floor-div slack per doc < 2 units)
+      val approx = 206835 - 1015 * wps / 1000 - 84600 * spw / 1000
+      assert(math.abs(f - approx) <= 2000, s"flesch $f vs affine $approx")
+    }
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
