@@ -51,6 +51,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s, d) => Joins.triangleCount(s, d)),
     "q_pareto_bands" -> ((s, d) => Tpch.paretoBands(s, d)),
     "q_segment_migration" -> ((s, d) => Tpch.segmentMigration(s, d)),
+    "q_join_card_est" -> ((s, d) => Tpch.joinCardEst(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -78,6 +79,8 @@ object SparkEntry {
     "ev_changepoint" -> ((s, d) => Events.changepoint(s, d)),
     "ev_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "ev_transition_entropy" -> ((s, d) => Events.transitionEntropy(s, d)),
+    "ev_bitmap_distinct" -> ((s, d) => Events.bitmapDistinct(s, d)),
+    "ev_stickiness" -> ((s, d) => Events.stickiness(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
     "ev_key_skew" -> ((s, d) => Events.keySkew(s, d)),
@@ -422,6 +425,7 @@ object SparkEntry {
     "q_triangle_count" -> Joins.triangleCountOracle,
     "q_pareto_bands" -> Tpch.paretoBandsOracle,
     "q_segment_migration" -> Tpch.segmentMigrationOracle,
+    "q_join_card_est" -> Tpch.joinCardEstOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -502,6 +506,8 @@ object SparkEntry {
     "ev_changepoint" -> Events.changepointOracle,
     "ev_top_paths" -> Events.topPathsOracle,
     "ev_transition_entropy" -> Events.transitionEntropyOracle,
+    "ev_bitmap_distinct" -> Events.bitmapDistinctOracle,
+    "ev_stickiness" -> Events.stickinessOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
     "ev_key_skew" -> Events.keySkewOracle,

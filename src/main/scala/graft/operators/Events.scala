@@ -1701,6 +1701,89 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Bitmap-index exact distinct (`ev_bitmap_distinct`) — the
+    * Druid/ClickHouse bitmap technique as an operator: per (day, type),
+    * daily active users counted EXACTLY by OR-ing 62-bit bitmap words
+    * keyed by user_id div 62 (bit = user_id mod 62, shift kept below the
+    * sign bit), then summing popcounts. The shuffle carries \|days\|·
+    * \|types\|·⌈users/62⌉ WORD rows — 62× fewer than the (day, type,
+    * user) rows a countDistinct must move, and `bit_or`/`bit_count` stay
+    * in whole-stage codegen. The exact countDistinct sits beside the
+    * bitmap count in the same row (the sketch-family convention), so the
+    * hash match PROVES the bitmap path lossless. */
+  def bitmapDistinct(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(spark, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"), col("user_id"))
+    val words = base
+      .groupBy(col("day"), col("event_type"),
+        expr("user_id div 62").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 62 AS int)))").as("bits"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(bit_count(col("bits")).cast("long")).as("distinct_bitmap"))
+    val exact = base.groupBy(col("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_exact"))
+    words.join(exact, Seq("day", "event_type"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val bitmapDistinctOracle: String =
+    """WITH base AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, user_id
+      |  FROM events),
+      |words AS (
+      |  SELECT day, event_type, user_id // 62 AS w,
+      |    bit_or(1::bigint << cast(user_id % 62 AS int)) AS bits
+      |  FROM base GROUP BY 1, 2, 3),
+      |bm AS (
+      |  SELECT day, event_type, count(*) AS n_words,
+      |    cast(sum(bit_count(bits)) AS bigint) AS distinct_bitmap
+      |  FROM words GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT day, event_type, count(DISTINCT user_id) AS distinct_exact
+      |  FROM base GROUP BY 1, 2)
+      |SELECT bm.day, bm.event_type, n_words, distinct_bitmap, distinct_exact
+      |FROM bm JOIN ex ON bm.day = ex.day AND bm.event_type = ex.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** DAU/MAU stickiness (`ev_stickiness`) — the engagement ratio a
+    * product dashboard headlines: per 30-day window (arithmetic day
+    * buckets — no engine calendar), monthly active users, summed daily
+    * actives, and stickiness = meanDAU/MAU in basis points computed as
+    * ONE exact integer division (Σdau·10⁴ div (days·MAU)) so no
+    * intermediate mean rounds twice. Two distinct-aggregates whose group
+    * keys are time-bounded; at 100 TB the distincts swap for the bitmap
+    * ([[bitmapDistinct]]) or HLL paths, same report schema. */
+  def stickiness(spark: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(spark, d)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .withColumn("month", expr("day div 30"))
+    val dau = days.select(col("month"), col("day"), col("user_id")).distinct()
+      .groupBy(col("month"))
+      .agg(countDistinct(col("day")).as("n_days"), count(lit(1)).as("dau_sum"))
+    val mau = days.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_days"), col("mau"), col("dau_sum"),
+        expr("dau_sum * 10000 div (n_days * mau)").as("stickiness_bp"))
+      .orderBy(col("month"))
+  }
+
+  val stickinessOracle: String =
+    """WITH days AS (
+      |  SELECT epoch_us(ts) // 86400000000 // 30 AS month,
+      |    epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |dau AS (
+      |  SELECT month, count(DISTINCT day) AS n_days,
+      |    count(*) AS dau_sum
+      |  FROM (SELECT DISTINCT month, day, user_id FROM days) GROUP BY 1),
+      |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM days GROUP BY 1)
+      |SELECT dau.month, n_days, mau, dau_sum,
+      |  cast(dau_sum * 10000 // (n_days * mau) AS bigint) AS stickiness_bp
+      |FROM dau JOIN mau ON dau.month = mau.month ORDER BY 1""".stripMargin
+
   /** Top session paths (`ev_top_paths`) — the 20 most common session
     * OPENINGS (first ≤5 event types, in order) across gap-sessionized
     * user activity: the "how do sessions start" report a product team

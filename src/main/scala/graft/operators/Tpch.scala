@@ -1055,6 +1055,50 @@ object Tpch {
       .limit(k)
   }
 
+  /** Join-cardinality estimation audit (`q_join_card_est`) — the query
+    * planner's join-size problem surfaced as an operator: the EXACT
+    * self-join cardinality of events on user_id (Σ_k a_k² over the
+    * per-key count histogram — computed from the \|keys\|-row aggregate,
+    * never by materializing the join) beside a deterministic 1-in-4
+    * key-sample estimate (md5 key routing, the `docs_split` rule) scaled
+    * ×4, with the signed error in basis points. The number a
+    * cost-based optimizer needs before choosing broadcast vs shuffle vs
+    * salting — and the audit that shows when sampling lies (skewed keys
+    * outside the sample). One corpus pass → per-key counts; everything
+    * after is \|keys\|-row integer arithmetic. */
+  def joinCardEst(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kernels.hash31
+    val keys = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("a"))
+      .withColumn("sampled",
+        (pmod(hash31(concat(lit("card:"), col("user_id").cast("string"))),
+          lit(4L)) === 0).cast("long"))
+    keys.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("a") * col("a")).as("exact_pairs"),
+      (sum(col("a") * col("a") * col("sampled")) * 4).as("est_pairs"),
+      sum(col("sampled")).as("n_sampled"))
+      .select(col("n_keys"), col("n_sampled"), col("exact_pairs"),
+        col("est_pairs"),
+        expr("(est_pairs - exact_pairs) * 10000 div exact_pairs").as("err_bp"))
+  }
+
+  val joinCardEstOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    s"""WITH keys AS (
+      |  SELECT user_id, count(*) AS a,
+      |    CASE WHEN ${sqlHash31("concat('card:', cast(user_id AS varchar))")}
+      |      % 4 = 0 THEN 1 ELSE 0 END AS sampled
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_keys,
+      |  cast(sum(sampled) AS bigint) AS n_sampled,
+      |  cast(sum(a * a) AS bigint) AS exact_pairs,
+      |  cast(sum(a * a * sampled) * 4 AS bigint) AS est_pairs,
+      |  cast((sum(a * a * sampled) * 4 - sum(a * a)) * 10000
+      |    // sum(a * a) AS bigint) AS err_bp
+      |FROM keys""".stripMargin
+  }
+
   /** Customer segment migration (`q_segment_migration`) — the
     * cohort-movement matrix a retention team reads: customers segmented
     * low/mid/high by spend in each HALF of the timeline (split at the

@@ -807,6 +807,19 @@ object StreamOps {
       }
   }
 
+  /** Streaming gap-octave monitor — the in-flight twin of the batch
+    * `ev_gap_histogram`, BY COMPOSITION: [[transitionStream]] already
+    * carries every per-user dwell gap (O(1) last-event state), so the
+    * octave view is a stateless projection on its output — the same
+    * `length(bin(gap_s + 1))` bucketing as the batch SQL; a downstream
+    * streaming agg keeps the live histogram. Parity spec pins per
+    * (type, bucket) counts equal to the batch operator across a
+    * mid-stream split. */
+  def gapOctaveStream(events: Dataset[ChangeEvent]): DataFrame =
+    transitionStream(events).toDF()
+      .select(col("to_type").as("event_type"),
+        length(bin(expr("gap_us div 1000000 + 1"))).cast("long").as("bucket"))
+
   /** Streaming Markov-transition monitor — the in-flight twin of the batch
     * `ev_transition_matrix`: per-user state is the LAST event only (type +
     * epoch-µs — O(1) per user, the streaming form of the batch query's

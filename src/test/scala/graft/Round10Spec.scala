@@ -275,6 +275,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ev_bitmap_distinct: bitmap popcount equals exact distinct in every cell") {
+    val rows = Events.bitmapDistinct(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"bitmap ${r.getLong(3)} vs exact ${r.getLong(4)} — the bitmap path must be lossless")
+      assert(r.getLong(2) <= (r.getLong(4) + 61) / 62 + 1,
+        "word count bounded by ceil(users/62) (+1 for id-range spread)")
+    }
+  }
+
+  test("ev_stickiness: bounds hold — mean DAU never exceeds MAU") {
+    val rows = Events.stickiness(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= 10000, "stickiness ≤ 100%")
+      assert(r.getLong(3) >= r.getLong(2), "Σdau ≥ MAU (each MAU user active ≥1 day)")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 30)
+    }
+  }
+
+  test("q_join_card_est: exact pairs recompute from per-key counts; estimate unbiased-ish") {
+    val r = Tpch.joinCardEst(spark, Sf).collect()(0)
+    val local = Tables.events(spark, Sf).groupBy("user_id").count()
+      .collect().map(x => x.getLong(1) * x.getLong(1)).sum
+    assert(r.getLong(2) == local, "Σa² matches a local recompute")
+    // the tiny sf0.001 key population can legitimately miss the 1/4
+    // sample entirely ((3/4)^15 ≈ 1.3%) — the audit must then REPORT the
+    // miss (est 0, err −100%), not hide it
+    if (r.getLong(1) == 0)
+      assert(r.getLong(3) == 0 && r.getLong(4) == -10000,
+        "an empty sample must surface as a −100% error, never silently")
+    else
+      assert(math.abs(r.getLong(4)) <= 10000,
+        "estimate within ±100% on near-uniform keys")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -1010,4 +1010,29 @@ class StreamOpsSpec extends SparkSpec {
         s"CUSUM stream/batch divergence: $streamed vs $batch")
     } finally q.stop()
   }
+
+  test("streaming gap-octave twin: per-bucket counts match batch ev_gap_histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.gapOctaveStream(in.toDS())
+      .writeStream.format("memory").queryName("gapoct")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, bucket, count(*) FROM gapoct GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Events.gapHistogram(spark, Sf)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"gap-octave stream/batch divergence: ${streamed.size} vs ${batch.size} cells")
+    } finally q.stop()
+  }
 }
