@@ -52,6 +52,8 @@ object SparkEntry {
     "q_pareto_bands" -> ((s, d) => Tpch.paretoBands(s, d)),
     "q_segment_migration" -> ((s, d) => Tpch.segmentMigration(s, d)),
     "q_join_card_est" -> ((s, d) => Tpch.joinCardEst(s, d)),
+    "q_delta_distinct" -> ((s, d) => Tpch.deltaDistinct(s, d)),
+    "q_partition_advisor" -> ((s, d) => Tpch.partitionAdvisor(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -426,6 +428,8 @@ object SparkEntry {
     "q_pareto_bands" -> Tpch.paretoBandsOracle,
     "q_segment_migration" -> Tpch.segmentMigrationOracle,
     "q_join_card_est" -> Tpch.joinCardEstOracle,
+    "q_delta_distinct" -> Tpch.deltaDistinctOracle,
+    "q_partition_advisor" -> Tpch.partitionAdvisorOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,

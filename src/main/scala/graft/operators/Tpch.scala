@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1054,6 +1054,105 @@ object Tpch {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(k)
   }
+
+  /** Incremental DISTINCT-view maintenance (`q_delta_distinct`) — the
+    * third member of the incremental family (agg: `q_incremental_agg`,
+    * join: `q_delta_join`): the distinct (partkey, suppkey) pair view V
+    * maintained by V′ = V ∪ (Δ ∖ V) — the FROZEN historical distinct is
+    * never re-scanned, the delta batch (lines shipped after the epoch-µs
+    * midpoint) is reduced to its own distinct and anti-joined against V,
+    * and only genuinely-new pairs append. The oracle computes the view
+    * DIRECTLY from the full table, so the hash match PROVES the
+    * anti-join increment lossless. Both distincts are ordinary hash
+    * shuffles on the pair key; the anti join co-partitions on the same
+    * key. Output: the maintained view size + append accounting. */
+  def deltaDistinct(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+    val mid = li.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val withHalf = li.join(broadcast(mid))
+    val hist = withHalf.filter(col("us") <= col("mid_us"))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val delta = withHalf.filter(col("us") > col("mid_us"))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val appended = delta.join(hist, Seq("l_partkey", "l_suppkey"), "left_anti")
+    val nHist = hist.agg(count(lit(1)).as("n_hist"))
+    val nDelta = delta.agg(count(lit(1)).as("n_delta"))
+    val nApp = appended.agg(count(lit(1)).as("n_appended"))
+    nHist.join(nDelta).join(nApp)
+      .select(col("n_hist"), col("n_delta"), col("n_appended"),
+        (col("n_hist") + col("n_appended")).as("view_size"))
+  }
+
+  val deltaDistinctOracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, epoch_us(l_shipdate) AS us
+      |  FROM lineitem),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM li),
+      |hist AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM li, mid WHERE us <= mid_us),
+      |delta AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM li, mid WHERE us > mid_us),
+      |app AS (
+      |  SELECT * FROM delta WHERE NOT EXISTS (
+      |    SELECT 1 FROM hist
+      |    WHERE hist.l_partkey = delta.l_partkey
+      |      AND hist.l_suppkey = delta.l_suppkey)),
+      |direct AS (SELECT DISTINCT l_partkey, l_suppkey FROM li)
+      |SELECT (SELECT count(*) FROM hist) AS n_hist,
+      |  (SELECT count(*) FROM delta) AS n_delta,
+      |  (SELECT count(*) FROM app) AS n_appended,
+      |  (SELECT count(*) FROM direct) AS view_size""".stripMargin
+
+  /** Partitioning advisor (`q_partition_advisor`) — the layout decision a
+    * lake engineer makes before writing 100 TB: for each candidate
+    * partition column of `orders` (priority, status, order month), its
+    * cardinality, the largest partition's share in basis points (skew —
+    * a hot partition defeats pruning AND parallelism), and the mean rows
+    * per partition. Too few partitions = no pruning; too many = small
+    * files; skew = stragglers: the three failure modes in one table. One
+    * aggregate per candidate over the same scan, unioned to a
+    * \|candidates\|-row report — candidate set is FIXED, so the report
+    * shape never scales with data. Month derived arithmetically from
+    * epoch-µs (30-day buckets, the `ev_stickiness` rule). */
+  def partitionAdvisor(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000 div 30")
+          .as("omonth"))
+    def audit(colName: String, key: Column): DataFrame =
+      o.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+        .agg(lit(colName).as("candidate"),
+          count(lit(1)).as("n_partitions"),
+          expr("max(n) * 10000 div sum(n)").as("max_share_bp"),
+          expr("sum(n) div count(1)").as("mean_rows"))
+    audit("o_orderpriority", col("o_orderpriority"))
+      .unionAll(audit("o_orderstatus", col("o_orderstatus")))
+      .unionAll(audit("order_month", col("omonth").cast("string")))
+      .orderBy(col("candidate"))
+  }
+
+  val partitionAdvisorOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    epoch_us(o_orderdate) // 86400000000 // 30 AS omonth
+      |  FROM orders),
+      |a1 AS (SELECT o_orderpriority AS k, count(*) AS n FROM o GROUP BY 1),
+      |a2 AS (SELECT o_orderstatus AS k, count(*) AS n FROM o GROUP BY 1),
+      |a3 AS (SELECT cast(omonth AS varchar) AS k, count(*) AS n FROM o GROUP BY 1)
+      |SELECT 'o_orderpriority' AS candidate, count(*) AS n_partitions,
+      |  cast(max(n) * 10000 // sum(n) AS bigint) AS max_share_bp,
+      |  cast(sum(n) // count(*) AS bigint) AS mean_rows FROM a1
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*),
+      |  cast(max(n) * 10000 // sum(n) AS bigint),
+      |  cast(sum(n) // count(*) AS bigint) FROM a2
+      |UNION ALL
+      |SELECT 'order_month', count(*),
+      |  cast(max(n) * 10000 // sum(n) AS bigint),
+      |  cast(sum(n) // count(*) AS bigint) FROM a3
+      |ORDER BY 1""".stripMargin
 
   /** Join-cardinality estimation audit (`q_join_card_est`) — the query
     * planner's join-size problem surfaced as an operator: the EXACT

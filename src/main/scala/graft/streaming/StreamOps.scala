@@ -807,6 +807,34 @@ object StreamOps {
       }
   }
 
+  /** Streaming bitmap exact-distinct (`StreamOps.bitmapDistinctStream`) —
+    * the in-flight twin of batch `ev_bitmap_distinct`: per (day, type)
+    * the state is the word→bits map of the 62-bit user bitmap — bounded
+    * by ⌈users/62⌉ per key, 62× smaller than the user set a naive
+    * streaming countDistinct would hold, and the merge is pure `bit_or`
+    * (idempotent: replayed events cannot double-count, unlike a counter).
+    * Emits the refreshed popcount per batch; the parity spec pins the
+    * final emission per cell equal to the batch operator's exact count
+    * after a split feed. */
+  def bitmapDistinctStream(events: Dataset[StreamEvent]): Dataset[BitmapCell] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.ts.getTime / 86400000L, e.event_type))
+      .flatMapGroupsWithState[Map[Long, Long], BitmapCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), it: Iterator[StreamEvent],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val w = e.user_id / 62
+            m = m.updated(w, m.getOrElse(w, 0L) | (1L << (e.user_id % 62).toInt))
+          }
+          state.update(m)
+          val distinct = m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
+          Iterator.single(BitmapCell(key._1, key._2, m.size.toLong, distinct))
+      }
+  }
+
   /** Streaming gap-octave monitor — the in-flight twin of the batch
     * `ev_gap_histogram`, BY COMPOSITION: [[transitionStream]] already
     * carries every per-user dwell gap (O(1) last-event state), so the
@@ -853,6 +881,11 @@ object StreamOps {
       }
   }
 }
+
+/** One (day, type) cell's refreshed exact-distinct count, emitted per
+  * batch by [[StreamOps.bitmapDistinctStream]]. */
+case class BitmapCell(day: Long, event_type: String, n_words: Long,
+    distinct_users: Long)
 
 /** CUSUM monitor state per event type — O(1) forever: the open hour plus
   * the running (prefix sum, min, max drift) triple. */

@@ -312,6 +312,28 @@ class Round10Spec extends SparkSpec {
         "estimate within ±100% on near-uniform keys")
   }
 
+  test("q_delta_distinct: the incremental view equals the direct distinct") {
+    val r = Tpch.deltaDistinct(spark, Sf).collect()(0)
+    val direct = Tables.lineitem(spark, Sf)
+      .select("l_partkey", "l_suppkey").distinct().count()
+    assert(r.getLong(3) == direct,
+      "hist + appended must reconstruct the direct distinct exactly")
+    assert(r.getLong(2) <= r.getLong(1), "appended ⊆ delta")
+  }
+
+  test("q_partition_advisor: three candidates, shares and means consistent") {
+    val rows = Tpch.partitionAdvisor(spark, Sf).collect()
+    assert(rows.length == 3)
+    val nOrders = Tables.orders(spark, Sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) >= 10000 / r.getLong(1),
+        "the largest partition is at least the uniform share")
+      assert(r.getLong(3) == nOrders / r.getLong(1),
+        "mean rows = total div partitions")
+    }
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -1035,4 +1035,32 @@ class StreamOpsSpec extends SparkSpec {
         s"gap-octave stream/batch divergence: ${streamed.size} vs ${batch.size} cells")
     } finally q.stop()
   }
+
+  test("streaming bitmap-distinct twin: final popcounts equal batch exact distinct per cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.bitmapDistinctStream(in.toDS())
+      .writeStream.format("memory").queryName("bmd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      // idempotence probe: replay the first half — bit_or cannot double-count
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // bitmaps only grow: the cumulative state per cell is the emission
+      // with the largest count
+      val streamed = spark.sql(
+        "SELECT day, event_type, max(distinct_users) FROM bmd GROUP BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Events.bitmapDistinct(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+      assert(streamed == batch,
+        s"bitmap stream/batch divergence: ${streamed.size} vs ${batch.size} cells")
+    } finally q.stop()
+  }
 }
