@@ -82,6 +82,7 @@ object SparkEntry {
     "ev_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     "ev_transition_entropy" -> ((s, d) => Events.transitionEntropy(s, d)),
     "ev_bitmap_distinct" -> ((s, d) => Events.bitmapDistinct(s, d)),
+    "ev_missing_hours" -> ((s, d) => Events.missingHours(s, d)),
     "ev_stickiness" -> ((s, d) => Events.stickiness(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -511,6 +513,7 @@ object SparkEntry {
     "ev_top_paths" -> Events.topPathsOracle,
     "ev_transition_entropy" -> Events.transitionEntropyOracle,
     "ev_bitmap_distinct" -> Events.bitmapDistinctOracle,
+    "ev_missing_hours" -> Events.missingHoursOracle,
     "ev_stickiness" -> Events.stickinessOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
@@ -630,6 +633,7 @@ object SparkEntry {
     "mm_resize" -> Multimodal.resizeOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "mm_shard_plan" -> Multimodal.shardPlanOracle,
+    "mm_phash_dedup" -> Multimodal.phashDedupOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,
   )

@@ -1701,6 +1701,37 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Hourly completeness audit (`ev_missing_hours`) — per event type, the
+    * gap accounting an ingestion monitor publishes: expected hours (the
+    * type's own [min, max] hour span), hours actually present, hours
+    * MISSING (outage / pipeline-stall evidence), and coverage in basis
+    * points. Pure arithmetic on the hourly aggregate — the span is two
+    * integers, so nothing enumerates hours and the report is \|types\|
+    * rows at any volume. */
+  def missingHours(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("present_hours"),
+        (max(col("hour")) - min(col("hour")) + 1).as("expected_hours"))
+      .select(col("event_type"), col("expected_hours"), col("present_hours"),
+        (col("expected_hours") - col("present_hours")).as("missing_hours"),
+        expr("present_hours * 10000 div expected_hours").as("coverage_bp"))
+      .orderBy(col("event_type"))
+
+  val missingHoursOracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hour
+      |  FROM events)
+      |SELECT event_type,
+      |  cast(max(hour) - min(hour) + 1 AS bigint) AS expected_hours,
+      |  count(*) AS present_hours,
+      |  cast(max(hour) - min(hour) + 1 - count(*) AS bigint) AS missing_hours,
+      |  cast(count(*) * 10000 // (max(hour) - min(hour) + 1) AS bigint)
+      |    AS coverage_bp
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bitmap-index exact distinct (`ev_bitmap_distinct`) — the
     * Druid/ClickHouse bitmap technique as an operator: per (day, type),
     * daily active users counted EXACTLY by OR-ing 62-bit bitmap words

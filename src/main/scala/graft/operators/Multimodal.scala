@@ -243,4 +243,72 @@ object Multimodal {
       |  count(*) AS n_items, cast(sum(byte_len) AS bigint) AS bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Perceptual-hash near-dup detection over the media column
+    * (`mm_phash_dedup`) — the image-dedup stage of a multimodal pipeline
+    * (pHash/aHash → banded index → Hamming verify). The DCT step is
+    * stubbed like the rest of [[FakeCodec]]: phash = the payload's 60-bit
+    * md5 digest, with every 3rd document re-entering as a PLANTED
+    * "slightly edited" variant whose phash flips exactly one
+    * content-chosen bit — ground truth with Hamming distance 1. The
+    * INDEX is the real part and is the simhash shape: 4 bands of 15
+    * bits; any pair within Hamming ≤ 3 shares an intact band
+    * (pigeonhole), so candidates come from 4 equi-joins on (band_id,
+    * band) — never an all-pairs scan — and the verify is one codegen'd
+    * `bit_count(xor)`. Emits verified pairs with their distance and the
+    * planted flag, so the report separates recall (planted found —
+    * guaranteed by the band math) from organic collisions. */
+  def phashDedup(spark: SparkSession, d: String, maxHam: Int = 3): DataFrame = {
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("phash"))
+    val planted = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        expr("phash ^ shiftleft(1L, cast(doc_id % 60 AS int))").as("phash"))
+    val corpus = base.unionAll(planted)
+    val bands = corpus.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"), col("phash"), col("b"),
+        expr("(phash div shiftleft(1L, cast(b * 15 AS int))) % 32768").as("bv"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.b") === col("y.b") &&
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("ph_a ^ ph_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .withColumn("planted", (col("doc_b") === col("doc_a") + 5000000L).cast("long"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val phashDedupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    cast(('0x' || substr(md5(text), 1, 15)) AS bigint) AS phash
+      |  FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, phash FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 5000000,
+      |    xor(phash, 1::bigint << cast(doc_id % 60 AS int))
+      |  FROM base WHERE doc_id % 3 = 0),
+      |bands AS (
+      |  SELECT doc_id, phash, b,
+      |    (phash // (1::bigint << cast(b * 15 AS int))) % 32768 AS bv
+      |  FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.phash AS ph_a, y.phash AS ph_b
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming,
+      |  cast(CASE WHEN doc_b = doc_a + 5000000 THEN 1 ELSE 0 END AS bigint)
+      |    AS planted
+      |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -807,6 +807,19 @@ object StreamOps {
       }
   }
 
+  /** Native bounded-state streaming dedup — Spark's
+    * `dropDuplicatesWithinWatermark`: duplicates of an event id arriving
+    * within the watermark delay are dropped, and state for ids older than
+    * the watermark is RECLAIMED — the production form of [[dedupById]]
+    * (whose keep-forever key set grows without bound on an infinite
+    * stream). The reference connector forwards each SSE event id at most
+    * once per reconnect window; this is that guarantee with bounded
+    * state. */
+  def dedupWithinWatermark(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming bitmap exact-distinct (`StreamOps.bitmapDistinctStream`) —
     * the in-flight twin of batch `ev_bitmap_distinct`: per (day, type)
     * the state is the word→bits map of the 62-bit user bitmap — bounded

@@ -334,6 +334,27 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ev_missing_hours: span arithmetic consistent, coverage bounded") {
+    val rows = Events.missingHours(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "present ≤ expected")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(4) <= 10000 && r.getLong(4) > 0)
+    }
+  }
+
+  test("mm_phash_dedup: every planted 1-bit variant is found (band pigeonhole), distances exact") {
+    val rows = graft.operators.Multimodal.phashDedup(spark, Sf).collect()
+    val planted = rows.filter(_.getLong(3) == 1L)
+    val nPlanted = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(planted.length == nPlanted,
+      s"pigeonhole guarantee: all $nPlanted planted variants found, got ${planted.length}")
+    assert(planted.forall(_.getLong(2) == 1L), "planted pairs sit at Hamming 1")
+    assert(rows.forall(_.getLong(2) <= 3L), "verify step enforces the cutoff")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)

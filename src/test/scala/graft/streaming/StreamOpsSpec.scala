@@ -1063,4 +1063,29 @@ class StreamOpsSpec extends SparkSpec {
         s"bitmap stream/batch divergence: ${streamed.size} vs ${batch.size} cells")
     } finally q.stop()
   }
+
+  test("dedupWithinWatermark: in-window duplicates dropped, state-reclaimed re-arrival passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    def ev(id: Long, t: String) =
+      StreamEvent(id, "click", 1.0, java.sql.Timestamp.valueOf(t))
+    val q = StreamOps.dedupWithinWatermark(
+      in.toDF().withColumnRenamed("user_id", "event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // id 1 arrives 3× within 10 min → kept once; id 2 once
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:02:00"),
+        ev(2, "2024-01-01 10:03:00"), ev(1, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // advance the watermark far past the first window, then REUSE id 1:
+      // its dedup state has been reclaimed, so the late reuse is a fresh row
+      in.addData(ev(3, "2024-01-01 12:00:00")); q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 12:01:00")); q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM wmdedup").collect()
+        .map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 1L, 2L, 3L),
+        s"expected one dup drop + one post-reclaim re-admit, got $ids")
+    } finally q.stop()
+  }
 }
