@@ -83,6 +83,7 @@ object SparkEntry {
     "ev_transition_entropy" -> ((s, d) => Events.transitionEntropy(s, d)),
     "ev_bitmap_distinct" -> ((s, d) => Events.bitmapDistinct(s, d)),
     "ev_missing_hours" -> ((s, d) => Events.missingHours(s, d)),
+    "ev_watermark_curve" -> ((s, d) => Events.watermarkCurve(s, d)),
     "ev_stickiness" -> ((s, d) => Events.stickiness(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "ann_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "vec_power_iter" -> ((s, d) => Similarity.powerIter(s, d)),
     "vec_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    "vec_dim_variance" -> ((s, d) => Similarity.dimVariance(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -201,6 +203,7 @@ object SparkEntry {
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
     "text_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
     // §2.6 multimodal columns
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, d)),
@@ -514,6 +517,7 @@ object SparkEntry {
     "ev_transition_entropy" -> Events.transitionEntropyOracle,
     "ev_bitmap_distinct" -> Events.bitmapDistinctOracle,
     "ev_missing_hours" -> Events.missingHoursOracle,
+    "ev_watermark_curve" -> Events.watermarkCurveOracle,
     "ev_stickiness" -> Events.stickinessOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
@@ -570,6 +574,7 @@ object SparkEntry {
     "text_substr_dup" -> TextAnalysis.substrDupOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,
     "text_readability" -> TextAnalysis.readabilityOracle,
+    "text_js_divergence" -> TextAnalysis.jsDivergenceOracle,
     "text_winnowing" -> TextAnalysis.winnowingOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_exact_norm" -> Dedup.exactNormOracle,
@@ -602,6 +607,7 @@ object SparkEntry {
     "ann_sq_recall" -> Similarity.sqRecallOracle,
     "vec_power_iter" -> Similarity.powerIterOracle,
     "vec_silhouette" -> Similarity.silhouetteOracle,
+    "vec_dim_variance" -> Similarity.dimVarianceOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,

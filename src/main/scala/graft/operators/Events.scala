@@ -1701,6 +1701,79 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Watermark data-loss curve (`ev_watermark_curve`) — the sweep behind
+    * choosing a watermark delay: for candidate delays 1 m / 10 m / 1 h /
+    * 6 h, how many events (and what fraction, in basis points) would be
+    * DROPPED because they trail their transport shard's running
+    * event-time max by more than the delay. `ev_lateness` audits the
+    * disorder; `ev_watermark_recommend` picks one number; this publishes
+    * the whole loss-vs-delay trade-off table an operator actually reads
+    * (loss budget ↔ state size). Same planted deterministic slip and
+    * per-shard running max as the lateness audit (ONE window pass — the
+    * four delays are conditional sums over the same lateness column);
+    * \|types\|×4 rows out. */
+  def watermarkCurve(spark: SparkSession, d: String, nShards: Int = 64): DataFrame = {
+    val delays = Seq(60L, 600L, 3600L, 21600L) // seconds
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("event_id"), lit(nShards.toLong)).as("shard"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("us2",
+        when(pmod(col("event_id"), lit(7L)) === 3L,
+          col("us") - (pmod(col("event_id"), lit(13L)) + 1L) * 1800000000L)
+          .otherwise(col("us")))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.withColumn("runmax", max(col("us2")).over(byShard))
+      .select(col("event_type"),
+        greatest(coalesce(col("runmax") - col("us2"), lit(0L)), lit(0L))
+          .as("late_us"))
+    val cols = delays.map(s =>
+      sum(when(col("late_us") > s * 1000000L, 1L).otherwise(0L))
+        .as(s"d$s"))
+    late.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), cols: _*)
+      .select(col("event_type") +: col("n_events") +: delays.flatMap(s => Seq(
+        col(s"d$s").as(s"dropped_${s}s"),
+        expr(s"d$s * 10000 div n_events").as(s"loss_bp_${s}s"))): _*)
+      .orderBy(col("event_type"))
+  }
+
+  val watermarkCurveOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, event_id % 64 AS shard, epoch_us(ts) AS us
+      |  FROM events),
+      |adj AS (
+      |  SELECT event_id, event_type, shard,
+      |    CASE WHEN event_id % 7 = 3
+      |         THEN us - ((event_id % 13) + 1) * 1800000000
+      |         ELSE us END AS us2
+      |  FROM ev),
+      |w AS (
+      |  SELECT event_type,
+      |    greatest(coalesce(max(us2) OVER (PARTITION BY shard ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us2, 0), 0)
+      |      AS late_us
+      |  FROM adj)
+      |SELECT event_type, count(*) AS n_events,
+      |  cast(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS bigint)
+      |    AS dropped_60s,
+      |  cast(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS bigint) AS loss_bp_60s,
+      |  cast(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS bigint)
+      |    AS dropped_600s,
+      |  cast(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS bigint) AS loss_bp_600s,
+      |  cast(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS bigint)
+      |    AS dropped_3600s,
+      |  cast(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS bigint) AS loss_bp_3600s,
+      |  cast(sum(CASE WHEN late_us > 21600000000 THEN 1 ELSE 0 END) AS bigint)
+      |    AS dropped_21600s,
+      |  cast(sum(CASE WHEN late_us > 21600000000 THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS bigint) AS loss_bp_21600s
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hourly completeness audit (`ev_missing_hours`) — per event type, the
     * gap accounting an ingestion monitor publishes: expected hours (the
     * type's own [min, max] hour span), hours actually present, hours

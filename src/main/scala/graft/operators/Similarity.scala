@@ -1364,6 +1364,42 @@ object Similarity {
       |  cast(rayleigh_num AS bigint) AS rayleigh_num, n_vecs
       |FROM ex, ray GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
 
+  /** Per-dimension variance audit (`vec_dim_variance`) — the
+    * dimension-pruning advisor run before storage/index builds: per
+    * embedding dimension, the mean and population variance over
+    * MILLI-quantized components, ALL exact bigint via the moment identity
+    * var = (n·Σx² − (Σx)²)/n² with floor division — no float
+    * accumulation anywhere (the power-iteration exactness move applied to
+    * second moments). A near-zero-variance dimension carries no signal
+    * and is a free 1/dims storage cut; a variance outlier is a rogue
+    * dimension distorting cosine similarity. One explode + \|dims\|-row
+    * partial agg. */
+  def dimVariance(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(posexplode(transform(vecDouble(col("embedding")),
+        v => floor(v * 1000 + lit(0.5)))).as(Seq("dim", "m")))
+      .select(col("dim").cast("long").as("dim"), col("m").cast("long").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("s2"))
+      .select(col("dim"),
+        expr("s div n").as("mean_milli"),
+        expr("(n * s2 - s * s) div (n * n)").as("var_milli2"))
+      .orderBy(col("dim"))
+
+  val dimVarianceOracle: String =
+    """WITH comp AS (
+      |  SELECT j - 1 AS dim, cast(floor(e[j] * 1000 + 0.5) AS bigint) AS m
+      |  FROM (SELECT e, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings))),
+      |agg AS (
+      |  SELECT dim, count(*) AS n, sum(m) AS s, sum(m * m) AS s2
+      |  FROM comp GROUP BY 1)
+      |SELECT cast(dim AS bigint) AS dim,
+      |  cast(s // n AS bigint) AS mean_milli,
+      |  cast((n * s2 - s * s) // (n * n) AS bigint) AS var_milli2
+      |FROM agg ORDER BY 1""".stripMargin
+
   /** Simplified-silhouette clustering quality (`vec_silhouette`) — per
     * label the centroid-based silhouette score (Hruschka et al.'s
     * simplified silhouette: distances to CENTROIDS, not all pairs — the

@@ -797,6 +797,83 @@ object TextAnalysis {
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Pairwise source divergence (`text_js_divergence`) — the
+    * Jensen–Shannon divergence between every pair of sources' hashed
+    * 64-bucket unigram distributions: the corpus-similarity matrix a
+    * mixing pipeline consults before reweighting (near-duplicate sources
+    * → merge; outlier sources → inspect). JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M),
+    * M the midpoint — symmetric, bounded by ln 2, defined even where one
+    * side has zero mass.
+    *
+    * Exactness: each bucket's log-ratio ln(2·c_s·n_t / (c_s·n_t + c_t·n_s))
+    * is a log of EXACT INTEGERS, snapped to micro-nats (floor-form), so
+    * the per-pair Σ c_s·li is an order-independent bigint
+    * (`ev_transition_entropy`'s rule); the two directed sums combine in
+    * one fixed-order float finish (round 6). Models are \|sources\|×64
+    * rows; the directed-pair expansion is (\|sources\|²−\|sources\|)×64 —
+    * model-sized, never corpus-sized. */
+  def jsDivergence(spark: SparkSession, d: String, nBuckets: Int = 64): DataFrame = {
+    import graft.functions.Kernels.hash31
+    val m = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"), pmod(hash31(col("w")), lit(nBuckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val n = m.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val left = m.join(n, "source")
+      .select(col("source").as("sa"), col("b"), col("c").as("ca"), col("n").as("na"))
+    val pairs = n.select(col("source").as("sa"), col("n").as("na2"))
+      .join(n.select(col("source").as("sb"), col("n").as("nb")),
+        col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"), col("nb"))
+    val right = m.select(col("source").as("sb"), col("b"), col("c").as("cb"))
+    val directed = left.join(broadcast(pairs), "sa")
+      .join(right, Seq("sb", "b"), "left")
+      .na.fill(0L, Seq("cb"))
+      .withColumn("li",
+        floor((log(col("ca") * col("nb") * 2) - log(col("ca") * col("nb")
+          + col("cb") * col("na"))) * 1e6 + lit(0.5)).cast("long"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(col("ca") * col("li")).as("dsum"), max(col("na")).as("na"))
+    directed.as("f")
+      .join(directed.as("r"),
+        col("f.sa") === col("r.sb") && col("f.sb") === col("r.sa") &&
+          col("f.sa") < col("f.sb"))
+      .select(col("f.sa").as("source_a"), col("f.sb").as("source_b"),
+        round(col("f.dsum").cast("double") / 2e6 / col("f.na").cast("double")
+          + col("r.dsum").cast("double") / 2e6 / col("r.na").cast("double"), 6)
+          .as("js_nats"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val jsDivergenceOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |m AS (
+       |  SELECT source, ${sqlHash31("w")} % 64 AS b, count(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |n AS (SELECT source, sum(c) AS n FROM m GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb, b.n AS nb
+       |  FROM n a JOIN n b ON a.source <> b.source),
+       |directed AS (
+       |  SELECT l.source AS sa, p.sb,
+       |    sum(l.c * cast(floor((ln(cast(l.c * p.nb * 2 AS double))
+       |      - ln(cast(l.c * p.nb + coalesce(r.c, 0) * ln1.n AS double)))
+       |      * 1e6 + 0.5) AS bigint)) AS dsum,
+       |    max(ln1.n) AS na
+       |  FROM m l
+       |  JOIN n ln1 ON l.source = ln1.source
+       |  JOIN pairs p ON l.source = p.sa
+       |  LEFT JOIN m r ON r.source = p.sb AND r.b = l.b
+       |  GROUP BY 1, 2)
+       |SELECT f.sa AS source_a, f.sb AS source_b,
+       |  round(cast(f.dsum AS double) / 2e6 / cast(f.na AS double)
+       |    + cast(r.dsum AS double) / 2e6 / cast(r.na AS double), 6) AS js_nats
+       |FROM directed f JOIN directed r ON f.sa = r.sb AND f.sb = r.sa
+       |WHERE f.sa < f.sb ORDER BY 1, 2""".stripMargin
+  }
+
   /** Readability audit (`text_readability`) — per-source Flesch reading
     * ease in MILLI-POINTS, fully integer: per doc, words per sentence and
     * syllables per word (per mille, floor-div) feed the scaled Flesch

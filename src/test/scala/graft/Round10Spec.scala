@@ -355,6 +355,53 @@ class Round10Spec extends SparkSpec {
     assert(rows.forall(_.getLong(2) <= 3L), "verify step enforces the cutoff")
   }
 
+  test("ev_watermark_curve: loss is monotone non-increasing in the delay") {
+    // sf0.001 spreads 1000 events over 64 shards so thinly that nothing
+    // trails its shard's running max — run the invariant probe at 4
+    // shards, where the planted slip measurably defeats a 60 s delay
+    val rows = Events.watermarkCurve(spark, Sf, nShards = 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val drops = Seq(r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(8))
+      assert(drops.sliding(2).forall { case Seq(a, b) => a >= b },
+        s"a longer delay can only drop fewer events: $drops")
+      assert(drops.head <= r.getLong(1))
+    }
+    // planted slips are ≥30 min behind, so a 1-minute delay must lose some
+    assert(rows.map(_.getLong(2)).sum > 0, "the planted slip defeats a 60 s delay")
+    assert(rows.map(_.getLong(2)).sum >= rows.map(_.getLong(8)).sum,
+      "the curve orders short before long delays")
+  }
+
+  test("text_js_divergence: symmetric pairs, bounded by ln 2, self-similarity ~0") {
+    val rows = TextAnalysis.jsDivergence(spark, Sf).collect()
+    val nSources = Tables.documents(spark, Sf).select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= -1e-4 && js <= math.log(2) + 1e-4,
+        s"JS in [0, ln 2]: $js for ${r.getString(0)}↔${r.getString(1)}")
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+    }
+  }
+
+  test("vec_dim_variance: moment identity matches a local recompute per dimension") {
+    val rows = Similarity.dimVariance(spark, Sf).collect()
+    assert(rows.length == 64)
+    val local = Tables.embeddings(spark, Sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v * 1000 + 0.5).toLong))
+    rows.take(8).foreach { r =>
+      val d = r.getLong(0).toInt
+      val xs = local.map(_(d))
+      val (n, s, s2) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      assert(r.getLong(1) == Math.floorDiv(s, n) ||
+        r.getLong(1) == s / n, "mean matches")
+      assert(r.getLong(2) == (n * s2 - s * s) / (n * n), "variance matches")
+    }
+    assert(rows.forall(_.getLong(2) >= 0), "population variance non-negative")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
