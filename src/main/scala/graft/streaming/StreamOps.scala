@@ -861,6 +861,24 @@ object StreamOps {
       .select(col("to_type").as("event_type"),
         length(bin(expr("gap_us div 1000000 + 1"))).cast("long").as("bucket"))
 
+  /** The transition monitor on Spark 4's `transformWithState` API — the
+    * SAME semantics as [[transitionStream]] (O(1) last-event state per
+    * user, one edge emitted per arriving event) expressed as a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with a typed
+    * `ValueState`: the modern stateful-processing surface (RocksDB state
+    * store, state TTL, timers, state-variable evolution) the fMGWS API
+    * predates. Kept beside the fMGWS form deliberately — the parity spec
+    * pins both to the batch operator, proving the engine-level migration
+    * path leaves results bit-identical. Requires the RocksDB state-store
+    * provider (TWS rejects the default HDFS-backed store). */
+  def transitionStreamTws(events: Dataset[ChangeEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming Markov-transition monitor — the in-flight twin of the batch
     * `ev_transition_matrix`: per-user state is the LAST event only (type +
     * epoch-µs — O(1) per user, the streaming form of the batch query's
@@ -914,6 +932,34 @@ case class CusumPoint(event_type: String, n_hours: Long, max_drift: Long,
   * [[StreamOps.transitionStream]]. */
 case class Transition(user_id: Long, from_type: String, to_type: String,
     gap_us: Long)
+
+/** [[StreamOps.transitionStreamTws]]'s typed processor: per-user
+  * `ValueState[LastEvent]` on the new stateful API. */
+class TransitionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, Transition] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  @transient private var last: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    last = getHandle.getValueState[LastEvent]("last",
+      org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
+      timers: TimerValues): Iterator[Transition] = {
+    def us(e: ChangeEvent): Long =
+      e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+    var s = if (last.exists()) last.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = us(e)
+      if (s != null) out += Transition(uid, s.event_type, e.event_type, t - s.us)
+      s = LastEvent(e.event_type, t)
+    }
+    last.update(s)
+    out.iterator
+  }
+}
 
 /** Last-seen event per user — O(1) state for
   * [[StreamOps.transitionStream]]. */

@@ -1064,6 +1064,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState transition twin: bit-identical to the batch matrix on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS requires the RocksDB state-store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.transitionStreamTws(in.toDS())
+      .writeStream.format("memory").queryName("twstrans")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT from_type, to_type, count(*) AS n,
+          |  sum(gap_us) div count(*) AS mean_gap
+          |FROM twstrans GROUP BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val batch = graft.operators.Events.transitionMatrix(spark, Sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4)))
+        .toMap
+      assert(streamed == batch,
+        s"TWS transition stream/batch divergence: ${streamed.size} vs ${batch.size} edges")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("dedupWithinWatermark: in-window duplicates dropped, state-reclaimed re-arrival passes") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
