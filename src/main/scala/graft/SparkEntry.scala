@@ -54,6 +54,7 @@ object SparkEntry {
     "q_join_card_est" -> ((s, d) => Tpch.joinCardEst(s, d)),
     "q_delta_distinct" -> ((s, d) => Tpch.deltaDistinct(s, d)),
     "q_partition_advisor" -> ((s, d) => Tpch.partitionAdvisor(s, d)),
+    "q_broadcast_audit" -> ((s, d) => Tpch.broadcastAudit(s, d)),
     "q_file_skipping" -> ((s, d) => Bucketing.fileSkipping(s, d)),
     // §2.1 SSE / event-stream surface (batch form)
     "sse_parse" -> ((s, d) => Events.sseParse(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "ev_bitmap_distinct" -> ((s, d) => Events.bitmapDistinct(s, d)),
     "ev_missing_hours" -> ((s, d) => Events.missingHours(s, d)),
     "ev_watermark_curve" -> ((s, d) => Events.watermarkCurve(s, d)),
+    "ev_user_lifetime" -> ((s, d) => Events.userLifetime(s, d)),
     "ev_stickiness" -> ((s, d) => Events.stickiness(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
@@ -158,6 +160,7 @@ object SparkEntry {
     "vec_power_iter" -> ((s, d) => Similarity.powerIter(s, d)),
     "vec_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "vec_dim_variance" -> ((s, d) => Similarity.dimVariance(s, d)),
+    "vec_ivf_balance" -> ((s, d) => Similarity.ivfBalance(s, d)),
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
@@ -435,6 +438,7 @@ object SparkEntry {
     "q_join_card_est" -> Tpch.joinCardEstOracle,
     "q_delta_distinct" -> Tpch.deltaDistinctOracle,
     "q_partition_advisor" -> Tpch.partitionAdvisorOracle,
+    "q_broadcast_audit" -> Tpch.broadcastAuditOracle,
     "q_file_skipping" -> Bucketing.fileSkippingOracle,
     "ev_agg_salted" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value,
@@ -518,6 +522,7 @@ object SparkEntry {
     "ev_bitmap_distinct" -> Events.bitmapDistinctOracle,
     "ev_missing_hours" -> Events.missingHoursOracle,
     "ev_watermark_curve" -> Events.watermarkCurveOracle,
+    "ev_user_lifetime" -> Events.userLifetimeOracle,
     "ev_stickiness" -> Events.stickinessOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,
@@ -608,6 +613,7 @@ object SparkEntry {
     "vec_power_iter" -> Similarity.powerIterOracle,
     "vec_silhouette" -> Similarity.silhouetteOracle,
     "vec_dim_variance" -> Similarity.dimVarianceOracle,
+    "vec_ivf_balance" -> Similarity.ivfBalanceOracle,
     "docs_sample_stratified" -> Pipeline.sampleStratifiedOracle,
     "docs_filter_clean" -> Pipeline.filterCleanOracle,
     "dedup_prefix" -> Pipeline.prefixDupsOracle,

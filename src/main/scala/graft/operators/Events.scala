@@ -1701,6 +1701,55 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** User-lifetime histogram (`ev_user_lifetime`) — the tenure
+    * distribution a growth dashboard reads: per user the span in days
+    * between first and last event, bucketed into log2 octaves of
+    * (span_days + 1), each bucket with its user count, share (bp), mean
+    * active days (distinct days with activity — tenure ≠ activity) and
+    * mean events, all floor-div integers. One per-user aggregate (three
+    * min/max/count columns + a distinct-day count) then an \|octaves\|-row
+    * partial agg; the `ev_gap_histogram` bucketing rule at user
+    * granularity. */
+  def userLifetime(spark: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(spark, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("span_days"),
+        countDistinct(col("day")).as("active_days"),
+        count(lit(1)).as("n_events"))
+    val buckets = perUser
+      .groupBy(length(bin(col("span_days") + 1)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(active_days) div count(1)").as("mean_active_days"),
+        expr("sum(n_events) div count(1)").as("mean_events"))
+    val tot = buckets.agg(sum(col("n_users")).as("total"))
+    buckets.join(broadcast(tot))
+      .select(col("bucket"), col("n_users"),
+        expr("n_users * 10000 div total").as("share_bp"),
+        col("mean_active_days"), col("mean_events"))
+      .orderBy(col("bucket"))
+  }
+
+  val userLifetimeOracle: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts) // 86400000000) - min(epoch_us(ts) // 86400000000)
+      |      AS span_days,
+      |    count(DISTINCT epoch_us(ts) // 86400000000) AS active_days,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT cast(length(bin(span_days + 1)) AS bigint) AS bucket,
+      |    count(*) AS n_users,
+      |    cast(sum(active_days) // count(*) AS bigint) AS mean_active_days,
+      |    cast(sum(n_events) // count(*) AS bigint) AS mean_events
+      |  FROM pu GROUP BY 1),
+      |tot AS (SELECT sum(n_users) AS total FROM b)
+      |SELECT bucket, n_users,
+      |  cast(n_users * 10000 // total AS bigint) AS share_bp,
+      |  mean_active_days, mean_events
+      |FROM b, tot ORDER BY bucket""".stripMargin
+
   /** Watermark data-loss curve (`ev_watermark_curve`) — the sweep behind
     * choosing a watermark delay: for candidate delays 1 m / 10 m / 1 h /
     * 6 h, how many events (and what fraction, in basis points) would be

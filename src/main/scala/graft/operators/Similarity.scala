@@ -1364,6 +1364,59 @@ object Similarity {
       |  cast(rayleigh_num AS bigint) AS rayleigh_num, n_vecs
       |FROM ex, ray GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
 
+  /** IVF cell-balance audit (`vec_ivf_balance`) — the "should I re-train
+    * the coarse quantizer" report: per IVF cell its member count, share
+    * in basis points, and the global imbalance factor max/mean (in bp)
+    * repeated on every row for one-glance reading. A skewed cell defeats
+    * the \|corpus\|/nCells candidate bound the IVF index exists for —
+    * probes hitting the hot cell scan far more than their share, the
+    * ANN-side twin of `ev_key_skew`'s join argument. Assignment is the
+    * usual map-side `graft_nearest_cell` argmax (zero corpus-side
+    * exchange); the audit itself is a \|cells\|-row aggregate + one-row
+    * broadcast back. */
+  def ivfBalance(spark: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+    val cells = ivfAssignments(spark, d, nCells)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val tot = cells.agg(sum(col("n_members")).as("total"),
+      max(col("n_members")).as("max_members"), count(lit(1)).as("n_cells"))
+    cells.join(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        expr("n_members * 10000 div total").as("share_bp"),
+        expr("max_members * n_cells * 10000 div total").as("imbalance_bp"))
+      .orderBy(col("cell"))
+  }
+
+  val ivfBalanceOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT vec_id % 16 AS cell, j, round(avg(e2[j]), 6) AS c
+      |  FROM (SELECT vec_id, e AS e2, unnest(generate_series(1, len(e))) AS j
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+      |  GROUP BY 1, 2),
+      |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |dots AS (
+      |  SELECT comp.vec_id, cents.cell, sum(val * c) AS dot
+      |  FROM comp JOIN cents ON comp.j = cents.j
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+      |    FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |cells AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY 1),
+      |tot AS (SELECT sum(n_members) AS total, max(n_members) AS max_members,
+      |        count(*) AS n_cells FROM cells)
+      |SELECT cell, n_members,
+      |  cast(n_members * 10000 // total AS bigint) AS share_bp,
+      |  cast(max_members * n_cells * 10000 // total AS bigint) AS imbalance_bp
+      |FROM cells, tot ORDER BY cell""".stripMargin
+
   /** Per-dimension variance audit (`vec_dim_variance`) — the
     * dimension-pruning advisor run before storage/index builds: per
     * embedding dimension, the mean and population variance over

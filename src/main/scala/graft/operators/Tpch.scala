@@ -1055,6 +1055,70 @@ object Tpch {
       .limit(k)
   }
 
+  /** Broadcastability audit (`q_broadcast_audit`) — the planner-adjacent
+    * report behind every `broadcast()` hint this library places: for each
+    * dimension table, its row count, estimated in-memory bytes (string
+    * bytes + 8 per numeric column — the flat-row estimate), and whether
+    * it clears Spark's default 10 MiB autoBroadcastJoinThreshold. The
+    * operational question at 100 TB is WHICH side of each join stays a
+    * broadcast as dimensions grow — this is the table that answers it
+    * before a plan silently flips to sort-merge. One aggregate per
+    * FIXED table, unioned to a 5-row report. */
+  def broadcastAudit(spark: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame, strCols: Seq[String],
+        numCols: Int): DataFrame = {
+      val strBytes = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      df.agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
+        (strBytes + count(lit(1)) * (8L * numCols)).as("est_bytes"))
+        .select(col("table_name"), col("n_rows"), col("est_bytes"),
+          (col("est_bytes") <= 10L * 1024 * 1024).cast("long").as("broadcastable"))
+    }
+    audit("region", Tables.region(spark, d), Seq("r_name"), 1)
+      .unionAll(audit("nation", Tables.nation(spark, d), Seq("n_name"), 2))
+      .unionAll(audit("supplier", Tables.supplier(spark, d), Seq("s_name"), 3))
+      .unionAll(audit("customer", Tables.customer(spark, d),
+        Seq("c_name", "c_mktsegment"), 3))
+      .unionAll(audit("part", Tables.part(spark, d),
+        Seq("p_name", "p_brand", "p_type"), 3))
+      .orderBy(col("table_name"))
+  }
+
+  val broadcastAuditOracle: String =
+    """SELECT * FROM (
+      |SELECT 'region' AS table_name, count(*) AS n_rows,
+      |  cast(sum(length(r_name)) + count(*) * 8 AS bigint) AS est_bytes,
+      |  cast(CASE WHEN sum(length(r_name)) + count(*) * 8 <= 10485760
+      |    THEN 1 ELSE 0 END AS bigint) AS broadcastable
+      |FROM region
+      |UNION ALL
+      |SELECT 'nation', count(*),
+      |  cast(sum(length(n_name)) + count(*) * 16 AS bigint),
+      |  cast(CASE WHEN sum(length(n_name)) + count(*) * 16 <= 10485760
+      |    THEN 1 ELSE 0 END AS bigint)
+      |FROM nation
+      |UNION ALL
+      |SELECT 'supplier', count(*),
+      |  cast(sum(length(s_name)) + count(*) * 24 AS bigint),
+      |  cast(CASE WHEN sum(length(s_name)) + count(*) * 24 <= 10485760
+      |    THEN 1 ELSE 0 END AS bigint)
+      |FROM supplier
+      |UNION ALL
+      |SELECT 'customer', count(*),
+      |  cast(sum(length(c_name) + length(c_mktsegment)) + count(*) * 24
+      |    AS bigint),
+      |  cast(CASE WHEN sum(length(c_name) + length(c_mktsegment))
+      |    + count(*) * 24 <= 10485760 THEN 1 ELSE 0 END AS bigint)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'part', count(*),
+      |  cast(sum(length(p_name) + length(p_brand) + length(p_type))
+      |    + count(*) * 24 AS bigint),
+      |  cast(CASE WHEN sum(length(p_name) + length(p_brand) + length(p_type))
+      |    + count(*) * 24 <= 10485760 THEN 1 ELSE 0 END AS bigint)
+      |FROM part
+      |) ORDER BY table_name""".stripMargin
+
   /** Incremental DISTINCT-view maintenance (`q_delta_distinct`) — the
     * third member of the incremental family (agg: `q_incremental_agg`,
     * join: `q_delta_join`): the distinct (partkey, suppkey) pair view V

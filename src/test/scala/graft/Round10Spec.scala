@@ -402,6 +402,39 @@ class Round10Spec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 0), "population variance non-negative")
   }
 
+  test("ev_user_lifetime: buckets partition users, activity bounded by tenure") {
+    val rows = Events.userLifetime(spark, Sf).collect()
+    val nUsers = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers, "every user in exactly one bucket")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1, "an observed user is active at least one day")
+      assert(r.getLong(4) >= r.getLong(3), "events ≥ active days")
+    }
+  }
+
+  test("q_broadcast_audit: all five dims broadcastable at sf0.001, bytes consistent") {
+    val rows = Tpch.broadcastAudit(spark, Sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      Array("customer", "nation", "part", "region", "supplier")))
+    rows.foreach { r =>
+      assert(r.getLong(2) > r.getLong(1) * 8, "estimate exceeds the numeric floor")
+      assert(r.getLong(3) == (if (r.getLong(2) <= 10L * 1024 * 1024) 1L else 0L))
+    }
+    assert(rows.forall(_.getLong(3) == 1L), "every dim clears 10 MiB at sf0.001")
+  }
+
+  test("vec_ivf_balance: shares partition the corpus, imbalance ≥ uniform") {
+    val rows = Similarity.ivfBalance(spark, Sf).collect()
+    val nVecs = Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "members partition the corpus")
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - rows.length)
+    val imb = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) == imb), "imbalance is a global constant")
+    assert(imb >= 10000 - rows.length, "max/mean ≥ 1 up to floor slack")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
