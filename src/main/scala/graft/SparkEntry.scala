@@ -86,6 +86,7 @@ object SparkEntry {
     "ev_missing_hours" -> ((s, d) => Events.missingHours(s, d)),
     "ev_watermark_curve" -> ((s, d) => Events.watermarkCurve(s, d)),
     "ev_user_lifetime" -> ((s, d) => Events.userLifetime(s, d)),
+    "ev_profile_drift" -> ((s, d) => Events.profileDrift(s, d)),
     "ev_stickiness" -> ((s, d) => Events.stickiness(s, d)),
     "q_ship_latency" -> ((s, d) => Events.shipLatency(s, d)),
     "ev_gap_histogram" -> ((s, d) => Events.gapHistogram(s, d)),
@@ -523,6 +524,7 @@ object SparkEntry {
     "ev_missing_hours" -> Events.missingHoursOracle,
     "ev_watermark_curve" -> Events.watermarkCurveOracle,
     "ev_user_lifetime" -> Events.userLifetimeOracle,
+    "ev_profile_drift" -> Events.profileDriftOracle,
     "ev_stickiness" -> Events.stickinessOracle,
     "q_ship_latency" -> Events.shipLatencyOracle,
     "ev_gap_histogram" -> Events.gapHistogramOracle,

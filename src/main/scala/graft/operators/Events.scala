@@ -1701,6 +1701,51 @@ object Events {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Traffic-profile drift (`ev_profile_drift`) — the seasonality matrix
+    * compared across the two halves of the timeline (epoch-µs midpoint
+    * split): per (dow, hour) cell each half's event count and
+    * traffic share, plus the share delta in basis points — the
+    * traffic-MIX shift detector an on-call engineer reads when volume
+    * alone looks normal but its shape moved ([[seasonality]] is the
+    * profile, this is its derivative). Cells with activity in either
+    * half appear (full outer on the 168-cell grid, zero-filled); all
+    * integer; two partial aggs + two one-row broadcasts. */
+  def profileDrift(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(spark, d)
+      .select(unix_micros(col("ts")).as("us"))
+    val mid = base.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val cells = base.join(broadcast(mid))
+      .select(expr("(us div 86400000000 + 4) % 7").as("dow"),
+        expr("(us div 3600000000) % 24").as("hour"),
+        when(col("us") <= col("mid_us"), 1L).otherwise(0L).as("h1"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
+    val tot = cells.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    cells.join(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n1"), col("n2"),
+        expr("n1 * 10000 div t1").as("share1_bp"),
+        expr("n2 * 10000 div t2").as("share2_bp"),
+        expr("n2 * 10000 div t2 - n1 * 10000 div t1").as("delta_bp"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val profileDriftOracle: String =
+    """WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM base),
+      |cells AS (
+      |  SELECT (us // 86400000000 + 4) % 7 AS dow,
+      |    (us // 3600000000) % 24 AS hour,
+      |    sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN us <= mid_us THEN 0 ELSE 1 END) AS n2
+      |  FROM base, mid GROUP BY 1, 2),
+      |tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells)
+      |SELECT cast(dow AS bigint) AS dow, cast(hour AS bigint) AS hour,
+      |  cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
+      |  cast(n1 * 10000 // t1 AS bigint) AS share1_bp,
+      |  cast(n2 * 10000 // t2 AS bigint) AS share2_bp,
+      |  cast(n2 * 10000 // t2 - n1 * 10000 // t1 AS bigint) AS delta_bp
+      |FROM cells, tot ORDER BY 1, 2""".stripMargin
+
   /** User-lifetime histogram (`ev_user_lifetime`) — the tenure
     * distribution a growth dashboard reads: per user the span in days
     * between first and last event, bucketed into log2 octaves of

@@ -435,6 +435,20 @@ class Round10Spec extends SparkSpec {
     assert(imb >= 10000 - rows.length, "max/mean ≥ 1 up to floor slack")
   }
 
+  test("ev_profile_drift: halves partition the stream, deltas conserve to ~0") {
+    val rows = Events.profileDrift(spark, Sf).collect()
+    val nEvents = Tables.events(spark, Sf).count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum == nEvents,
+      "both halves together cover every event")
+    rows.foreach { r =>
+      assert(r.getLong(6) == r.getLong(5) - r.getLong(4),
+        "delta recomputes from the shares")
+    }
+    // Σ share deltas ≈ 0 (both share columns sum to ~10000 up to floor slack)
+    assert(math.abs(rows.map(_.getLong(6)).sum) <= rows.length,
+      "share deltas conserve across the matrix")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
