@@ -2162,14 +2162,21 @@ object Events {
 
   /** Order-to-ship latency (`q_ship_latency`) — fulfilment-cycle SLA per
     * order priority: integer day gaps between o_orderdate and each line's
-    * l_shipdate, with exact p50/p90 carried as DOUBLED integers (the
-    * `docs_mad_outliers` trick — exact `percentile` of ints interpolates
-    * at most a half, so 2× is always integral) and a floor-div mean. The
-    * orders→lineitem join is the standard fact-fact orderkey shuffle; the
-    * report is \|priorities\| rows. At 100 TB the exact percentile swaps
-    * for the log-linear quantile sketch, same schema. */
-  def shipLatency(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+    * l_shipdate, with exact order statistics computed ENTIRELY in integer
+    * arithmetic over a (priority, gap_days) histogram — no float quantile
+    * anywhere, so no engine-dependent cast-rounding (Spark truncates
+    * cast(double as long), DuckDB rounds; interpolated 0.9-quantiles land
+    * on tenths and diverge). p50_x2 is the two bracketing median ranks
+    * summed (odd n ⇒ 2× the middle element — exactly `quantile_cont(.5)*2`
+    * but integral by construction); p90_floor is the order statistic at
+    * zero-indexed rank ⌊0.9·(n−1)⌋, the lower bracket of the continuous
+    * p90. The histogram groupBy map-side-combines onto the tiny
+    * (priority × distinct day-gap) key domain — a few hundred rows at ANY
+    * corpus size — so the rank scan is a per-priority window over ~100
+    * rows, not a sort of the fact table; this is the 100 TB shape (the
+    * previous exact `percentile` buffered every value per group). */
+  def shipLatency(spark: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(spark, d)
       // dates are TIMESTAMP_NTZ in the testdata; the session tz is pinned
       // UTC so the instant cast is value-identical (the Tables.events rule)
       .select(col("l_orderkey"),
@@ -2180,24 +2187,49 @@ object Events {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         expr("(sus - ous) div 86400000000").as("gap_days"))
+      .groupBy(col("o_orderpriority"), col("gap_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("gap_days")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("tot", sum(col("gap_days") * col("cnt"))
+        .over(Window.partitionBy("o_orderpriority")))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"),
-        expr("sum(gap_days) div count(1)").as("mean_days"),
-        (percentile(col("gap_days"), lit(0.5)) * 2).cast("long").as("p50_x2"),
-        (percentile(col("gap_days"), lit(0.9)) * 2).cast("long").as("p90_x2"))
+      .agg(max(col("n")).as("n_lines"),
+        expr("max(tot) div max(n)").as("mean_days"),
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_days"))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col("gap_days"))))
+          .as("p50_x2"),
+        min(when(col("cum") >= expr("((n - 1) * 9) div 10 + 1"),
+          col("gap_days"))).as("p90_floor"))
       .orderBy(col("o_orderpriority"))
+  }
 
   val shipLatencyOracle: String =
     """WITH g AS (
       |  SELECT o_orderpriority,
       |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
       |      AS gap_days
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-      |SELECT o_orderpriority, count(*) AS n_lines,
-      |  cast(sum(gap_days) // count(*) AS bigint) AS mean_days,
-      |  cast(quantile_cont(gap_days, 0.5) * 2 AS bigint) AS p50_x2,
-      |  cast(quantile_cont(gap_days, 0.9) * 2 AS bigint) AS p90_x2
-      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (
+      |  SELECT o_orderpriority, gap_days, count(*) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |c AS (
+      |  SELECT o_orderpriority, gap_days, cnt,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY gap_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n,
+      |    sum(gap_days * cnt) OVER (PARTITION BY o_orderpriority) AS tot
+      |  FROM h)
+      |SELECT o_orderpriority, cast(max(n) AS bigint) AS n_lines,
+      |  cast(max(tot) // max(n) AS bigint) AS mean_days,
+      |  cast(min(CASE WHEN cum >= (n + 1) // 2 THEN gap_days END)
+      |     + min(CASE WHEN cum >= n // 2 + 1 THEN gap_days END)
+      |       AS bigint) AS p50_x2,
+      |  cast(min(CASE WHEN cum >= ((n - 1) * 9) // 10 + 1 THEN gap_days END)
+      |       AS bigint) AS p90_floor
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Sliding-window traffic counts (`ev_sliding_counts`) — the OVERLAPPING
     * window shape (1 h window, 15 min slide: every event lands in exactly

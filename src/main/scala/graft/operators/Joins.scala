@@ -177,66 +177,114 @@ object Joins {
     * parts, an edge joins two parts co-purchased in ≥2 orders (the
     * support-2 cut drops the random co-occurrence noise that would make
     * wedge enumeration quadratic), and the census reports vertices, edges,
-    * wedges (open 2-paths), triangles, and the global clustering
-    * coefficient 3·Δ/wedges in basis points — the graph-health number a
-    * recommender pipeline watches.
+    * the TRUE open-wedge count Σᵥ C(deg v, 2), triangles, and the standard
+    * global clustering coefficient 3·Δ/wedges in basis points (≤ 10000 by
+    * construction) — the graph-health number a recommender pipeline
+    * watches.
     *
-    * Canonical-order trick: every edge is stored once as (lo, hi); wedges
-    * join edges on their LOW endpoint with b < c, so each triangle is
-    * counted exactly once as its (min, mid, max) orientation — no 3× or 6×
-    * overcount to divide away, and the two joins shuffle on single vertex
-    * keys (degree-bounded fan-out, the support cut caps the hot vertex).
-    * All integer; one-row output at any scale. */
+    * Canonical-order trick: every edge is stored once as (lo, hi); the
+    * triangle ENUMERATION joins edges on their LOW endpoint with b < c, so
+    * each triangle is counted exactly once as its (min, mid, max)
+    * orientation — no 3× or 6× overcount to divide away. The gcc
+    * DENOMINATOR is computed separately as Σ C(deg, 2) over every center
+    * vertex (a vertex-keyed degree agg, no join) — the min-anchored join's
+    * pair count is NOT the wedge count (each triangle contributes exactly
+    * one min-anchored pair but three wedges), so using it as the
+    * denominator inflates the ratio past 1.
+    *
+    * Hub guard (`MaxTriangleDeg`): a power-law hub of degree h fans the
+    * wedge join out h²/2-fold — vertices above the cap are dropped from
+    * the census (edges incident to them removed) and ACCOUNTED in
+    * `n_hub_vertices`/`n_dropped_edges`, the same honest-accounting
+    * convention as the shingle df-cap. At the testdata's support-2 graph
+    * the max degree is 13, so the cap of 64 drops nothing and the census
+    * is exact; on a web-scale graph it bounds the join quadratically. */
+  val MaxTriangleDeg = 64
+
   def triangleCount(spark: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // localCheckpoint pins ONE materialization of the edge set: four
-    // consumers below (both wedge sides, the closing join, the censuses)
-    // would otherwise each re-run the fact-table self-join that builds it,
-    // and the support-2 cut makes the pinned set dimension-sized
-    val e = li.as("a")
+    val e0 = li.as("a")
       .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .select(col("pa"), col("pb"))
+    triangleCensus(e0, MaxTriangleDeg)
+  }
+
+  /** The census kernel over an edge list (cols `pa` < `pb`, one row per
+    * undirected edge) — split out so the hub-guard spec can plant a
+    * synthetic star. See [[triangleCount]] for the algorithm. */
+  def triangleCensus(e0: DataFrame, maxDeg: Int): DataFrame = {
+    // localCheckpoint pins ONE materialization of the support-cut edge
+    // set: the degree agg plus five capped-graph consumers would otherwise
+    // each re-run the fact-table self-join that builds it, and the
+    // support-2 cut makes the pinned set dimension-sized
+    val eAll = e0.localCheckpoint()
+    val deg = eAll.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.filter(col("deg") > maxDeg)
+    // drop hub-incident edges: two vertex-keyed anti-joins (hub set is
+    // tiny by construction on any graph the cap matters for — AQE
+    // broadcasts it; on the capless path it is empty)
+    val e = eAll
+      .join(hubs.select(col("v").as("ha")), col("pa") === col("ha"), "left_anti")
+      .join(hubs.select(col("v").as("hb")), col("pb") === col("hb"), "left_anti")
       .localCheckpoint()
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.pa") === col("e2.pa") &&
         col("e1.pb") < col("e2.pb"))
       .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
     val tri = wedges.join(e, col("b") === col("pa") && col("c") === col("pb"))
-    val nVerts = e.select(explode(array(col("pa"), col("pb"))).as("v"))
-      .agg(countDistinct(col("v")).as("n_vertices"))
+    // true wedge count: Σ C(deg, 2) over the CAPPED graph's degrees
+    val degC = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val nVerts = degC.agg(count(lit(1)).as("n_vertices"),
+      expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
-    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nHub = hubs.agg(count(lit(1)).as("n_hub_vertices"))
+    val nDrop = eAll.agg(count(lit(1)).as("n_edges_all"))
     val nT = tri.agg(count(lit(1)).as("n_triangles"))
-    nVerts.join(nE).join(nW).join(nT)
-      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
+    nVerts.join(nE).join(nHub).join(nDrop).join(nT)
+      .select(col("n_vertices"), col("n_edges"), col("n_hub_vertices"),
+        (col("n_edges_all") - col("n_edges")).as("n_dropped_edges"),
+        col("n_wedges"), col("n_triangles"),
         expr("n_triangles * 3 * 10000 div greatest(n_wedges, 1)").as("gcc_bp"))
   }
 
   val triangleCountOracle: String =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (
+      |e0 AS (
       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
       |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg0 AS (SELECT v, count(*) AS deg FROM
+      |  (SELECT unnest([pa, pb]) AS v FROM e0) GROUP BY 1),
+      |hubs AS (SELECT v FROM deg0 WHERE deg > 64),
+      |e AS (SELECT pa, pb FROM e0
+      |  WHERE pa NOT IN (SELECT v FROM hubs)
+      |    AND pb NOT IN (SELECT v FROM hubs)),
+      |degc AS (SELECT v, count(*) AS deg FROM
+      |  (SELECT unnest([pa, pb]) AS v FROM e) GROUP BY 1),
       |w AS (
       |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
       |  FROM e e1 JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb),
       |t AS (SELECT count(*) AS n_triangles
       |      FROM w JOIN e ON w.b = e.pa AND w.c = e.pb)
       |SELECT
-      |  (SELECT count(DISTINCT v) FROM
-      |    (SELECT unnest([pa, pb]) AS v FROM e)) AS n_vertices,
+      |  (SELECT count(*) FROM degc) AS n_vertices,
       |  (SELECT count(*) FROM e) AS n_edges,
-      |  (SELECT count(*) FROM w) AS n_wedges,
+      |  (SELECT count(*) FROM hubs) AS n_hub_vertices,
+      |  (SELECT count(*) FROM e0) - (SELECT count(*) FROM e)
+      |    AS n_dropped_edges,
+      |  (SELECT cast(sum(deg * (deg - 1) // 2) AS bigint) FROM degc)
+      |    AS n_wedges,
       |  n_triangles,
       |  cast(n_triangles * 3 * 10000 //
-      |    greatest((SELECT count(*) FROM w), 1) AS bigint) AS gcc_bp
+      |    greatest((SELECT sum(deg * (deg - 1) // 2) FROM degc), 1)
+      |    AS bigint) AS gcc_bp
       |FROM t""".stripMargin
 }

@@ -901,7 +901,10 @@ object StreamOps {
             e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
           var s = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // full-µs tiebreak: the batch twin's lag window orders by
+          // (ts, event_id) at µs granularity; sorting on getTime (ms)
+          // would flip same-ms pairs whose id order differs from µs order
+          it.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
             val t = us(e)
             if (s != null)
               out += Transition(uid, s.event_type, e.event_type, t - s.us)
@@ -951,7 +954,9 @@ class TransitionProcessor
       e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
     var s = if (last.exists()) last.get() else null
     val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    // µs-granularity sort — must match the batch lag window's (ts, id)
+    // ordering exactly (getTime alone is ms-truncated)
+    rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
       val t = us(e)
       if (s != null) out += Transition(uid, s.event_type, e.event_type, t - s.us)
       s = LastEvent(e.event_type, t)

@@ -139,15 +139,36 @@ class Round10Spec extends SparkSpec {
     assert(sorted.head.getLong(4) == rows.map(_.getLong(2)).sum)
   }
 
-  test("q_triangle_count: census internally consistent") {
+  test("q_triangle_count: census internally consistent, true GCC bounded") {
     val r = Joins.triangleCount(spark, Sf).collect()
     assert(r.length == 1)
-    val (v, e, w, t, gcc) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
-      r(0).getLong(3), r(0).getLong(4))
+    val (v, e, hub, dropped, w, t, gcc) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4), r(0).getLong(5),
+      r(0).getLong(6))
     assert(v >= 2 && e >= 1, "support-2 graph is non-empty at sf0.001")
     assert(v <= 2 * e, "every vertex touches an edge")
-    assert(t <= w, "a triangle closes a wedge")
+    assert(hub == 0 && dropped == 0,
+      "testdata max degree is far below the 64 cap — census is exact")
+    assert(3 * t <= w, "each triangle closes three of the true wedges")
     assert(gcc == 3 * t * 10000 / math.max(w, 1), "gcc recomputes exactly")
+    assert(gcc <= 10000, "true GCC is a ratio, never above one")
+  }
+
+  test("q_triangle_count: planted hub is dropped with honest accounting") {
+    import spark.implicits._
+    // a 10-spoke star around vertex 1 (degree 10 > cap 3) plus a clean
+    // triangle (2,3,4) off to the side; capping at 3 must drop exactly the
+    // 10 star edges and one hub vertex, and still count the triangle
+    val star = (100L to 109L).map(s => (1L, s))
+    val tri = Seq((2L, 3L), (2L, 4L), (3L, 4L))
+    val e0 = (star ++ tri).toDF("pa", "pb")
+    val r = Joins.triangleCensus(e0, 3).collect()(0)
+    assert(r.getLong(2) == 1, "one hub vertex")
+    assert(r.getLong(3) == 10, "its ten spokes dropped")
+    assert(r.getLong(1) == 3 && r.getLong(5) == 1,
+      "capped graph keeps the clean triangle")
+    assert(r.getLong(4) == 3 && r.getLong(6) == 10000,
+      "a bare triangle has 3 wedges and GCC exactly 1")
   }
 
   test("ev_sliding_counts: every event lands in exactly 4 slide-aligned windows") {
@@ -207,7 +228,8 @@ class Round10Spec extends SparkSpec {
       "every lineitem lands in exactly one priority row")
     rows.foreach { r =>
       assert(r.getLong(2) >= 0, "ship date never precedes order date")
-      assert(r.getLong(3) <= r.getLong(4), "p50 ≤ p90")
+      // p50_x2 is doubled, p90_floor is not: compare on the same scale
+      assert(r.getLong(3) <= 2 * r.getLong(4), "p50 ≤ p90 floor rank")
     }
   }
 
