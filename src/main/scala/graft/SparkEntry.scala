@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_exact_norm" -> ((s, d) => Dedup.exactNorm(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_band_stats" -> ((s, d) => Dedup.bandStats(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -216,6 +217,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "mm_phash_band_stats" -> ((s, d) => Multimodal.phashBandStats(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -587,6 +589,7 @@ object SparkEntry {
     "dedup_exact_norm" -> Dedup.exactNormOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_band_stats" -> Dedup.bandStatsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
@@ -648,6 +651,7 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "mm_shard_plan" -> Multimodal.shardPlanOracle,
     "mm_phash_dedup" -> Multimodal.phashDedupOracle,
+    "mm_phash_band_stats" -> Multimodal.phashBandStatsOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,
   )

@@ -169,6 +169,57 @@ object Dedup {
     * universe — both engines, mirrored in oracle SQL. */
   val MaxShingleDf = 64
 
+  /** Occupancy ceiling for BANDED Hamming indexes (simhash chunk blocks,
+    * pHash bands) — the same guard as [[MaxShingleDf]] applied to the
+    * other family of self-joined inverted indexes. On synthetic corpora
+    * band values are hash-uniform, but on real media/text the common case
+    * — a family of byte-identical or near-identical popular documents —
+    * puts the WHOLE family into the same band buckets, making the
+    * candidate join Σ|bucket|² quadratic in family size. Buckets above the
+    * ceiling are dropped from candidate generation (a family that hot is
+    * exact-dup territory — `dedup_exact`'s job, at a hash-groupBy price);
+    * the drop is published by the band-stats accounting rows, never
+    * silent. */
+  val MaxBandDf = 64
+
+  /** One-row occupancy accounting for a banded index (the
+    * [[shingleStatsOver]] pattern at band granularity): bucket census,
+    * how many survive the [[MaxBandDf]] ceiling, the hottest bucket, and
+    * how many docs lose at least one band to the cap. `bands` must expose
+    * `doc_id` plus the bucket key columns `keys`. */
+  private[graft] def bandStatsOver(bands: DataFrame, keys: Seq[String],
+      maxDf: Int): DataFrame = {
+    val dfs = bands.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val bucketSide = dfs.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+      max(col("df")).as("max_df"))
+    val docSide = bands
+      .join(dfs.filter(col("df") > maxDf).select(keys.map(col): _*), keys)
+      .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+    bucketSide.join(broadcast(docSide))
+  }
+
+  /** The SQL twin of [[bandStatsOver]] — `bandsCte` must expose doc_id
+    * plus the key columns. */
+  private[operators] def sqlBandStats(bandsCte: String, keys: Seq[String],
+      maxDf: Int): String = {
+    val k = keys.mkString(", ")
+    s"""bdfs AS (SELECT $k, count(*) AS df FROM $bandsCte GROUP BY $k),
+       |bstats AS (
+       |  SELECT count(*) AS n_buckets,
+       |    cast(sum(CASE WHEN df <= $maxDf THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       |    cast(sum(CASE WHEN df > $maxDf THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+       |    max(df) AS max_df
+       |  FROM bdfs),
+       |baffected AS (
+       |  SELECT count(DISTINCT b.doc_id) AS n_docs_affected
+       |  FROM $bandsCte b JOIN (SELECT $k FROM bdfs WHERE df > $maxDf) h
+       |    USING ($k))
+       |SELECT * FROM bstats, baffected""".stripMargin
+  }
+
   // ---- §2.3 operators ----
 
   /** Exact dedup: group by md5 digest, keep canonical (min) id. */
@@ -405,9 +456,10 @@ object Dedup {
        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
        |${sqlJaccardTail(0.5)}""".stripMargin
 
-  /** SimHash near-dup pairs: 60-bit signatures, 15-bit-chunk blocking,
-    * hamming ≤ maxHam. */
-  def simhash(spark: SparkSession, d: String, maxHam: Int = 6): DataFrame = {
+  /** The simhash 15-bit-chunk index rows (doc_id, simhash, c, chunk) —
+    * shared by [[simhash]]'s candidate join and [[bandStats]]'s
+    * accounting. */
+  private def simhashChunks(spark: SparkSession, d: String): DataFrame = {
     val docs = docsWithNearDups(spark, d)
     val th = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), hash60(col("t")).as("h"))
@@ -417,12 +469,26 @@ object Dedup {
     val sim = bitSums.select(col("doc_id"),
       (0 until SimhashBits).map(b =>
         when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-    val chunks = sim.select(col("doc_id"), col("simhash"),
+    sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map(c =>
         struct(lit(c).as("c"), shiftright(col("simhash"), c * SimhashChunkBits)
           .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.c"), col("bc.chunk"))
-    chunks.as("x").join(chunks.as("y"),
+  }
+
+  /** SimHash near-dup pairs: 60-bit signatures, 15-bit-chunk blocking,
+    * hamming ≤ maxHam. The chunk self-join runs on the [[MaxBandDf]]-capped
+    * bucket set — a hot bucket (an exact-dup family sharing all four
+    * chunks) would otherwise cost \|bucket\|² candidates; [[bandStats]]
+    * publishes what the cap dropped. */
+  def simhash(spark: SparkSession, d: String, maxHam: Int = 6): DataFrame = {
+    val chunks = simhashChunks(spark, d)
+    val keep = chunks.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxBandDf)
+      .select(col("c"), col("chunk"))
+    val capped = chunks.join(keep, Seq("c", "chunk"))
+    capped.as("x").join(capped.as("y"),
       col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -432,12 +498,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val simhashOracle: String = {
+  /** The shared CTE chain building the simhash chunk index in DuckDB —
+    * prefix for [[simhashOracle]] and [[bandStatsOracle]]. */
+  private val sqlSimhashChunks: String = {
     val bitSums = (0 until SimhashBits)
       .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
     val simExpr = (0 until SimhashBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN cast(1 AS bigint) << $b ELSE 0 END)").mkString(" + ")
-    s"""WITH $sqlNearDups,
+    s"""$sqlNearDups,
        |th AS (
        |  SELECT doc_id, ${sqlHash60("t")} AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)),
@@ -449,14 +517,30 @@ object Dedup {
        |chunks AS (
        |  SELECT doc_id, simhash, c,
        |    (simhash >> (c * $SimhashChunkBits)) & ${(1L << SimhashChunkBits) - 1} AS chunk
-       |  FROM sim, generate_series(0, ${SimhashBands - 1}) g(c))
+       |  FROM sim, generate_series(0, ${SimhashBands - 1}) g(c))""".stripMargin
+  }
+
+  val simhashOracle: String =
+    s"""WITH $sqlSimhashChunks,
+       |keep AS (SELECT c, chunk FROM chunks GROUP BY 1, 2
+       |         HAVING count(*) <= $MaxBandDf),
+       |cch AS (SELECT chunks.* FROM chunks JOIN keep USING (c, chunk))
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  cast(bit_count(xor(x.simhash, y.simhash)) AS int) AS hamming
-       |FROM chunks x JOIN chunks y
+       |FROM cch x JOIN cch y
        |  ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Band-occupancy accounting for [[simhash]]'s chunk index
+    * (`dedup_band_stats`) — the [[MaxBandDf]] twin of `shingle_stats`. */
+  def bandStats(spark: SparkSession, d: String,
+      maxDf: Int = MaxBandDf): DataFrame =
+    bandStatsOver(simhashChunks(spark, d), Seq("c", "chunk"), maxDf)
+
+  val bandStatsOracle: String =
+    s"""WITH $sqlSimhashChunks,
+       |${sqlBandStats("chunks", Seq("c", "chunk"), MaxBandDf)}""".stripMargin
 
   /** Exact n-gram Jaccard pairs within (lang, length-bucket) blocks.
     *

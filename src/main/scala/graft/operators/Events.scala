@@ -1992,19 +1992,31 @@ object Events {
     * struct rows — deterministic total order, the OHLC tie rule — sliced
     * to 5 and joined with '>' so the group key is a bounded string
     * whatever the session length; global top-20 plans as
-    * TakeOrderedAndProject. Per-session rows are bounded by user activity
-    * (the sessionize contract), the path agg by 5·\|types\|⁵. */
+    * TakeOrderedAndProject.
+    *
+    * The collect_list buffer is HARD-BOUNDED at pathLen rows per session,
+    * not "bounded by user activity": rows past the session's first
+    * pathLen are cut BEFORE the aggregation by comparing each row's
+    * running row_number against its session's opening row_number — both
+    * computed in the SAME user-partitioned window pass (a per-(user,
+    * session) rank would re-shuffle on the composite key; the running-max
+    * form adds zero exchanges), so a pathological bot session can no
+    * longer materialize an unbounded array in one aggregation buffer. */
   def topPaths(spark: SparkSession, d: String, gapSec: Long = 1800L,
       pathLen: Int = 5, k: Int = 20): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = Tables.events(spark, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
           (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1L)
           .otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("sess_start",
+        max(when(col("new_session") === 1L, col("rn"))).over(run))
+      .filter(col("rn") - col("sess_start") < pathLen)
       .groupBy(col("user_id"), col("session_id"))
       .agg(sort_array(collect_list(struct(unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type")))).as("evs"))

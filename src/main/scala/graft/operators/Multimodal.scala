@@ -257,8 +257,15 @@ object Multimodal {
     * band) — never an all-pairs scan — and the verify is one codegen'd
     * `bit_count(xor)`. Emits verified pairs with their distance and the
     * planted flag, so the report separates recall (planted found —
-    * guaranteed by the band math) from organic collisions. */
-  def phashDedup(spark: SparkSession, d: String, maxHam: Int = 3): DataFrame = {
+    * guaranteed by the band math) from organic collisions.
+    *
+    * The band self-join runs on the [[Dedup.MaxBandDf]]-capped bucket set:
+    * on real media the common case — a family of byte-identical popular
+    * images — drops the ENTIRE family into the same four buckets, making
+    * Σ\|bucket\|² quadratic in family size (the exact blowup the shingle
+    * df-cap prevents). [[phashBandStats]] publishes what the cap dropped;
+    * at the synthetic corpus's md5-uniform band values it drops nothing. */
+  private def phashBands(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(spark, d)
       .select(col("doc_id"),
         conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
@@ -266,13 +273,22 @@ object Multimodal {
     val planted = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         expr("phash ^ shiftleft(1L, cast(doc_id % 60 AS int))").as("phash"))
-    val corpus = base.unionAll(planted)
-    val bands = corpus.select(col("doc_id"), col("phash"),
-      explode(sequence(lit(0), lit(3))).as("b"))
+    base.unionAll(planted)
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
       .select(col("doc_id"), col("phash"), col("b"),
         expr("(phash div shiftleft(1L, cast(b * 15 AS int))) % 32768").as("bv"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.b") === col("y.b") &&
+  }
+
+  def phashDedup(spark: SparkSession, d: String, maxHam: Int = 3): DataFrame = {
+    val bands = phashBands(spark, d)
+    val keep = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxBandDf)
+      .select(col("b"), col("bv"))
+    val capped = bands.join(keep, Seq("b", "bv"))
+    val cand = capped.as("x")
+      .join(capped.as("y"), col("x.b") === col("y.b") &&
         col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
@@ -285,8 +301,16 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val phashDedupOracle: String =
-    """WITH base AS (
+  /** Band-occupancy accounting for [[phashDedup]]'s index
+    * (`mm_phash_band_stats`) — the [[Dedup.MaxBandDf]] ceiling's honest
+    * ledger for the media family. */
+  def phashBandStats(spark: SparkSession, d: String): DataFrame =
+    Dedup.bandStatsOver(phashBands(spark, d), Seq("b", "bv"), Dedup.MaxBandDf)
+
+  /** The band CTE chain shared by [[phashDedupOracle]] and the accounting
+    * oracle. */
+  private val sqlPhashBands: String =
+    """base AS (
       |  SELECT doc_id,
       |    cast(('0x' || substr(md5(text), 1, 15)) AS bigint) AS phash
       |  FROM documents),
@@ -299,16 +323,26 @@ object Multimodal {
       |bands AS (
       |  SELECT doc_id, phash, b,
       |    (phash // (1::bigint << cast(b * 15 AS int))) % 32768 AS bv
-      |  FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-      |    x.phash AS ph_a, y.phash AS ph_b
-      |  FROM bands x JOIN bands y
-      |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-      |SELECT doc_a, doc_b,
-      |  cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming,
-      |  cast(CASE WHEN doc_b = doc_a + 5000000 THEN 1 ELSE 0 END AS bigint)
-      |    AS planted
-      |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g)""".stripMargin
+
+  val phashDedupOracle: String =
+    s"""WITH $sqlPhashBands,
+       |keep AS (SELECT b, bv FROM bands GROUP BY 1, 2
+       |         HAVING count(*) <= ${Dedup.MaxBandDf}),
+       |cbands AS (SELECT bands.* FROM bands JOIN keep USING (b, bv)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.phash AS ph_a, y.phash AS ph_b
+       |  FROM cbands x JOIN cbands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming,
+       |  cast(CASE WHEN doc_b = doc_a + 5000000 THEN 1 ELSE 0 END AS bigint)
+       |    AS planted
+       |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val phashBandStatsOracle: String =
+    s"""WITH $sqlPhashBands,
+       |${Dedup.sqlBandStats("bands", Seq("b", "bv"), Dedup.MaxBandDf)}""".stripMargin
 }

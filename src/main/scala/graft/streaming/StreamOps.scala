@@ -372,17 +372,35 @@ object StreamOps {
     * `ev_funnel`'s first-signup → first-click-after → first-purchase-after
     * chain. State is one timestamp per step plus a done flag — O(steps)
     * per user — and a completed funnel ignores further events, so replays
-    * cannot double-count a conversion. */
+    * cannot double-count a conversion.
+    *
+    * The KEY SET is bounded too: event-time timeout evicts any user with
+    * no funnel-step activity for `ttlHours` (default 90 days), so on an
+    * unbounded stream state is O(recently-active users), not O(users ever
+    * seen). Eviction semantics are documented at the timeout branch. */
   def funnel(events: Dataset[StreamEvent],
-      steps: Seq[String] = Seq("signup", "click", "purchase")): Dataset[Conversion] = {
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      lateness: String = "1 hour",
+      ttlHours: Long = 2160L): Dataset[Conversion] = {
     import events.sparkSession.implicits._
     val stepSet = steps.toSet
+    val ttlMs = ttlHours * 3600000L
     events
+      .withWatermark("ts", lateness)
       .filter(e => stepSet.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Conversion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[StreamEvent], state: GroupState[FunnelState]) =>
+          // dormancy eviction: a user with no funnel-step activity for
+          // ttlHours of EVENT time is dropped — the key set stays O(active
+          // users), not O(all users ever seen). A re-admitted user starts
+          // the funnel from scratch (their stale prefix is gone), and a
+          // CONVERTED user's replay-dedup guarantee holds for ttlHours
+          // after conversion (a replay arriving later than that would
+          // re-run the funnel — by then it is watermark-late anyway).
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var s = state.getOption.getOrElse(FunnelState(Nil, done = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
           // ts ties break by step index: a step sorts AFTER its predecessor
@@ -390,7 +408,9 @@ object StreamOps {
           // at-or-after (>=) chain deterministically — (ts, user_id) alone
           // leaves same-user equal-ts events in shuffle order, and a step
           // sorted before its predecessor would be dropped forever.
+          var lastMs = Long.MinValue
           it.toSeq.sortBy(e => (e.ts.getTime, steps.indexOf(e.event_type))).foreach { e =>
+            lastMs = math.max(lastMs, e.ts.getTime)
             if (!s.done) {
               val idx = s.times.length
               if (idx < steps.length && e.event_type == steps(idx) &&
@@ -405,7 +425,10 @@ object StreamOps {
             }
           }
           state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(lastMs, state.getCurrentWatermarkMs() + 1L) + ttlMs)
           out.iterator
+          }
       }
   }
 
@@ -527,20 +550,35 @@ object StreamOps {
     * conditional running maxima), and each arriving purchase emits its
     * attributed channel immediately (append mode). Same 24 h lookback and
     * click-wins-ties rule as the batch row, pinned by the parity spec;
-    * same per-key in-order assumption as [[scd2Stream]]/[[funnel]]. */
+    * same per-key in-order assumption as [[scd2Stream]]/[[funnel]].
+    *
+    * The key set is bounded LOSSLESSLY: event-time timeout evicts a user
+    * once the watermark passes their last touch + lookback — at which
+    * point every surviving touch is outside the horizon, so any on-time
+    * purchase would attribute "none" with or without the state (only a
+    * purchase already later than the watermark could tell the
+    * difference). State is O(users touched within the lookback window),
+    * the minimum any exact attribution can hold. */
   def attributionStream(events: Dataset[ChangeEvent],
-      lookbackHours: Int = 24): Dataset[Attribution] = {
+      lookbackHours: Int = 24,
+      lateness: String = "1 hour"): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     val horizonUs = lookbackHours * 3600L * 1000000L
+    val horizonMs = lookbackHours * 3600000L
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, Attribution](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[ChangeEvent], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var s = state.getOption.getOrElse(TouchState(None, None))
           val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          var lastMs = Long.MinValue
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val us = e.ts.getTime * 1000L
+            lastMs = math.max(lastMs, e.ts.getTime)
             e.event_type match {
               case "click" => s = s.copy(lastClickUs = Some(us))
               case "view" => s = s.copy(lastViewUs = Some(us))
@@ -556,7 +594,10 @@ object StreamOps {
             }
           }
           state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(lastMs, state.getCurrentWatermarkMs() + 1L) + horizonMs)
           out.iterator
+          }
       }
   }
 
@@ -571,30 +612,55 @@ object StreamOps {
     * (sort by ts, then event_id); like [[funnel]], correctness relies on
     * per-key event-time order across batches — feed it from a
     * per-partition-ordered source (the SSE source's frame order) or an
-    * upstream watermarked sort. */
-  def scd2Stream(events: Dataset[ChangeEvent]): Dataset[Scd2Interval] = {
+    * upstream watermarked sort.
+    *
+    * Dormancy flush bounds the key set: a user silent for `ttlHours` of
+    * event time has their open interval FLUSHED as a closed row —
+    * valid_to = their last observed event second (the interval is closed
+    * at its last evidence, not at the arbitrary eviction instant) — and
+    * the state dropped. A re-admitted user opens a fresh version-1
+    * interval; downstream dimension consumers key on (user_id,
+    * valid_from), for which version restart is invisible. The default
+    * 90-day TTL keeps every parity spec lossless. */
+  def scd2Stream(events: Dataset[ChangeEvent],
+      lateness: String = "1 hour",
+      ttlHours: Long = 2160L): Dataset[Scd2Interval] = {
     import events.sparkSession.implicits._
+    val ttlMs = ttlHours * 3600000L
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Interval](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(Scd2Interval(uid, st.version, st.status, st.n, st.from, st.last))
+          } else {
           var s = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
+          var lastMs = Long.MinValue
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime / 1000
+            lastMs = math.max(lastMs, e.ts.getTime)
             s match {
               case null =>
-                s = Scd2State(1L, e.event_type, 1L, t)
+                s = Scd2State(1L, e.event_type, 1L, t, t)
               case st if st.status == e.event_type =>
-                s = st.copy(n = st.n + 1)
+                s = st.copy(n = st.n + 1, last = math.max(st.last, t))
               case st =>
                 out += Scd2Interval(uid, st.version, st.status, st.n, st.from, t)
-                s = Scd2State(st.version + 1L, e.event_type, 1L, t)
+                s = Scd2State(st.version + 1L, e.event_type, 1L, t, t)
             }
           }
-          if (s != null) state.update(s)
+          if (s != null) {
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(lastMs, state.getCurrentWatermarkMs() + 1L) + ttlMs)
+          }
           out.iterator
+          }
       }
   }
 
@@ -870,13 +936,27 @@ object StreamOps {
     * predates. Kept beside the fMGWS form deliberately — the parity spec
     * pins both to the batch operator, proving the engine-level migration
     * path leaves results bit-identical. Requires the RocksDB state-store
-    * provider (TWS rejects the default HDFS-backed store). */
-  def transitionStreamTws(events: Dataset[ChangeEvent]): Dataset[Transition] = {
+    * provider (TWS rejects the default HDFS-backed store).
+    *
+    * A non-null `ttl` (processing-time, the TTL dimension TWS natively
+    * supports) bounds the key set: the store expires a user's `last` value
+    * `ttl` after its final update, after which their next event opens a
+    * fresh chain (no edge) — same re-admission semantics as the fMGWS
+    * twin's event-time eviction, enforced by the ENGINE instead of user
+    * code. TTL requires `TimeMode.ProcessingTime`, under which the engine
+    * keeps scheduling timer micro-batches even with no data — correct on a
+    * production trigger, but it never settles under `processAllAvailable`,
+    * so the TTL spec drives it with `Trigger.AvailableNow` restarts over a
+    * shared checkpoint; `ttl = null` keeps the timer-free `TimeMode.None`
+    * plan for always-on parity twins. */
+  def transitionStreamTws(events: Dataset[ChangeEvent],
+      ttl: java.time.Duration = null): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    val mode = if (ttl == null) org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new TransitionProcessor(),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .transformWithState(new TransitionProcessor(ttl), mode, OutputMode.Append())
   }
 
   /** Streaming Markov-transition monitor — the in-flight twin of the batch
@@ -888,14 +968,26 @@ object StreamOps {
     * parity spec pins per-edge counts AND µs gap sums against the batch
     * operator across a mid-stream batch split, so state provably carries
     * last-event context over batch boundaries. Same per-key in-order
-    * assumption as [[scd2Stream]]/[[funnel]]. */
-  def transitionStream(events: Dataset[ChangeEvent]): Dataset[Transition] = {
+    * assumption as [[scd2Stream]]/[[funnel]].
+    *
+    * Event-time TTL bounds the key set: a user silent for `ttlHours`
+    * (default 90 days) is evicted, so their NEXT event opens a fresh chain
+    * and emits no edge — a dwell gap longer than the TTL is a return
+    * visit, not a transition, so the drop is the analytically-intended
+    * cut, and state stays O(recently-active users) forever. */
+  def transitionStream(events: Dataset[ChangeEvent],
+      lateness: String = "1 hour",
+      ttlHours: Long = 2160L): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    val ttlMs = ttlHours * 3600000L
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEvent, Transition](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[ChangeEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           // full-µs event time: getTime carries ms, getNanos the fraction
           def us(e: ChangeEvent): Long =
             e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
@@ -910,8 +1002,13 @@ object StreamOps {
               out += Transition(uid, s.event_type, e.event_type, t - s.us)
             s = LastEvent(e.event_type, t)
           }
-          state.update(s)
+          if (s != null) {
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.us / 1000L, state.getCurrentWatermarkMs() + 1L) + ttlMs)
+          }
           out.iterator
+          }
       }
   }
 }
@@ -937,8 +1034,9 @@ case class Transition(user_id: Long, from_type: String, to_type: String,
     gap_us: Long)
 
 /** [[StreamOps.transitionStreamTws]]'s typed processor: per-user
-  * `ValueState[LastEvent]` on the new stateful API. */
-class TransitionProcessor
+  * `ValueState[LastEvent]` on the new stateful API, with engine-enforced
+  * processing-time TTL so the key set never grows unbounded. */
+class TransitionProcessor(ttl: java.time.Duration = null)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, Transition] {
   import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
   @transient private var last: ValueState[LastEvent] = _
@@ -946,7 +1044,8 @@ class TransitionProcessor
   override def init(outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
     last = getHandle.getValueState[LastEvent]("last",
-      org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+      org.apache.spark.sql.Encoders.product[LastEvent],
+      if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
 
   override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
       timers: TimerValues): Iterator[Transition] = {
@@ -1054,8 +1153,11 @@ case class ChangeEvent(user_id: Long, event_id: Long, event_type: String,
 case class Scd2Interval(user_id: Long, version: Long, status: String,
     n_events: Long, valid_from: Long, valid_to: Long)
 
-/** Open-interval state for [[StreamOps.scd2Stream]] — O(1) per user. */
-private case class Scd2State(version: Long, status: String, n: Long, from: Long)
+/** Open-interval state for [[StreamOps.scd2Stream]] — O(1) per user.
+  * `last` is the newest observed event second, the close point a dormancy
+  * flush uses. */
+private case class Scd2State(version: Long, status: String, n: Long,
+    from: Long, last: Long)
 
 /** One Count-Min hash row's counters, emitted per batch by
   * [[StreamOps.countMinStream]]. */

@@ -112,6 +112,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("banded Hamming self-joins run on the occupancy-capped bucket set") {
+    // The same guard at band granularity: an exact-dup family lands whole
+    // in one (band, value) bucket, so without the ceiling the candidate
+    // join is quadratic in family size on real media/text.
+    val cap = Dedup.MaxBandDf
+    for ((name, df) <- Seq(
+      "dedup_simhash" -> Dedup.simhash(spark, Sf),
+      "mm_phash_dedup" -> Multimodal.phashDedup(spark, Sf))) {
+      val s = fmt(df)
+      assert(s"""df#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
+        s"$name plan lacks the band-occupancy ceiling filter (df <= $cap)")
+    }
+  }
+
   test("ivf/pq assignments are map-side: no exchange on the streamed side of the codebook broadcast") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec

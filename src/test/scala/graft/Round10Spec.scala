@@ -366,6 +366,18 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("band-occupancy accounting: a planted hot family is counted, never silent") {
+    import spark.implicits._
+    // 70 docs pile into one (band, value) bucket — the exact-dup-family
+    // shape on real media; the 64-cap must drop that bucket and say so
+    val bands = ((1L to 70L).map(d => (d, 0, 7L)) ++
+      Seq((100L, 1, 9L), (101L, 1, 9L))).toDF("doc_id", "c", "chunk")
+    val r = graft.operators.Dedup.bandStatsOver(bands, Seq("c", "chunk"), 64).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 1L, 70L, 70L)),
+      s"census (buckets, kept, dropped, max_df, docs_affected) wrong: $r")
+  }
+
   test("mm_phash_dedup: every planted 1-bit variant is found (band pigeonhole), distances exact") {
     val rows = graft.operators.Multimodal.phashDedup(spark, Sf).collect()
     val planted = rows.filter(_.getLong(3) == 1L)

@@ -1128,4 +1128,180 @@ class StreamOpsSpec extends SparkSpec {
         s"expected one dup drop + one post-reclaim re-admit, got $ids")
     } finally q.stop()
   }
+
+  // ── user-keyed state TTL: the key set must stop growing O(users) ──
+  // Each stateful twin keyed by user_id evicts dormant keys on event-time
+  // timeout; these specs pin (a) the state-store row count actually drops
+  // and (b) an evicted key re-admitted later behaves per the documented
+  // semantics (clean restart / lossless "none" / dormancy flush).
+
+  private def hts(min: Long): Timestamp =
+    new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime + min * 60000L)
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+  test("funnel TTL: dormant mid-funnel user evicted; re-admitted user restarts from scratch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.funnel(in.toDS(), lateness = "1 minute", ttlHours = 1L)
+      .writeStream.format("memory").queryName("funttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // users 1 and 2 start the funnel, then go dormant
+      in.addData(StreamEvent(1, "signup", 0, hts(0)), StreamEvent(1, "click", 0, hts(1)),
+        StreamEvent(2, "signup", 0, hts(0)))
+      q.processAllAvailable()
+      // user 99 advances the watermark 3 h; the next batch fires the timeouts
+      in.addData(StreamEvent(99, "signup", 0, hts(180))); q.processAllAvailable()
+      in.addData(StreamEvent(99, "click", 0, hts(181))); q.processAllAvailable()
+      assert(stateRows(q) == 1L,
+        s"users 1 and 2 must be evicted, leaving only user 99: ${stateRows(q)}")
+      // user 1's stale prefix is GONE: a lone purchase cannot convert
+      in.addData(StreamEvent(1, "purchase", 0, hts(182))); q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM funttl").head().getLong(0) == 0L,
+        "an evicted user's purchase must not complete the pre-eviction funnel")
+      // ... but a full fresh chain converts exactly once
+      in.addData(StreamEvent(1, "signup", 0, hts(183)), StreamEvent(1, "click", 0, hts(184)),
+        StreamEvent(1, "purchase", 0, hts(185)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM funttl").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L), s"re-admitted user converts exactly once, got $rows")
+    } finally q.stop()
+  }
+
+  test("attribution TTL: eviction at the lookback horizon is lossless") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.attributionStream(in.toDS(), lookbackHours = 1, lateness = "1 minute")
+      .writeStream.format("memory").queryName("attrttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ChangeEvent(1, 10, "click", hts(0))); q.processAllAvailable()
+      // watermark passes user 1's click + 1 h lookback → evicted
+      in.addData(ChangeEvent(99, 11, "view", hts(180))); q.processAllAvailable()
+      in.addData(ChangeEvent(99, 12, "view", hts(181))); q.processAllAvailable()
+      assert(stateRows(q) == 1L, s"user 1 must be evicted: ${stateRows(q)}")
+      // the post-eviction purchase is outside the horizon anyway: "none"
+      // with or without the state — eviction changed nothing
+      in.addData(ChangeEvent(1, 13, "purchase", hts(182))); q.processAllAvailable()
+      // re-admitted: a fresh click attributes normally
+      in.addData(ChangeEvent(1, 14, "click", hts(183)),
+        ChangeEvent(1, 15, "purchase", hts(184)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, channel FROM attrttl ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((13L, "none"), (15L, "click")), s"got $got")
+    } finally q.stop()
+  }
+
+  test("SCD-2 TTL: dormant user's open interval flushed closed at its last evidence; version restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.scd2Stream(in.toDS(), lateness = "1 minute", ttlHours = 1L)
+      .writeStream.format("memory").queryName("scd2ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ChangeEvent(1, 10, "active", hts(0)), ChangeEvent(1, 11, "active", hts(1)))
+      q.processAllAvailable()
+      in.addData(ChangeEvent(99, 12, "x", hts(180))); q.processAllAvailable()
+      in.addData(ChangeEvent(99, 13, "x", hts(181))); q.processAllAvailable()
+      assert(stateRows(q) == 1L, s"user 1 must be flushed out: ${stateRows(q)}")
+      val flushed = spark.sql(
+        "SELECT version, status, n_events, valid_from, valid_to FROM scd2ttl WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(flushed == Seq((1L, "active", 2L, hts(0).getTime / 1000, hts(1).getTime / 1000)),
+        s"dormancy flush closes the open interval at its LAST OBSERVED second, got $flushed")
+      // re-admission: a fresh version-1 interval opens, and a status change
+      // closes it normally — version restart is invisible to a consumer
+      // keyed on (user_id, valid_from)
+      in.addData(ChangeEvent(1, 14, "active", hts(240)), ChangeEvent(1, 15, "gone", hts(241)))
+      q.processAllAvailable()
+      val re = spark.sql(
+        "SELECT version, status, valid_from FROM scd2ttl WHERE user_id = 1 AND valid_from >= " + hts(240).getTime / 1000)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(re == Seq((1L, "active", hts(240).getTime / 1000)),
+        s"re-admitted key restarts at version 1, got $re")
+    } finally q.stop()
+  }
+
+  test("transition TTL: a gap past the TTL emits no edge; the chain restarts clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.transitionStream(in.toDS(), lateness = "1 minute", ttlHours = 1L)
+      .writeStream.format("memory").queryName("transttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ChangeEvent(1, 10, "a", hts(0)), ChangeEvent(1, 11, "b", hts(1)))
+      q.processAllAvailable()
+      in.addData(ChangeEvent(99, 12, "x", hts(180))); q.processAllAvailable()
+      in.addData(ChangeEvent(99, 13, "y", hts(181))); q.processAllAvailable()
+      assert(stateRows(q) == 1L, s"user 1 must be evicted: ${stateRows(q)}")
+      // user 1 returns: first event opens a FRESH chain (no b→c edge —
+      // a 3 h absence is a return visit, not a dwell), second event chains
+      in.addData(ChangeEvent(1, 14, "c", hts(182)), ChangeEvent(1, 15, "d", hts(183)))
+      q.processAllAvailable()
+      val edges = spark.sql("SELECT from_type, to_type FROM transttl ORDER BY from_type")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(edges == Seq(("a", "b"), ("c", "d"), ("x", "y")),
+        s"no cross-eviction edge may appear, got $edges")
+    } finally q.stop()
+  }
+
+  test("TWS transition TTL: the engine expires idle state; the chain restarts clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode keeps firing timer batches on an open query, so
+    // drive TTL with two AvailableNow runs over ONE checkpoint: state
+    // written in run 1, left idle past the TTL, read (expired) in run 2.
+    // foreachBatch is the sink shape that supports checkpoint recovery.
+    val ckpt = java.nio.file.Files.createTempDirectory("twsttl").toString
+    val in = MemoryStream[ChangeEvent]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // even Trigger.AvailableNow keeps scheduling timer micro-batches in
+    // ProcessingTime mode, so wait for the expected emissions AND the
+    // offset COMMIT (else a stop() races the commit and the next run
+    // replays the batch), then stop the query explicitly
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(expected: Int): Unit = {
+      val committed = commits()
+      val q = StreamOps.transitionStreamTws(in.toDS(),
+          ttl = java.time.Duration.ofSeconds(2))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+          edges.synchronized {
+            edges ++= ds.collect().map(t => (t.from_type, t.to_type))
+          }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while ((edges.synchronized(edges.size) < expected ||
+            commits() <= committed) && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+    }
+    try {
+      in.addData(ChangeEvent(1, 10, "a", hts(0)), ChangeEvent(1, 11, "b", hts(1)))
+      runBatch(expected = 1)
+      assert(edges.toSeq == Seq(("a", "b")), s"run 1 chains a→b, got $edges")
+      // let the PROCESSING-time TTL lapse — TWS's native TTL dimension
+      Thread.sleep(3000)
+      in.addData(ChangeEvent(1, 12, "c", hts(2)), ChangeEvent(1, 13, "d", hts(3)))
+      runBatch(expected = 2)
+      assert(edges.toSeq == Seq(("a", "b"), ("c", "d")),
+        s"expired state must not bridge b→c, got $edges")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
