@@ -206,6 +206,7 @@ object SparkEntry {
     "text_top_phrases" -> ((s, d) => TextAnalysis.topPhrases(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
+    "text_substr_dup_winnow" -> ((s, d) => TextAnalysis.substrDupWinnow(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
@@ -581,6 +582,7 @@ object SparkEntry {
     "text_top_phrases" -> TextAnalysis.topPhrasesOracle,
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_substr_dup" -> TextAnalysis.substrDupOracle,
+    "text_substr_dup_winnow" -> TextAnalysis.substrDupWinnowOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,
     "text_readability" -> TextAnalysis.readabilityOracle,
     "text_js_divergence" -> TextAnalysis.jsDivergenceOracle,

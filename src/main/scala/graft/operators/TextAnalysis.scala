@@ -750,8 +750,13 @@ object TextAnalysis {
     * the digest, and the join back runs per DISTINCT window digest —
     * never per occurrence, so a viral passage cannot hot-spot a
     * reducer. Output is \|sources\| rows at any corpus size. */
-  def substrDup(spark: SparkSession, d: String): DataFrame = {
-    val win = Tables.documents(spark, d)
+  def substrDup(spark: SparkSession, d: String): DataFrame =
+    substrDupOn(Tables.documents(spark, d))
+
+  /** The [[substrDup]] kernel over any (doc_id, source, text) relation —
+    * public so the winnow-recall spec can plant passages. */
+  def substrDupOn(docs: DataFrame): DataFrame = {
+    val win = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
@@ -759,6 +764,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         hash60(expr("substring(text, i, 40)")).as("h"))
       .distinct()
+    substrShareReport(win)
+  }
+
+  /** The shared-passage report over a (doc_id, source, h) window/
+    * fingerprint relation: df ≥ 2 marks a cross-document passage; the
+    * per-source rollup is the audit schema both the stride-1 and the
+    * winnowed variants publish, so their numbers compare row-for-row. */
+  private def substrShareReport(win: DataFrame): DataFrame = {
     val df = win.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     val perDoc = win.join(df, "h")
@@ -772,6 +785,74 @@ object TextAnalysis {
         sum(col("n_windows")).as("total_windows"),
         expr("sum(n_shared * 10000 div n_windows) div count(1)").as("mean_shared_bp"))
       .orderBy(col("source"))
+  }
+
+  /** Winnowed ExactSubstr audit (`text_substr_dup_winnow`) — the 100 TB
+    * path for [[substrDup]]'s stride-1 window universe: the SAME 40-char
+    * position digests, winnowed by a width-`w` sliding minimum (the MOSS
+    * kernel of `dedup_winnow_pairs`, here at WINDOW granularity) before
+    * any distinct/df shuffle, so the fingerprint index — and every
+    * downstream join — shrinks to ~2/(w+1) of the position universe
+    * (≈22% at w=8) while the winnowing guarantee keeps recall: any
+    * cross-document run ≥ 40+w−1 = 47 chars still shares a fingerprint
+    * at SOME alignment (the spec pins planted-passage recall against the
+    * stride-1 truth). The stride-1 row expansion (~40× characters) is the
+    * exact variant's deliberate cost for calibration; this is the one you
+    * run at scale. Same report schema, numbers over fingerprints instead
+    * of all windows; docs shorter than 40+w−1 chars produce no full
+    * winnow window and drop from the report (they cannot contain a
+    * ≥47-char shared run). */
+  def substrDupWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
+    substrDupWinnowOn(Tables.documents(spark, d), w)
+
+  def substrDupWinnowOn(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = docs
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"), col("i"),
+        hash60(expr("substring(text, i, 40)")).as("h0"))
+      .withColumn("m", min(col("h0")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === w)
+      .select(col("doc_id"), col("source"), col("m").as("h"))
+      .distinct()
+    substrShareReport(fps)
+  }
+
+  val substrDupWinnowOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    val h = sqlHash60("substr(text, cast(i AS int), 40)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents WHERE len(text) >= 40),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    [$h for i in range(1, len(text) - 38)] AS kh
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(kh) >= 8
+       |      THEN list_distinct([list_min(kh[i:i+7]) for i in range(1, len(kh) - 6)])
+       |      ELSE [] END AS fps
+       |  FROM g),
+       |win AS (SELECT doc_id, source, unnest(fps) AS h FROM f),
+       |df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM win GROUP BY 1),
+       |pd AS (
+       |  SELECT doc_id, source, count(*) AS n_windows,
+       |    sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM win JOIN df USING (h) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS bigint)
+       |    AS docs_with_dup,
+       |  cast(sum(n_shared) AS bigint) AS shared_windows,
+       |  cast(sum(n_windows) AS bigint) AS total_windows,
+       |  cast(sum(n_shared * 10000 // n_windows) // count(*) AS bigint)
+       |    AS mean_shared_bp
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val substrDupOracle: String = {

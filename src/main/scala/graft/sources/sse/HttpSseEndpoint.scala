@@ -23,12 +23,17 @@ import java.util.zip.GZIPInputStream
   * (the incremental parser handles arbitrary chunk boundaries), Idle on a
   * poll-window timeout, Eof when the server closes the stream.
   */
-final class HttpSseEndpoint(url: String, connectTimeoutMs: Int = 10000)
+final class HttpSseEndpoint(url: String, connectTimeoutMs: Int = 10000,
+    proxy: Option[java.net.Proxy] = None)
     extends SseEndpoint {
 
   override def connect(lastEventId: Option[String],
       headers: Map[String, String]): SseConnection = {
-    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    // roadmap Step-9 proxy support: route the stream GET through the
+    // configured HTTP proxy (http.proxy.host/.port)
+    val conn = URI.create(url).toURL
+      .openConnection(proxy.getOrElse(java.net.Proxy.NO_PROXY))
+      .asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setRequestProperty("Accept", "text/event-stream")

@@ -99,9 +99,22 @@ final class SseClient(
     state = to
   }
 
+  /** OAuth2 token source when `http.auth.oauth2.*` is configured — one
+    * provider per client so the token cache spans reconnects (a reconnect
+    * storm must not hammer the token endpoint); each (re)connect calls
+    * [[buildHeaders]], so an expired token refreshes exactly when a new
+    * stream request needs it. */
+  private[sse] val oauthProvider: Option[OAuth2TokenProvider] =
+    config.oauthTokenUrl.map(url => new OAuth2TokenProvider(
+      url, config.oauthClientId.get, config.oauthClientSecret.get,
+      config.oauthScope, config.proxy))
+
   /** Request headers, built exactly like the reference start() does
-    * (:252-283): Basic auth, Accept-Encoding when compression is on, a
-    * default User-Agent unless overridden, then custom headers on top. */
+    * (:252-283): Basic auth — or the roadmap Step-9 schemes, a static
+    * bearer token or an OAuth2 client-credentials token (mutually
+    * exclusive, enforced by [[SseConfig]]) — Accept-Encoding when
+    * compression is on, a default User-Agent unless overridden, then
+    * custom headers on top. */
   def buildHeaders(): Map[String, String] = {
     val b = Map.newBuilder[String, String]
     if (config.httpBasicAuth) for (u <- config.username; p <- config.password) {
@@ -109,6 +122,8 @@ final class SseClient(
         .encodeToString(s"$u:$p".getBytes(StandardCharsets.UTF_8))
       b += "Authorization" -> s"Basic $enc"
     }
+    config.bearerToken.foreach(t => b += "Authorization" -> s"Bearer $t")
+    oauthProvider.foreach(p => b += "Authorization" -> s"Bearer ${p.token()}")
     if (config.compressionEnabled) b += "Accept-Encoding" -> "gzip, deflate"
     if (!config.headers.contains("User-Agent"))
       b += "User-Agent" -> SseClient.DefaultUserAgent

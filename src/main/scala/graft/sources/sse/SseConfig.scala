@@ -39,12 +39,35 @@ final case class SseConfig(
     connectionCheckIntervalMs: Long = SseConfig.DefaultConnectionCheckIntervalMs,
     metricsLogIntervalMs: Long = SseConfig.DefaultMetricsLogIntervalMs,
     eventsFilter: Option[Set[String]] = None,
-    eventsFilterPattern: Option[String] = None) {
+    eventsFilterPattern: Option[String] = None,
+    bearerToken: Option[String] = None,
+    oauthTokenUrl: Option[String] = None,
+    oauthClientId: Option[String] = None,
+    oauthClientSecret: Option[String] = None,
+    oauthScope: Option[String] = None,
+    proxyHost: Option[String] = None,
+    proxyPort: Option[Int] = None) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
   if (httpBasicAuth) require(username.isDefined && password.isDefined,
     "http.basic.auth=true requires http.basic.auth.username and .password")
+  // security surface (reference IMPROVEMENT_PLAN.md Phase 3 Step 9: OAuth
+  // support, proxy support): exactly one authorization scheme may own the
+  // Authorization header
+  require(Seq(httpBasicAuth, bearerToken.isDefined, oauthTokenUrl.isDefined)
+    .count(identity) <= 1,
+    "http.basic.auth, http.auth.bearer.token and http.auth.oauth2.* are " +
+      "mutually exclusive — they all set the Authorization header")
+  if (oauthTokenUrl.isDefined || oauthClientId.isDefined || oauthClientSecret.isDefined)
+    require(oauthTokenUrl.isDefined && oauthClientId.isDefined &&
+      oauthClientSecret.isDefined,
+      "OAuth2 client-credentials needs http.auth.oauth2.token.url, " +
+        ".client.id and .client.secret together")
+  require(proxyHost.isDefined == proxyPort.isDefined,
+    "http.proxy.host and http.proxy.port must be set together")
+  proxyPort.foreach(p => require(p > 0 && p <= 65535,
+    s"http.proxy.port out of range: $p"))
   require(transport == "log" || transport == "live",
     s"transport must be 'log' or 'live', got '$transport'")
   if (transport == "live") require(endpointRef.isDefined || sseUri.isDefined,
@@ -66,6 +89,13 @@ final case class SseConfig(
           s"events.filter.pattern is not a valid regex: ${e.getMessage}")
     }
   }
+
+  /** The JDK proxy for every outbound HTTP call this config owns — the SSE
+    * stream AND the OAuth2 token fetch (a deployment behind an egress
+    * proxy needs both to traverse it). */
+  def proxy: Option[java.net.Proxy] = for (h <- proxyHost; p <- proxyPort)
+    yield new java.net.Proxy(java.net.Proxy.Type.HTTP,
+      new java.net.InetSocketAddress(h, p))
 
   /** Admission predicate over the NORMALIZED event name (id-less frames
     * normalize to "unknown" first, mirroring the reference's null handling,
@@ -121,7 +151,14 @@ object SseConfig {
         .getOrElse(DefaultMetricsLogIntervalMs),
       eventsFilter = opt("events.filter")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      eventsFilterPattern = opt("events.filter.pattern"))
+      eventsFilterPattern = opt("events.filter.pattern"),
+      bearerToken = opt("http.auth.bearer.token"),
+      oauthTokenUrl = opt("http.auth.oauth2.token.url"),
+      oauthClientId = opt("http.auth.oauth2.client.id"),
+      oauthClientSecret = opt("http.auth.oauth2.client.secret"),
+      oauthScope = opt("http.auth.oauth2.scope"),
+      proxyHost = opt("http.proxy.host"),
+      proxyPort = opt("http.proxy.port").map(_.toInt))
   }
 }
 

@@ -347,7 +347,8 @@ object SseLiveIngest {
       s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val endpoints: Seq[SseEndpoint] = config.endpointRef
       .map(refs => split(refs).map(SseEndpoints.lookup))
-      .orElse(config.sseUri.map(uris => split(uris).map(new HttpSseEndpoint(_))))
+      .orElse(config.sseUri.map(uris =>
+        split(uris).map(new HttpSseEndpoint(_, proxy = config.proxy))))
       .getOrElse(throw new IllegalArgumentException(
         "transport=live requires 'endpoint.ref' or 'sse.uri'"))
     val ingests = endpoints.zipWithIndex.map { case (endpoint, i) =>

@@ -366,6 +366,29 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("text_substr_dup_winnow: planted cross-doc passages survive winnowing; the index shrinks") {
+    import spark.implicits._
+    // a 63-char passage (≥ 40+w−1 = 47, the winnowing guarantee length)
+    // planted at DIFFERENT alignments in docs 1 and 2; doc 3 is clean
+    val p = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    // aperiodic deterministic filler so window distinctness behaves like
+    // real text, not like a degenerate run
+    def filler(seed: Int, n: Int): String =
+      (0 until n).map(i => ('a' + ((i * i * 31 + seed * 7 + i) % 26)).toChar).mkString
+    val docs = Seq(
+      (1L, "s", filler(1, 83) + p + filler(2, 100)),
+      (2L, "s", filler(3, 57) + p + filler(4, 140)),
+      (3L, "s", filler(5, 320))).toDF("doc_id", "source", "text")
+    val exact = graft.operators.TextAnalysis.substrDupOn(docs).collect()(0)
+    val win = graft.operators.TextAnalysis.substrDupWinnowOn(docs, 8).collect()(0)
+    assert(exact.getLong(2) == 2, s"stride-1 truth flags both planted docs: $exact")
+    assert(win.getLong(2) == 2,
+      s"winnowing must keep the planted recall (shared run ≥ 47 chars): $win")
+    assert(win.getLong(4) * 3 < exact.getLong(4),
+      s"winnowed index must be well under a third of the stride-1 universe: " +
+        s"${win.getLong(4)} vs ${exact.getLong(4)}")
+  }
+
   test("band-occupancy accounting: a planted hot family is counted, never silent") {
     import spark.implicits._
     // 70 docs pile into one (band, value) bucket — the exact-dup-family
