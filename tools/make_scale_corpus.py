@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Derive the sf1.0 scale-probe corpus under .scale/sf1 (dev tooling, not
+part of the library; see SURVEY.md §8).
+
+10 replicas of the sf0.1 documents table with disjoint doc_id ranges
+(r*10^7 keeps the operators' +3M/+5M planted-id shifts collision-free)
+and per-replica word suffixing, so shingles/windows are distinct across
+replicas and duplicate DENSITY matches sf0.1 instead of being 10x
+inflated by exact copies. lineitem is replicated 10x for the bench's
+q1_pricing control probe. Measured scale: 10.0x words, 13.64x chars.
+
+Usage: python3 tools/make_scale_corpus.py
+"""
+import os
+import duckdb
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "sf1")
+SRC = "/root/testdata/sf0.1"
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT d.doc_id + r.r * 10000000 AS doc_id,
+         array_to_string(list_transform(string_split(d.text, ' '),
+           w -> w || '~' || r.r), ' ') AS text,
+         d.lang, d.source,
+         length(array_to_string(list_transform(string_split(d.text, ' '),
+           w -> w || '~' || r.r), ' ')) AS n_chars
+  FROM '{SRC}/documents.parquet' d
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT l.* REPLACE (l.l_orderkey + r.r * 100000000 AS l_orderkey)
+  FROM '{SRC}/lineitem.parquet' l
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+print(con.execute(
+    f"SELECT count(*), min(doc_id), max(doc_id) FROM '{OUT}/documents.parquet'"
+).fetchall())
