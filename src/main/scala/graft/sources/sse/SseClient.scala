@@ -70,6 +70,50 @@ final class SseClient(
   private val queue = new LinkedBlockingQueue[SseEvent]()
   private val transitionLog = ArrayBuffer.empty[(String, String)]
 
+  // ---- circuit breaker (reference IMPROVEMENT_PLAN.md Phase 3 Step 11:
+  // failure threshold detection + alerting; backoff already exists) ----
+  // consecutive connect failures trip the breaker OPEN: reconnection
+  // attempts fail fast (no sleep, no socket) until the cool-down elapses,
+  // then ONE half-open probe decides — success closes and resets, failure
+  // re-opens. Protects both sides: the upstream from a reconnect
+  // hammer-loop when it is down hard, and this pipeline's pump thread from
+  // burning its budget on known-dead dials. Disabled unless
+  // circuit.breaker.failure.threshold is set.
+  @volatile private var consecutiveFailures = 0
+  @volatile private var breakerOpenedAt = 0L
+  private val breakerOpens = new AtomicLong
+
+  /** `disabled` / `closed` / `open` (failing fast) / `half-open` (one
+    * probe allowed). */
+  def breakerState: String =
+    if (config.circuitBreakerThreshold.isEmpty) "disabled"
+    else if (breakerOpenedAt == 0L) "closed"
+    else if (clock() - breakerOpenedAt >= config.circuitBreakerOpenMs) "half-open"
+    else "open"
+
+  private def recordConnectFailure(): Unit = {
+    consecutiveFailures += 1
+    config.circuitBreakerThreshold.foreach { threshold =>
+      val wasOpen = breakerOpenedAt != 0L && breakerState == "open"
+      if (consecutiveFailures >= threshold && !wasOpen) {
+        breakerOpenedAt = clock()
+        breakerOpens.incrementAndGet()
+        // Step 11 "alerting capability": the trip is pushed to the metrics
+        // sink the moment it happens, not discovered by polling
+        metricsSink("circuit.breaker",
+          s"OPEN after $consecutiveFailures consecutive connection failures " +
+            s"(cool-down ${config.circuitBreakerOpenMs} ms)")
+      }
+    }
+  }
+
+  private def recordConnectSuccess(): Unit = {
+    if (breakerOpenedAt != 0L)
+      metricsSink("circuit.breaker", "CLOSED after successful half-open probe")
+    consecutiveFailures = 0
+    breakerOpenedAt = 0L
+  }
+
   // metrics totals (reference :87-102)
   private val totalEventsReceived = new AtomicLong
   private val totalBytesReceived = new AtomicLong
@@ -170,12 +214,14 @@ final class SseClient(
       conn = endpoint.connect(parser.lastEventId, buildHeaders())
       transition(Connected)
       totalSuccessfulConnections.incrementAndGet()
+      recordConnectSuccess()
       connectedSince = clock()
     } catch {
       case NonFatal(e) =>
         releaseSlot()
         transition(Failed)
         totalFailedConnections.incrementAndGet()
+        recordConnectFailure()
         lastError = Some(e)
         throw new java.io.IOException("Failed to establish SSE connection", e)
     }
@@ -275,6 +321,9 @@ final class SseClient(
     * delay (WHATWG; reference honors it via SseEventSource :290-294);
     * rate-limit errors (429) jump the schedule to attempt ≥3 (:632-636). */
   def attemptReconnection(): Unit = {
+    // open breaker: fail fast — no sleep, no socket — until the cool-down
+    // yields the half-open probe window
+    if (breakerState == "open") return
     if (!backoff.shouldRetry(currentRetryAttempt)) {
       transition(Failed)
       return
@@ -322,6 +371,9 @@ final class SseClient(
     "time.uptime" -> (if (state == Connected) clock() - connectedSince else 0L),
     "time.sinceLastReconnect" ->
       (if (lastReconnectTime > 0) clock() - lastReconnectTime else -1L),
+    "breaker.state" -> breakerState,
+    "breaker.consecutiveFailures" -> consecutiveFailures,
+    "breaker.opens" -> breakerOpens.get,
     "events.total" -> totalEventsReceived.get,
     "events.bytes" -> totalBytesReceived.get,
     "queue.size" -> queue.size,

@@ -46,7 +46,9 @@ final case class SseConfig(
     oauthClientSecret: Option[String] = None,
     oauthScope: Option[String] = None,
     proxyHost: Option[String] = None,
-    proxyPort: Option[Int] = None) {
+    proxyPort: Option[Int] = None,
+    circuitBreakerThreshold: Option[Int] = None,
+    circuitBreakerOpenMs: Long = SseConfig.DefaultCircuitBreakerOpenMs) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
@@ -68,6 +70,10 @@ final case class SseConfig(
     "http.proxy.host and http.proxy.port must be set together")
   proxyPort.foreach(p => require(p > 0 && p <= 65535,
     s"http.proxy.port out of range: $p"))
+  // circuit breaker (reference IMPROVEMENT_PLAN.md Phase 3 Step 11)
+  circuitBreakerThreshold.foreach(t => require(t > 0,
+    s"circuit.breaker.failure.threshold must be positive, got $t"))
+  require(circuitBreakerOpenMs > 0, "circuit.breaker.open.ms must be positive")
   require(transport == "log" || transport == "live",
     s"transport must be 'log' or 'live', got '$transport'")
   if (transport == "live") require(endpointRef.isDefined || sseUri.isDefined,
@@ -117,6 +123,8 @@ object SseConfig {
   val DefaultConnectionCheckIntervalMs = 30000L
   // reference ServerSentEventsSourceTask.java:40 (1 minute)
   val DefaultMetricsLogIntervalMs = 60000L
+  // circuit breaker cool-down before the half-open probe (Step 11)
+  val DefaultCircuitBreakerOpenMs = 60000L
 
   def fromOptions(options: JMap[String, String]): SseConfig = {
     val o = options.asScala.map { case (k, v) => (k.toLowerCase, v) }
@@ -158,7 +166,10 @@ object SseConfig {
       oauthClientSecret = opt("http.auth.oauth2.client.secret"),
       oauthScope = opt("http.auth.oauth2.scope"),
       proxyHost = opt("http.proxy.host"),
-      proxyPort = opt("http.proxy.port").map(_.toInt))
+      proxyPort = opt("http.proxy.port").map(_.toInt),
+      circuitBreakerThreshold = opt("circuit.breaker.failure.threshold").map(_.toInt),
+      circuitBreakerOpenMs = opt("circuit.breaker.open.ms").map(_.toLong)
+        .getOrElse(DefaultCircuitBreakerOpenMs))
   }
 }
 

@@ -143,6 +143,56 @@ class SseClientSpec extends AnyFunSuite {
     assert(ep.connectAttempts.get == 4) // initial + 3 retries, then gave up
   }
 
+  test("circuit breaker trips OPEN at the failure threshold; open attempts are fail-fast no-ops") {
+    val ep = new LoopbackEndpoint
+    (1 to 3).foreach(_ => ep.scriptReject(new RuntimeException("down hard")))
+    val vt = new VirtualTime
+    val alerts = ArrayBuffer.empty[(String, String)]
+    val c = new SseClient(ep,
+      config().copy(circuitBreakerThreshold = Some(3), circuitBreakerOpenMs = 60000L),
+      vt.clock, vt.sleeper, metricsSink = (k, v) => alerts += ((k, v)))
+    assert(c.breakerState == "closed")
+    intercept[java.io.IOException](c.start())
+    (1 to 2).foreach(_ => c.attemptReconnection())
+    assert(c.breakerState == "open")
+    assert(alerts.exists { case (k, v) => k == "circuit.breaker" && v.startsWith("OPEN") },
+      s"the trip must alert through the metrics sink, got $alerts")
+    val (dials, sleeps) = (ep.connectAttempts.get, vt.sleeps.size)
+    (1 to 5).foreach(_ => c.attemptReconnection())
+    assert(ep.connectAttempts.get == dials, "an open breaker must not dial the endpoint")
+    assert(vt.sleeps.size == sleeps, "an open breaker must not sleep — fail fast")
+    assert(c.getMetrics("breaker.opens") == 1L)
+    assert(c.getMetrics("breaker.state") == "open")
+  }
+
+  test("circuit breaker half-open probe: failure re-opens, success closes and resets") {
+    val ep = new LoopbackEndpoint
+    (1 to 4).foreach(_ => ep.scriptReject(new RuntimeException("down hard")))
+    ep.scriptAccept()
+    val vt = new VirtualTime
+    val alerts = ArrayBuffer.empty[(String, String)]
+    val c = new SseClient(ep,
+      config().copy(circuitBreakerThreshold = Some(3), circuitBreakerOpenMs = 60000L),
+      vt.clock, vt.sleeper, metricsSink = (k, v) => alerts += ((k, v)))
+    intercept[java.io.IOException](c.start())
+    (1 to 2).foreach(_ => c.attemptReconnection())
+    assert(c.breakerState == "open")
+    vt.now += 60000L // cool-down elapses → exactly one probe is allowed
+    assert(c.breakerState == "half-open")
+    c.attemptReconnection() // probe consumes the 4th reject → re-open
+    assert(c.breakerState == "open")
+    assert(c.getMetrics("breaker.opens") == 2L)
+    vt.now += 60000L
+    c.attemptReconnection() // probe succeeds → closed, counters reset
+    assert(c.connectionState == ConnectionState.Connected)
+    assert(c.breakerState == "closed")
+    assert(c.getMetrics("breaker.consecutiveFailures") == 0)
+    assert(alerts.exists { case (k, v) => k == "circuit.breaker" && v.startsWith("CLOSED") })
+    // disabled by default: no threshold → the breaker never interferes
+    assert(new SseClient(new LoopbackEndpoint, config(), vt.clock, vt.sleeper)
+      .breakerState == "disabled")
+  }
+
   test("rate limiting spaces connection attempts (reference applyRateLimit :218-239)") {
     val ep = new LoopbackEndpoint
     ep.scriptAccept(); ep.scriptAccept()
