@@ -24,7 +24,9 @@ import java.util.zip.GZIPInputStream
   * poll-window timeout, Eof when the server closes the stream.
   */
 final class HttpSseEndpoint(url: String, connectTimeoutMs: Int = 10000,
-    proxy: Option[java.net.Proxy] = None)
+    proxy: Option[java.net.Proxy] = None,
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    skipHostnameVerify: Boolean = false)
     extends SseEndpoint {
 
   override def connect(lastEventId: Option[String],
@@ -34,6 +36,14 @@ final class HttpSseEndpoint(url: String, connectTimeoutMs: Int = 10000,
     val conn = URI.create(url).toURL
       .openConnection(proxy.getOrElse(java.net.Proxy.NO_PROXY))
       .asInstanceOf[HttpURLConnection]
+    // roadmap Step-9 advanced TLS: custom trust anchors (https.truststore.*)
+    // or the explicit skip-verify kill-switch for test rigs
+    conn match {
+      case h: javax.net.ssl.HttpsURLConnection =>
+        sslContext.foreach(c => h.setSSLSocketFactory(c.getSocketFactory))
+        if (skipHostnameVerify) h.setHostnameVerifier((_, _) => true)
+      case _ => ()
+    }
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setRequestProperty("Accept", "text/event-stream")

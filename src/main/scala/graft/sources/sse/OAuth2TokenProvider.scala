@@ -29,6 +29,7 @@ final class OAuth2TokenProvider(
     clientSecret: String,
     scope: Option[String] = None,
     proxy: Option[Proxy] = None,
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
     clock: () => Long = () => System.currentTimeMillis(),
     connectTimeoutMs: Int = 10000) {
 
@@ -56,6 +57,11 @@ final class OAuth2TokenProvider(
     val conn = URI.create(tokenUrl).toURL
       .openConnection(proxy.getOrElse(Proxy.NO_PROXY))
       .asInstanceOf[HttpURLConnection]
+    conn match {
+      case h: javax.net.ssl.HttpsURLConnection =>
+        sslContext.foreach(c => h.setSSLSocketFactory(c.getSocketFactory))
+      case _ => ()
+    }
     conn.setRequestMethod("POST")
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(connectTimeoutMs)

@@ -151,7 +151,7 @@ final class SseClient(
   private[sse] val oauthProvider: Option[OAuth2TokenProvider] =
     config.oauthTokenUrl.map(url => new OAuth2TokenProvider(
       url, config.oauthClientId.get, config.oauthClientSecret.get,
-      config.oauthScope, config.proxy))
+      config.oauthScope, config.proxy, config.sslContext))
 
   /** Request headers, built exactly like the reference start() does
     * (:252-283): Basic auth — or the roadmap Step-9 schemes, a static

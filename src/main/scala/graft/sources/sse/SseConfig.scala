@@ -48,7 +48,11 @@ final case class SseConfig(
     proxyHost: Option[String] = None,
     proxyPort: Option[Int] = None,
     circuitBreakerThreshold: Option[Int] = None,
-    circuitBreakerOpenMs: Long = SseConfig.DefaultCircuitBreakerOpenMs) {
+    circuitBreakerOpenMs: Long = SseConfig.DefaultCircuitBreakerOpenMs,
+    httpsTruststorePath: Option[String] = None,
+    httpsTruststorePassword: Option[String] = None,
+    httpsTruststoreType: String = "PKCS12",
+    httpsInsecureSkipVerify: Boolean = false) {
   require(path.nonEmpty, "sse source requires a 'path' option (frame-log file)")
   require(retryBackoffInitialMs > 0 && retryBackoffMaxMs >= retryBackoffInitialMs,
     "retry.backoff.initial.ms must be > 0 and <= retry.backoff.max.ms")
@@ -74,6 +78,10 @@ final case class SseConfig(
   circuitBreakerThreshold.foreach(t => require(t > 0,
     s"circuit.breaker.failure.threshold must be positive, got $t"))
   require(circuitBreakerOpenMs > 0, "circuit.breaker.open.ms must be positive")
+  // advanced TLS (Step 9): a custom trust anchor set and the explicit
+  // verification kill-switch are contradictory instructions
+  require(!(httpsInsecureSkipVerify && httpsTruststorePath.isDefined),
+    "https.truststore.path and https.insecure.skip.verify are mutually exclusive")
   require(transport == "log" || transport == "live",
     s"transport must be 'log' or 'live', got '$transport'")
   if (transport == "live") require(endpointRef.isDefined || sseUri.isDefined,
@@ -102,6 +110,25 @@ final case class SseConfig(
   def proxy: Option[java.net.Proxy] = for (h <- proxyHost; p <- proxyPort)
     yield new java.net.Proxy(java.net.Proxy.Type.HTTP,
       new java.net.InetSocketAddress(h, p))
+
+  /** The SSLContext every outbound HTTPS call uses (Step 9 "advanced
+    * TLS/SSL configuration"): a custom truststore (private CA / pinned
+    * self-signed upstream — the common enterprise SSE deployment), or the
+    * explicit trust-all kill-switch for test rigs. None → JDK defaults. */
+  def sslContext: Option[javax.net.ssl.SSLContext] =
+    if (httpsInsecureSkipVerify) Some(SseConfig.trustAllContext())
+    else httpsTruststorePath.map { p =>
+      val ks = java.security.KeyStore.getInstance(httpsTruststoreType)
+      val in = new java.io.FileInputStream(p)
+      try ks.load(in, httpsTruststorePassword.map(_.toCharArray).orNull)
+      finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx
+    }
 
   /** Admission predicate over the NORMALIZED event name (id-less frames
     * normalize to "unknown" first, mirroring the reference's null handling,
@@ -169,7 +196,27 @@ object SseConfig {
       proxyPort = opt("http.proxy.port").map(_.toInt),
       circuitBreakerThreshold = opt("circuit.breaker.failure.threshold").map(_.toInt),
       circuitBreakerOpenMs = opt("circuit.breaker.open.ms").map(_.toLong)
-        .getOrElse(DefaultCircuitBreakerOpenMs))
+        .getOrElse(DefaultCircuitBreakerOpenMs),
+      httpsTruststorePath = opt("https.truststore.path"),
+      httpsTruststorePassword = opt("https.truststore.password"),
+      httpsTruststoreType = opt("https.truststore.type").getOrElse("PKCS12"),
+      httpsInsecureSkipVerify = opt("https.insecure.skip.verify").exists(_.toBoolean))
+  }
+
+  /** Trust-all context for `https.insecure.skip.verify` — test rigs only;
+    * the config key name carries the warning. */
+  private def trustAllContext(): javax.net.ssl.SSLContext = {
+    val tm: javax.net.ssl.X509TrustManager = new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+        Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array(tm), new java.security.SecureRandom())
+    ctx
   }
 }
 

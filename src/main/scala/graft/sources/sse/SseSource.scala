@@ -348,7 +348,9 @@ object SseLiveIngest {
     val endpoints: Seq[SseEndpoint] = config.endpointRef
       .map(refs => split(refs).map(SseEndpoints.lookup))
       .orElse(config.sseUri.map(uris =>
-        split(uris).map(new HttpSseEndpoint(_, proxy = config.proxy))))
+        split(uris).map(new HttpSseEndpoint(_, proxy = config.proxy,
+          sslContext = config.sslContext,
+          skipHostnameVerify = config.httpsInsecureSkipVerify))))
       .getOrElse(throw new IllegalArgumentException(
         "transport=live requires 'endpoint.ref' or 'sse.uri'"))
     val ingests = endpoints.zipWithIndex.map { case (endpoint, i) =>
