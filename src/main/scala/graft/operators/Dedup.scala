@@ -428,7 +428,17 @@ object Dedup {
         concat_ws("_", (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*).as("band_sig")))
     val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bc"))
       .select(col("doc_id"), col("bc.band"), col("bc.band_sig"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // MaxBandDf occupancy ceiling — the same guard as the simhash chunk
+    // and pHash band joins: an exact-dup family shares every band sig, so
+    // an uncapped bucket costs |family|² candidates (max observed df at
+    // sf0.1 is 10 — the cap drops nothing at test scale, it bounds the
+    // real-corpus worst case)
+    val keep = bands.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxBandDf)
+      .select(col("band"), col("band_sig"))
+    val capped = bands.join(keep, Seq("band", "band_sig"))
+    val cand = capped.as("x").join(capped.as("y"),
       col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -450,9 +460,12 @@ object Dedup {
        |  SELECT doc_id, i // $BandSize AS band,
        |    string_agg(cast(mh AS varchar), '_' ORDER BY i) AS band_sig
        |  FROM sig GROUP BY doc_id, i // $BandSize),
+       |keepb AS (SELECT band, band_sig FROM bands GROUP BY 1, 2
+       |          HAVING count(*) <= $MaxBandDf),
+       |cbands AS (SELECT bands.* FROM bands JOIN keepb USING (band, band_sig)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM cbands x JOIN cbands y
        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
        |${sqlJaccardTail(0.5)}""".stripMargin
 

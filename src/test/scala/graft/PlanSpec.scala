@@ -119,6 +119,7 @@ class PlanSpec extends SparkSpec {
     val cap = Dedup.MaxBandDf
     for ((name, df) <- Seq(
       "dedup_simhash" -> Dedup.simhash(spark, Sf),
+      "dedup_minhash_lsh" -> Dedup.minhashLsh(spark, Sf),
       "mm_phash_dedup" -> Multimodal.phashDedup(spark, Sf))) {
       val s = fmt(df)
       assert(s"""df#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
