@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_band_stats" -> ((s, d) => Dedup.bandStats(s, d)),
+    "dedup_minhash_band_stats" -> ((s, d) => Dedup.minhashBandStats(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -592,6 +593,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_band_stats" -> Dedup.bandStatsOracle,
+    "dedup_minhash_band_stats" -> Dedup.minhashBandStatsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,

@@ -410,15 +410,16 @@ object Dedup {
   def minhashLsh(spark: SparkSession, d: String, minJac: Double = 0.5): DataFrame =
     minhashLshOn(shingleRows(docsWithNearDups(spark, d)), minJac)
 
-  /** Same pipeline from a pre-built shingle relation — callers composing
-    * MinHash with other consumers of the same shingles (the recall eval)
-    * pass one shared `sh` so the distinct-shingle scan materializes once
-    * (exchange reuse needs shared lineage, not just equal plans). */
-  private def minhashLshOn(sh: DataFrame, minJac: Double): DataFrame = {
-    // Signatures as a single hash-aggregate: explode shingle hashes, then 32
-    // min-aggregates (one per permutation). Everything stays in whole-stage
-    // codegen with map-side partial aggregation — the nested-array-lambda
-    // formulation evaluates interpreted and is ~100× slower per doc.
+  /** The LSH band index rows (doc_id, band, band_sig) — shared by
+    * [[minhashLshOn]]'s capped candidate join and
+    * [[minhashBandStats]]'s accounting.
+    *
+    * Signatures as a single hash-aggregate: explode shingle hashes, then
+    * 32 min-aggregates (one per permutation). Everything stays in
+    * whole-stage codegen with map-side partial aggregation — the
+    * nested-array-lambda formulation evaluates interpreted and is ~100×
+    * slower per doc. */
+  private def minhashBands(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), hash31(col("s")).as("h"))
     val minAggs = (0 until NumPerms).map(i =>
       min(pmod(col("h") * permA(i) + permB(i), lit(P))).as(s"m$i"))
@@ -426,8 +427,25 @@ object Dedup {
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*).as("band_sig")))
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bc"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bc"))
       .select(col("doc_id"), col("bc.band"), col("bc.band_sig"))
+  }
+
+  /** Band-occupancy accounting for [[minhashLsh]]'s LSH index
+    * (`dedup_minhash_band_stats`) — the third member of the band-stats
+    * family, so every capped banded self-join publishes what its ceiling
+    * dropped. */
+  def minhashBandStats(spark: SparkSession, d: String,
+      maxDf: Int = MaxBandDf): DataFrame =
+    bandStatsOver(minhashBands(shingleRows(docsWithNearDups(spark, d))),
+      Seq("band", "band_sig"), maxDf)
+
+  /** Same pipeline from a pre-built shingle relation — callers composing
+    * MinHash with other consumers of the same shingles (the recall eval)
+    * pass one shared `sh` so the distinct-shingle scan materializes once
+    * (exchange reuse needs shared lineage, not just equal plans). */
+  private def minhashLshOn(sh: DataFrame, minJac: Double): DataFrame = {
+    val bands = minhashBands(sh)
     // MaxBandDf occupancy ceiling — the same guard as the simhash chunk
     // and pHash band joins: an exact-dup family shares every band sig, so
     // an uncapped bucket costs |family|² candidates (max observed df at
@@ -446,9 +464,11 @@ object Dedup {
     jaccardConfirm(cand, sh, minJac)
   }
 
-  val minhashLshOracle: String =
-    s"""WITH $sqlNearDups,
-       |h AS (
+  /** The CTE chain building the LSH band index in DuckDB (expects a `docs`
+    * CTE in scope) — shared by [[minhashLshOracle]] and
+    * [[minhashBandStatsOracle]]. */
+  private val sqlMinhashBands: String =
+    s"""h AS (
        |  SELECT DISTINCT doc_id, ${sqlHash31("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)) tok),
@@ -459,7 +479,11 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, i // $BandSize AS band,
        |    string_agg(cast(mh AS varchar), '_' ORDER BY i) AS band_sig
-       |  FROM sig GROUP BY doc_id, i // $BandSize),
+       |  FROM sig GROUP BY doc_id, i // $BandSize)""".stripMargin
+
+  val minhashLshOracle: String =
+    s"""WITH $sqlNearDups,
+       |$sqlMinhashBands,
        |keepb AS (SELECT band, band_sig FROM bands GROUP BY 1, 2
        |          HAVING count(*) <= $MaxBandDf),
        |cbands AS (SELECT bands.* FROM bands JOIN keepb USING (band, band_sig)),
@@ -468,6 +492,11 @@ object Dedup {
        |  FROM cbands x JOIN cbands y
        |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
        |${sqlJaccardTail(0.5)}""".stripMargin
+
+  val minhashBandStatsOracle: String =
+    s"""WITH $sqlNearDups,
+       |$sqlMinhashBands,
+       |${sqlBandStats("bands", Seq("band", "band_sig"), MaxBandDf)}""".stripMargin
 
   /** The simhash 15-bit-chunk index rows (doc_id, simhash, c, chunk) —
     * shared by [[simhash]]'s candidate join and [[bandStats]]'s
