@@ -27,6 +27,23 @@ private case class SessionState(n: Long, sum: Double, start: Long, last: Long)
   */
 object StreamOps {
 
+  /** Full-µs event time: `getTime` carries milliseconds only, `getNanos`
+    * the sub-second fraction — every keyed twin that orders or argmins on
+    * event time MUST use this, because its batch counterpart orders on the
+    * true microsecond timestamp (a `getTime`-only sort flips same-ms pairs
+    * whose id order differs from µs order). */
+  private[graft] def usOf(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  /** Inverse of [[usOf]]: rebuild a full-precision Timestamp from epoch
+    * microseconds (floorDiv/floorMod so pre-1970 instants round the same
+    * way `usOf` truncated them). */
+  private[graft] def tsOfUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Windowed counts per event type with a watermark: late events beyond
     * `lateness` are dropped and window state is reclaimed. `slide` defaults
     * to the window size (tumbling); a smaller slide gives the OVERLAPPING
@@ -409,17 +426,20 @@ object StreamOps {
           // leaves same-user equal-ts events in shuffle order, and a step
           // sorted before its predecessor would be dropped forever.
           var lastMs = Long.MinValue
-          it.toSeq.sortBy(e => (e.ts.getTime, steps.indexOf(e.event_type))).foreach { e =>
+          // full-µs ordering + at-or-after chain: the batch twin compares
+          // true event time, so a same-ms/different-µs step pair must
+          // resolve by µs here too (state times are epoch-µs)
+          it.toSeq.sortBy(e => (usOf(e.ts), steps.indexOf(e.event_type))).foreach { e =>
             lastMs = math.max(lastMs, e.ts.getTime)
             if (!s.done) {
               val idx = s.times.length
               if (idx < steps.length && e.event_type == steps(idx) &&
-                (s.times.isEmpty || e.ts.getTime >= s.times.last)) {
-                s = s.copy(times = s.times :+ e.ts.getTime)
+                (s.times.isEmpty || usOf(e.ts) >= s.times.last)) {
+                s = s.copy(times = s.times :+ usOf(e.ts))
                 if (s.times.length == steps.length) {
                   s = s.copy(done = true)
-                  out += Conversion(uid, new Timestamp(s.times.head),
-                    new Timestamp(s.times.last), s.times.last - s.times.head)
+                  out += Conversion(uid, tsOfUs(s.times.head),
+                    tsOfUs(s.times.last), (s.times.last - s.times.head) / 1000L)
                 }
               }
             }
@@ -576,8 +596,8 @@ object StreamOps {
           var s = state.getOption.getOrElse(TouchState(None, None))
           val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
           var lastMs = Long.MinValue
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val us = e.ts.getTime * 1000L
+          it.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            val us = usOf(e.ts)
             lastMs = math.max(lastMs, e.ts.getTime)
             e.event_type match {
               case "click" => s = s.copy(lastClickUs = Some(us))
@@ -641,8 +661,10 @@ object StreamOps {
           var s = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
           var lastMs = Long.MinValue
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime / 1000
+          // µs sort (batch window orders by true-µs ts, then event_id);
+          // the emitted interval bounds stay at second granularity
+          it.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            val t = usOf(e.ts) / 1000000L
             lastMs = math.max(lastMs, e.ts.getTime)
             s match {
               case null =>
@@ -713,17 +735,30 @@ object StreamOps {
     * array min/max — O(1) per open hour, never per tick); each batch
     * folds its ticks in and re-emits the refreshed bar (append mode), so
     * the latest emission per hour IS the batch row once the hour closes
-    * (parity spec across a mid-stream split). Integer cents throughout. */
-  def ohlcStream(ticks: Dataset[Tick]): Dataset[OhlcBar] = {
+    * (parity spec across a mid-stream split). Integer cents throughout.
+    *
+    * CLOSED hours are evicted: once the watermark passes an hour's end no
+    * on-time tick can still land in it, so the event-time timeout emits
+    * the bar one final time and drops the cell — the same close-and-drop
+    * rule as [[bitmapDistinctStream]] (each cell is O(1), but a year of
+    * dead hour keys is still a year of dead state). */
+  def ohlcStream(ticks: Dataset[Tick],
+      lateness: String = "1 hour"): Dataset[OhlcBar] = {
     import ticks.sparkSession.implicits._
     ticks
+      .withWatermark("ts", lateness)
       .groupByKey(t => t.ts.getTime / 3600000L * 3600L)
       .flatMapGroupsWithState[OhlcState, OhlcBar](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (hour: Long, it: Iterator[Tick], state: GroupState[OhlcState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(OhlcBar(hour, st.n, st.open, st.high, st.low, st.close, st.vol))
+          } else {
           var s = state.getOption.orNull
           it.foreach { t =>
-            val us = t.ts.getTime * 1000L
+            val us = usOf(t.ts)
             val cents = math.floor(t.value * 100 + 0.5).toLong
             s = if (s == null)
               OhlcState(us, t.event_id, cents, cents, cents, us, t.event_id, cents, 1L, cents)
@@ -737,8 +772,14 @@ object StreamOps {
             }
           }
           if (s == null) Iterator.empty
-          else { state.update(s); Iterator.single(
-            OhlcBar(hour, s.n, s.open, s.high, s.low, s.close, s.vol)) }
+          else {
+            state.update(s)
+            // close-and-drop: finalize when the watermark passes hour end
+            state.setTimeoutTimestamp(math.max((hour + 3600L) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(OhlcBar(hour, s.n, s.open, s.high, s.low, s.close, s.vol))
+          }
+          }
       }
   }
 
@@ -894,23 +935,44 @@ object StreamOps {
     * (idempotent: replayed events cannot double-count, unlike a counter).
     * Emits the refreshed popcount per batch; the parity spec pins the
     * final emission per cell equal to the batch operator's exact count
-    * after a split feed. */
-  def bitmapDistinctStream(events: Dataset[StreamEvent]): Dataset[BitmapCell] = {
+    * after a split feed.
+    *
+    * FINALIZED cells are evicted: each (day, type) bitmap is the heaviest
+    * state in the library (O(users/62) longs per cell) and day keys would
+    * otherwise accrete forever. Once the watermark passes the cell's day
+    * end, no on-time event can still land in it — the event-time timeout
+    * emits the cell's FINAL popcount once more and drops the bitmap, so
+    * steady-state store size is O(open days × types), never O(history).
+    * The timeout fires at max(day end, watermark + 1): a cell first
+    * touched by a late-but-in-watermark event whose day already closed
+    * finalizes on the next watermark advance. */
+  def bitmapDistinctStream(events: Dataset[StreamEvent],
+      lateness: String = "1 hour"): Dataset[BitmapCell] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(e => (e.ts.getTime / 86400000L, e.event_type))
       .flatMapGroupsWithState[Map[Long, Long], BitmapCell](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: (Long, String), it: Iterator[StreamEvent],
          state: GroupState[Map[Long, Long]]) =>
-          var m = state.getOption.getOrElse(Map.empty[Long, Long])
-          it.foreach { e =>
-            val w = e.user_id / 62
-            m = m.updated(w, m.getOrElse(w, 0L) | (1L << (e.user_id % 62).toInt))
+          if (state.hasTimedOut) {
+            val m = state.get
+            state.remove()
+            val distinct = m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
+            Iterator.single(BitmapCell(key._1, key._2, m.size.toLong, distinct))
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Long, Long])
+            it.foreach { e =>
+              val w = e.user_id / 62
+              m = m.updated(w, m.getOrElse(w, 0L) | (1L << (e.user_id % 62).toInt))
+            }
+            state.update(m)
+            state.setTimeoutTimestamp(math.max((key._1 + 1L) * 86400000L,
+              state.getCurrentWatermarkMs() + 1L))
+            val distinct = m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
+            Iterator.single(BitmapCell(key._1, key._2, m.size.toLong, distinct))
           }
-          state.update(m)
-          val distinct = m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
-          Iterator.single(BitmapCell(key._1, key._2, m.size.toLong, distinct))
       }
   }
 
@@ -988,9 +1050,7 @@ object StreamOps {
         (uid: Long, it: Iterator[ChangeEvent], state: GroupState[LastEvent]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-          // full-µs event time: getTime carries ms, getNanos the fraction
-          def us(e: ChangeEvent): Long =
-            e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+          def us(e: ChangeEvent): Long = usOf(e.ts)
           var s = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           // full-µs tiebreak: the batch twin's lag window orders by
@@ -1049,8 +1109,7 @@ class TransitionProcessor(ttl: java.time.Duration = null)
 
   override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
       timers: TimerValues): Iterator[Transition] = {
-    def us(e: ChangeEvent): Long =
-      e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+    def us(e: ChangeEvent): Long = StreamOps.usOf(e.ts)
     var s = if (last.exists()) last.get() else null
     val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
     // µs-granularity sort — must match the batch lag window's (ts, id)

@@ -1304,4 +1304,140 @@ class StreamOpsSpec extends SparkSpec {
         case None => spark.conf.unset(key) }
     }
   }
+
+  // ── full-µs event-time arithmetic: a same-ms/different-µs pair whose id
+  // order OPPOSES µs order must resolve by µs, exactly like the batch
+  // (ts, event_id) window sort — getTime-only ordering flips these pairs.
+
+  test("scd2Stream orders a same-ms/different-µs pair by µs, not event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2us")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same millisecond (…10:00:00.001), sub-ms parts 500µs vs 900µs;
+      // id order (1 before 2) OPPOSES µs order (A@.0015 before B@.0019)
+      in.addData(
+        ChangeEvent(1, 2, "A", Timestamp.valueOf("2024-01-01 10:00:00.0015")),
+        ChangeEvent(1, 1, "B", Timestamp.valueOf("2024-01-01 10:00:00.0019")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT version, status FROM scd2us")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // µs order: A arrives first, B's change closes it → closed v1 is A.
+      // An ms sort would put B (smaller id) first and emit B instead.
+      assert(got == Seq((1L, "A")), s"got $got")
+    } finally q.stop()
+  }
+
+  test("ohlcStream argmin/argmax a same-ms/different-µs pair by µs, not event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = StreamOps.ohlcStream(in.toDS())
+      .writeStream.format("memory").queryName("ohlcus")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Tick(2, Timestamp.valueOf("2024-01-01 10:00:00.0015"), 1.00),
+        Tick(1, Timestamp.valueOf("2024-01-01 10:00:00.0019"), 2.00))
+      q.processAllAvailable()
+      val bar = spark.sql(
+        "SELECT open_cents, close_cents FROM ohlcus ORDER BY hour_ts").collect().last
+      // true µs: open = id 2 @ .0015 (100c), close = id 1 @ .0019 (200c);
+      // ms-truncated "µs" ties both and the id tiebreak inverts the bar
+      assert((bar.getLong(0), bar.getLong(1)) == (100L, 200L),
+        s"got open=${bar.getLong(0)} close=${bar.getLong(1)}")
+    } finally q.stop()
+  }
+
+  // ── finalized time-keyed state is evicted once the watermark passes the
+  // cell's end: final emission equals the cell's last value, then the
+  // store holds OPEN cells only.
+
+  test("bitmapDistinctStream finalizes and evicts day cells behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.bitmapDistinctStream(in.toDS(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("bmevict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 1: three users (one duplicated) in one (day, click) cell
+      in.addData(
+        StreamEvent(1, "click", 0, hts(0)), StreamEvent(2, "click", 0, hts(1)),
+        StreamEvent(3, "click", 0, hts(2)), StreamEvent(1, "click", 0, hts(3)))
+      q.processAllAvailable()
+      // two days later: watermark sails past day-1 end; the next batch
+      // fires the timeout → final emission + cell dropped
+      in.addData(StreamEvent(9, "view", 0, hts(2880))); q.processAllAvailable()
+      in.addData(StreamEvent(9, "view", 0, hts(2881))); q.processAllAvailable()
+      assert(stateRows(q) == 1L,
+        s"only the open day-3 cell may remain, state has ${stateRows(q)} rows")
+      val day1 = hts(0).getTime / 86400000L
+      val finals = spark.sql(
+        s"SELECT distinct_users FROM bmevict WHERE day = $day1 AND event_type = 'click'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(finals.nonEmpty && finals.last == 3L,
+        s"final emission must carry the exact day-1 count, got $finals")
+    } finally q.stop()
+  }
+
+  test("ohlcStream finalizes and evicts hour cells behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = StreamOps.ohlcStream(in.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ohlcevict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Tick(1, hts(0), 1.00), Tick(2, hts(5), 3.00), Tick(3, hts(10), 2.00))
+      q.processAllAvailable()
+      in.addData(Tick(4, hts(300), 5.00)); q.processAllAvailable()
+      in.addData(Tick(5, hts(301), 5.00)); q.processAllAvailable()
+      assert(stateRows(q) == 1L,
+        s"closed 10:00 hour must be dropped, state has ${stateRows(q)} rows")
+      val hour1 = hts(0).getTime / 3600000L * 3600L
+      val finals = spark.sql(
+        s"SELECT n_trades, open_cents, high_cents, low_cents, close_cents, volume_cents " +
+          s"FROM ohlcevict WHERE hour_ts = $hour1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(finals.last == ((3L, 100L, 300L, 100L, 200L, 600L)),
+        s"final bar must equal the closed hour's last refresh, got ${finals.last}")
+    } finally q.stop()
+  }
+
+  // ── streaming slide (SURVEY row 12): the overlapping-window form runs
+  // the same native epoch-aligned window generator as the batch
+  // ev_sliding_counts, so the two agree window-for-window.
+
+  test("windowedCounts with slide matches batch ev_sliding_counts window-for-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts")).collect()
+      .map(r => StreamEvent(r.getLong(0), r.getString(1), r.getDouble(2), r.getTimestamp(3)))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.windowedCounts(in.toDF(), "1 hour", "1 hour", slide = "15 minutes")
+      .writeStream.format("memory").queryName("slidewc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(b1.toIndexedSeq); in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT unix_micros(window.start), event_type, n_events, sum_value FROM slidewc")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.operators.Events.slidingCounts(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"window coverage diverged: stream-only=${(streamed.keySet -- batch.keySet).take(3)} " +
+          s"batch-only=${(batch.keySet -- streamed.keySet).take(3)}")
+      batch.foreach { case (k, (n, revCents)) =>
+        val (sn, sv) = streamed(k)
+        assert(sn == n, s"window $k: stream n_events $sn != batch $n")
+        // the batch row sums exact cents; the stream sums raw doubles —
+        // agreement within a rounding cent per event
+        assert(math.abs(sv * 100.0 - revCents) <= n.toDouble,
+          s"window $k: stream value $sv vs batch cents $revCents")
+      }
+    } finally q.stop()
+  }
 }
