@@ -30,6 +30,7 @@ final class OAuth2TokenProvider(
     scope: Option[String] = None,
     proxy: Option[Proxy] = None,
     sslContext: Option[javax.net.ssl.SSLContext] = None,
+    skipHostnameVerify: Boolean = false,
     clock: () => Long = () => System.currentTimeMillis(),
     connectTimeoutMs: Int = 10000) {
 
@@ -60,6 +61,11 @@ final class OAuth2TokenProvider(
     conn match {
       case h: javax.net.ssl.HttpsURLConnection =>
         sslContext.foreach(c => h.setSSLSocketFactory(c.getSocketFactory))
+        // mirror HttpSseEndpoint: under the skip-verify kill-switch the
+        // token endpoint must bypass hostname verification too, or a
+        // self-signed cert without a matching SAN streams events but
+        // fails the token fetch — inconsistent for the same switch
+        if (skipHostnameVerify) h.setHostnameVerifier((_, _) => true)
       case _ => ()
     }
     conn.setRequestMethod("POST")

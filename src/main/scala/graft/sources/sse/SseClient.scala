@@ -151,7 +151,8 @@ final class SseClient(
   private[sse] val oauthProvider: Option[OAuth2TokenProvider] =
     config.oauthTokenUrl.map(url => new OAuth2TokenProvider(
       url, config.oauthClientId.get, config.oauthClientSecret.get,
-      config.oauthScope, config.proxy, config.sslContext))
+      config.oauthScope, config.proxy, config.sslContext,
+      skipHostnameVerify = config.httpsInsecureSkipVerify))
 
   /** Request headers, built exactly like the reference start() does
     * (:252-283): Basic auth — or the roadmap Step-9 schemes, a static
@@ -222,6 +223,11 @@ final class SseClient(
         transition(Failed)
         totalFailedConnections.incrementAndGet()
         recordConnectFailure()
+        // a 401 means the resource server rejected the (possibly revoked)
+        // cached OAuth token — drop it so the NEXT attempt fetches fresh,
+        // instead of resending the same stale Bearer until the cache
+        // margin elapses (up to ~1 h of guaranteed-failing reconnects)
+        if (isUnauthorizedError(e)) oauthProvider.foreach(_.invalidate())
         lastError = Some(e)
         throw new java.io.IOException("Failed to establish SSE connection", e)
     }
@@ -349,12 +355,20 @@ final class SseClient(
 
   /** Reference isRateLimitError (:662-676), extended to the cause chain
     * because start() wraps endpoint failures in IOException. */
-  private def isRateLimitError(t: Throwable): Boolean = {
+  private def isRateLimitError(t: Throwable): Boolean =
+    causeMessages(t).exists(m =>
+      m.contains("429") || m.contains("too many requests") || m.contains("rate limit"))
+
+  /** A 401 anywhere in the cause chain — the resource server rejected the
+    * presented credentials (for OAuth2: a revoked-before-expiry token). */
+  private def isUnauthorizedError(t: Throwable): Boolean =
+    causeMessages(t).exists(m => m.contains("401") || m.contains("unauthorized"))
+
+  private def causeMessages(t: Throwable): List[String] = {
     def msgs(x: Throwable, acc: List[String]): List[String] =
       if (x == null || acc.size > 8) acc
       else msgs(x.getCause, Option(x.getMessage).map(_.toLowerCase).toList ::: acc)
-    msgs(t, Nil).exists(m =>
-      m.contains("429") || m.contains("too many requests") || m.contains("rate limit"))
+    msgs(t, Nil)
   }
 
   // ---- metrics (reference getMetrics :764-803) ----
@@ -443,7 +457,16 @@ final class SseClient(
             }
           case Initialized =>
             try start() catch { case NonFatal(_) => () } // now FAILED; retry below
-          case Failed => attemptReconnection()
+          case Failed =>
+            if (breakerState == "open") {
+              // fail-fast is right for the synchronous API, but here the
+              // pump would spin at 100% CPU for the whole cool-down —
+              // sleep the smaller of the poll interval and the remaining
+              // cool-down (injected sleeper, so specs stay virtual-time)
+              val remaining =
+                config.circuitBreakerOpenMs - (clock() - breakerOpenedAt)
+              sleeper(math.max(1L, math.min(pollMs, remaining)))
+            } else attemptReconnection()
           case Disconnected | Connecting => return
         }
       }

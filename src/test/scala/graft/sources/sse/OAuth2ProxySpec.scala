@@ -24,6 +24,7 @@ class OAuth2ProxySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val streamAuth = ArrayBuffer.empty[Option[String]]
   private val proxiedUris = ArrayBuffer.empty[String]
   private val tokenSerial = new AtomicInteger(0)
+  private val revokedBelow = new AtomicInteger(0)
 
   private def header(ex: HttpExchange, k: String): Option[String] =
     Option(ex.getRequestHeaders.getFirst(k))
@@ -70,6 +71,16 @@ class OAuth2ProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/bearer-events", (ex: HttpExchange) => {
       streamAuth.synchronized { streamAuth += header(ex, "Authorization") }
       sse(ex, "id: 7\ndata: static\n\n")
+    })
+
+    // revocable resource stream: 401s any token whose serial is at or
+    // below the revocation floor, even though its expires_in is far off
+    server.createContext("/revoking-events", (ex: HttpExchange) => {
+      val serial = header(ex, "Authorization")
+        .filter(_.startsWith("Bearer tok-"))
+        .flatMap(_.stripPrefix("Bearer tok-").toIntOption)
+      if (serial.exists(_ > revokedBelow.get)) sse(ex, "id: 1\ndata: fresh\n\n")
+      else sse(ex, "revoked", code = 401)
     })
 
     // HTTP proxy: a proxied GET arrives with an ABSOLUTE request-URI —
@@ -142,6 +153,27 @@ class OAuth2ProxySpec extends AnyFunSuite with BeforeAndAfterAll {
     c.stop()
     assert(c.oauthProvider.get.fetchCount == 1L,
       "an unexpired token must be reused across reconnects")
+  }
+
+  test("a 401'd (revoked-before-expiry) oauth token is invalidated: reconnect fetches fresh") {
+    val uri = s"http://127.0.0.1:$port/revoking-events"
+    val cfg = baseConfig(uri).copy(
+      oauthTokenUrl = Some(s"http://127.0.0.1:$port/token"),
+      oauthClientId = Some("cid"), oauthClientSecret = Some("csec"))
+    val c = new SseClient(new HttpSseEndpoint(uri), cfg, sleeper = _ => ())
+    c.start()
+    assert(drain(c, until = 1).map(_.data) == Seq("fresh"))
+    assert(c.oauthProvider.get.fetchCount == 1L)
+    // the auth server revokes every outstanding token mid-lifetime (long
+    // before expires_in): the cached token now draws 401s — the client
+    // must invalidate it on the 401, not resend it until the cache margin
+    revokedBelow.set(tokenSerial.get)
+    val again = drain(c, until = 1)
+    c.stop()
+    assert(again.map(_.data) == Seq("fresh"),
+      "the reconnect must recover with a freshly-fetched token")
+    assert(c.oauthProvider.get.fetchCount == 2L,
+      "exactly one re-fetch: the 401 invalidates, the next attempt fetches")
   }
 
   test("http proxy: the stream GET traverses the proxy with an absolute request-URI") {

@@ -193,6 +193,34 @@ class SseClientSpec extends AnyFunSuite {
       .breakerState == "disabled")
   }
 
+  test("open breaker: the background pump sleeps through the cool-down instead of spinning") {
+    val ep = new LoopbackEndpoint
+    ep.scriptReject(new RuntimeException("down hard"))
+    ep.scriptAccept()
+    val vt = new VirtualTime
+    val sleeps = ArrayBuffer.empty[Long]
+    val c = new SseClient(ep,
+      config().copy(circuitBreakerThreshold = Some(1), circuitBreakerOpenMs = 60000L),
+      vt.clock, d => sleeps.synchronized { sleeps += d; vt.now += d })
+    // the pump hits the open breaker in its Failed branch: each loop must
+    // SLEEP (virtually) min(pollMs, remaining cool-down), not fail fast —
+    // fail-fast is for the synchronous API; in the loop it is a 100%-CPU
+    // spin for the whole cool-down
+    c.startBackground(pollMs = 25L)
+    try {
+      val deadline = System.currentTimeMillis + 15000
+      while (c.connectionState != ConnectionState.Connected &&
+        System.currentTimeMillis < deadline) Thread.sleep(5)
+      assert(c.connectionState == ConnectionState.Connected,
+        "half-open probe must reconnect once the cool-down elapses")
+    } finally c.stopBackground()
+    val pollSleeps = sleeps.synchronized(sleeps.filter(_ <= 25L))
+    assert(pollSleeps.sum >= 59000L,
+      s"the cool-down must pass in poll-sized sleeps, slept ${pollSleeps.sum} ms")
+    assert(ep.connectAttempts.get == 2,
+      "exactly the initial dial + the half-open probe — no hammering")
+  }
+
   test("rate limiting spaces connection attempts (reference applyRateLimit :218-239)") {
     val ep = new LoopbackEndpoint
     ep.scriptAccept(); ep.scriptAccept()

@@ -10,10 +10,43 @@ Run the Spark side first:
 Mirrors the driver gate: row count, column-name set, and a value hash over
 rows with columns sorted by name.
 """
-import sys, json, glob, os
+import sys, json, glob, os, math, re
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def type_class(t):
+    """Collapse a DuckDB logical type to the class the driver's typed value
+    hash distinguishes: int vs float vs string vs time vs bool (5 == 5.0 in
+    Python, so without this an int-vs-double column passes locally but fails
+    the driver)."""
+    s = str(t).upper()
+    s = re.sub(r"\(.*\)", "", s)  # DECIMAL(p,s) -> DECIMAL
+    suffix = "[]" if s.endswith("[]") else ""
+    s = s.rstrip("[]")
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        c = "int"
+    elif s in ("FLOAT", "REAL", "DOUBLE", "DECIMAL"):
+        c = "float"
+    elif s.startswith("TIMESTAMP") or s == "DATE":
+        c = "time"  # midnight datetime == date (driver semantics)
+    else:
+        c = s
+    return c + suffix
+
+def rows_close(a, b):
+    """Pairwise tolerance compare for the float fallback: exact for
+    non-floats, isclose for floats (fixed round(6) flips values that differ
+    by <1e-9 across a rounding boundary)."""
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-6, abs_tol=1e-6)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(rows_close(x, y) for x, y in zip(a, b))
+    return a == b
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -52,22 +85,40 @@ def main():
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
-        sp = con.execute(f"SELECT * FROM '{files[0]}'")
-        sp_rows, sp_cols = sp.fetchall(), [c[0] for c in sp.description]
+        sp = con.sql(f"SELECT * FROM '{files[0]}'")
+        sp_cols, sp_types = list(sp.columns), list(sp.types)
+        sp_rows = sp.fetchall()
         try:
-            oc = con.execute(sql)
-            oc_rows, oc_cols = oc.fetchall(), [c[0] for c in oc.description]
+            oc = con.sql(sql)
+            oc_cols, oc_types = list(oc.columns), list(oc.types)
+            oc_rows = oc.fetchall()
         except Exception as e:
             print(f"{name}: ORACLE ERR {e}"); fails += 1; continue
         if sorted(sp_cols) != sorted(oc_cols):
             print(f"{name}: SCHEMA spark={sorted(sp_cols)} oracle={sorted(oc_cols)}")
             fails += 1; continue
+        # dtype gate, mirroring the driver's typed value hash
+        sp_t = {c: type_class(t) for c, t in zip(sp_cols, sp_types)}
+        oc_t = {c: type_class(t) for c, t in zip(oc_cols, oc_types)}
+        badt = {c: (sp_t[c], oc_t[c]) for c in sp_t if sp_t[c] != oc_t[c]}
+        if badt:
+            print(f"{name}: DTYPE mismatch {badt}")
+            fails += 1; continue
         if len(sp_rows) != len(oc_rows):
             print(f"{name}: ROWS spark={len(sp_rows)} oracle={len(oc_rows)}")
             fails += 1; continue
+        if not sp_rows:
+            # the driver smoke-checks rows>0; an empty result is a FAIL here
+            # too, not a vacuous pass
+            print(f"{name}: ZERO ROWS"); fails += 1; continue
         a, b = canon(sp_rows, sp_cols), canon(oc_rows, oc_cols)
         if a != b:
-            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            # float fallback: rows that only differ by <tolerance across a
+            # round(6) boundary still pass; anything else is a mismatch
+            if all(rows_close(x, y) for x, y in zip(a, b)):
+                print(f"{name}: ok ({len(sp_rows)} rows, float-tolerance)")
+                continue
+            diff = [(x, y) for x, y in zip(a, b) if not rows_close(x, y)][:3]
             print(f"{name}: HASH mismatch, first diffs {diff}")
             fails += 1; continue
         print(f"{name}: ok ({len(sp_rows)} rows)")
