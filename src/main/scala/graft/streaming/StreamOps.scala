@@ -686,6 +686,31 @@ object StreamOps {
       }
   }
 
+  /** SCD-2 compaction on Spark 4's `transformWithState` with EVENT-TIME
+    * TIMERS — the same closed-interval semantics as [[scd2Stream]] (one
+    * open interval per user, O(1) state, closed rows byte-identical to the
+    * batch `ev_scd2`), but the dormancy flush is an engine-managed
+    * event-time TIMER instead of the fMGWS `EventTimeTimeout` hand-roll:
+    * each input batch re-arms the user's flush timer at last-evidence +
+    * `ttlHours`, and when the watermark passes that instant the engine
+    * calls `handleExpiredTimer`, which emits the open interval closed at
+    * its last observed second and clears the state. Timers live in the
+    * checkpointed RocksDB store, so a flush armed before a shutdown fires
+    * after the restart — the spec drives exactly that. Completes the
+    * modern-API migration story [[transitionStreamTws]] started: that twin
+    * proved TTL, this one proves TIMERS (the dimension SCD-2 actually
+    * needs). Requires the RocksDB state-store provider. */
+  def scd2StreamTws(events: Dataset[ChangeEvent],
+      lateness: String = "1 hour",
+      ttlHours: Long = 2160L): Dataset[Scd2Interval] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor(ttlHours * 3600000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming 4-tap EWMA smoothing — the in-flight twin of the batch
     * `ev_ewma_hourly`: keyed state per event type is the last ≤4 OBSERVED
     * (hour, count) taps (O(1) forever — exactly the lag window the batch
@@ -1127,6 +1152,68 @@ class TransitionProcessor(ttl: java.time.Duration = null)
 /** Last-seen event per user — O(1) state for
   * [[StreamOps.transitionStream]]. */
 private case class LastEvent(event_type: String, us: Long)
+
+/** [[StreamOps.scd2StreamTws]]'s typed processor: per-user
+  * `ValueState[Scd2State]` plus an event-time flush TIMER — the engine
+  * fires [[handleExpiredTimer]] when the watermark passes last-evidence +
+  * TTL, emitting the dormancy-flushed interval exactly like the fMGWS
+  * twin's `hasTimedOut` branch. One timer per key: each batch deletes the
+  * previously-armed instant (tracked in its own `ValueState`) before
+  * re-arming, so dormant keys carry exactly one pending flush. */
+class Scd2Processor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, Scd2Interval] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+  @transient private var open: ValueState[Scd2State] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getValueState[Scd2State]("open",
+      org.apache.spark.sql.Encoders.product[Scd2State], TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
+      timers: TimerValues): Iterator[Scd2Interval] = {
+    var s = if (open.exists()) open.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
+    var lastMs = Long.MinValue
+    // µs sort — the batch window orders by (true-µs ts, event_id)
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), e.event_id)).foreach { e =>
+      val t = StreamOps.usOf(e.ts) / 1000000L
+      lastMs = math.max(lastMs, e.ts.getTime)
+      s match {
+        case null =>
+          s = Scd2State(1L, e.event_type, 1L, t, t)
+        case st if st.status == e.event_type =>
+          s = st.copy(n = st.n + 1, last = math.max(st.last, t))
+        case st =>
+          out += Scd2Interval(uid, st.version, st.status, st.n, st.from, t)
+          s = Scd2State(st.version + 1L, e.event_type, 1L, t, t)
+      }
+    }
+    if (s != null) {
+      open.update(s)
+      if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+      val at = math.max(lastMs, timers.getCurrentWatermarkInMs() + 1L) + ttlMs
+      getHandle.registerTimer(at)
+      armedAt.update(at)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Scd2Interval] = {
+    if (!open.exists()) { armedAt.clear(); Iterator.empty }
+    else {
+      val st = open.get()
+      open.clear()
+      armedAt.clear()
+      Iterator.single(Scd2Interval(uid, st.version, st.status, st.n, st.from, st.last))
+    }
+  }
+}
 
 /** One smoothed traffic tap, emitted (and re-emitted as its hour
   * accumulates) by [[StreamOps.ewmaStream]]. */

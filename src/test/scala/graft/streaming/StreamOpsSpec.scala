@@ -1305,6 +1305,102 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("TWS SCD-2 twin: closed intervals bit-identical to the batch rows on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .filter(expr("user_id % 10 = 0"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.scd2StreamTws(in.toDS())
+      .writeStream.format("memory").queryName("twsscd2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, version, status, n_events, valid_from, valid_to FROM twsscd2")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batchClosed = graft.operators.Events.scd2(spark, Sf)
+        .filter(col("valid_to").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(streamed.nonEmpty && streamed == batchClosed,
+        s"TWS SCD-2 stream/batch divergence (missing: ${(batchClosed -- streamed).take(3)}, " +
+          s"extra: ${(streamed -- batchClosed).take(3)})")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS SCD-2 timers: the event-time dormancy flush fires across a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsscd2timer").toString
+    val in = MemoryStream[ChangeEvent]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long, Long)]
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(expected: Int): Unit = {
+      val committed = commits()
+      val q = StreamOps.scd2StreamTws(in.toDS(), lateness = "1 minute", ttlHours = 1L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Scd2Interval], _: Long) =>
+          rows.synchronized {
+            rows ++= ds.collect().map(i =>
+              (i.user_id, i.version, i.status, i.n_events, i.valid_from, i.valid_to))
+          }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while ((rows.synchronized(rows.size) < expected ||
+            commits() <= committed) && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+    }
+    try {
+      // run 1: user 1 active twice, timer armed at hts(1) + 1 h; shutdown
+      // BEFORE the watermark reaches it — the armed timer must survive in
+      // the checkpointed store
+      in.addData(ChangeEvent(1, 10, "active", hts(0)), ChangeEvent(1, 11, "active", hts(1)))
+      runBatch(expected = 0)
+      assert(rows.synchronized(rows.isEmpty), s"no closed interval yet, got $rows")
+      // run 2 (fresh query, same checkpoint): user 99 pushes the watermark
+      // 3 h forward; the engine fires user 1's restored timer → dormancy
+      // flush closed at the LAST OBSERVED second
+      in.addData(ChangeEvent(99, 12, "x", hts(180)))
+      runBatch(expected = 0)
+      in.addData(ChangeEvent(99, 13, "x", hts(181)))
+      runBatch(expected = 1)
+      val flushed = rows.synchronized(rows.filter(_._1 == 1L).toList)
+      assert(flushed == List((1L, 1L, "active", 2L, hts(0).getTime / 1000, hts(1).getTime / 1000)),
+        s"timer-driven flush must close user 1's interval at its last evidence, got $flushed")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   // ── full-µs event-time arithmetic: a same-ms/different-µs pair whose id
   // order OPPOSES µs order must resolve by µs, exactly like the batch
   // (ts, event_id) window sort — getTime-only ordering flips these pairs.
