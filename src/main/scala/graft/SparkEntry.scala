@@ -179,6 +179,7 @@ object SparkEntry {
     "docs_gopher_audit" -> ((s, d) => Pipeline.gopherAudit(s, d)),
     "docs_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "docs_pipeline_e2e" -> ((s, d) => Pipeline.pipelineE2e(s, d)),
+    "docs_pipeline_full" -> ((s, d) => Pipeline.pipelineFull(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
@@ -633,6 +634,7 @@ object SparkEntry {
     "docs_gopher_audit" -> Pipeline.gopherAuditOracle,
     "docs_token_budget" -> Pipeline.tokenBudgetOracle,
     "docs_pipeline_e2e" -> Pipeline.pipelineE2eOracle,
+    "docs_pipeline_full" -> Pipeline.pipelineFullOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,

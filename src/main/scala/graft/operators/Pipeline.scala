@@ -947,6 +947,258 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Per-doc stage attribution for the FULL training-data funnel —
+    * quality filter → exact dedup → near-dup clusters → eval-set
+    * decontamination — the composition a corpus build actually runs
+    * (`docs_pipeline_e2e` chains the first two stages; this threads all
+    * four through ONE corpus so the stage interfaces — digest
+    * conventions, id spaces, survivor sets — are exercised together).
+    * Returns (doc_id, source, stage) where stage ∈ quality / exact /
+    * neardup / contam / kept = the FIRST stage that drops the doc;
+    * [[pipelineFull]] publishes the per-source funnel table and
+    * Round10Spec pins planted docs dropping at exactly their stage.
+    *
+    * The corpus plants one family per stage: every 5th non-eval doc
+    * re-enters verbatim (+9 000 000 — loses the exact-canonical race
+    * iff its original passes quality), every 7th re-enters with a
+    * `zqdup` token PREPENDED (+7 000 000 — not an exact copy, but
+    * 3-shingle Jaccard n/(n+2) ≥ 0.5, so it pairs with its original and
+    * loses the cluster-canonical race), and every eval doc (doc_id
+    * % 97 = 0, HELD OUT of the corpus) re-enters verbatim (+5 000 000 —
+    * unique in-corpus, survives both dedups, then every shingle hits
+    * the eval Bloom filter).
+    *
+    * Scale shape per stage: quality is one map pass; exact dedup groups
+    * 128-bit digests (bodies never shuffle); near-dup pairs ride the
+    * df-capped inverted index (Σdf² ≤ maxDf·|index|, lang-blocked) into
+    * BSP connected components over edge endpoints only; decontamination
+    * probes a BROADCAST m-bit Bloom filter built from the held-out eval
+    * shingles (k=2 from one md5), so the surviving corpus is never
+    * joined against the eval set row-for-row. */
+  def pipelineFullStages(spark: SparkSession, d: String,
+      maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+    val mBits = 65536L
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val nonEval = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+    val corpus = nonEval
+      .unionAll(nonEval.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 9000000L).as("doc_id"), col("source"), col("lang"), col("text")))
+      .unionAll(nonEval.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 7000000L).as("doc_id"), col("source"), col("lang"),
+        concat(lit("zqdup "), col("text")).as("text")))
+      .unionAll(evalDocs.select((col("doc_id") + 5000000L).as("doc_id"),
+        col("source"), col("lang"), col("text")))
+    val t = tokens(col("text"))
+    // stage 1: quality (same rule as docs_pipeline_e2e)
+    val staged = corpus.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(t).cast("long").as("nw"), size(array_distinct(t)).cast("long").as("nd"))
+      .withColumn("kept_q", col("nw") >= 30 && col("nw") <= 80 &&
+        col("nd").cast("double") / col("nw") >= 0.45)
+      .localCheckpoint()
+    // stage 2: exact dedup (canonical = min doc id per md5 digest)
+    val canon = staged.filter(col("kept_q"))
+      .withColumn("canon", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"), col("canon"))
+      .localCheckpoint()
+    val e = canon.filter(col("doc_id") === col("canon"))
+    // stage 3: near-dup clusters over the exact survivors — df-capped
+    // inverted index, lang-blocked, integer-count Jaccard ≥ 0.5, BSP
+    // components labeled by component-minimum id
+    val sh0 = e.select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), col("lang"), concat_ws(" ",
+        element_at(col("t"), col("i")), element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2)).as("s"))
+      .distinct()
+    val keepSh = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val sh = sh0.join(keepSh, "s").localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("s"), col("lang"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s"), col("lang")), Seq("s", "lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 4) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponentsOfEdges(pairs)
+    val nd = e.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("doc_id") === col("label"))
+      .select(col("doc_id"), col("text"))
+    // stage 4: decontamination — broadcast Bloom filter over the held-out
+    // eval set's distinct shingles; a doc drops when ≥ half its shingles hit
+    val es = evalDocs.select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
+      .distinct()
+    val eh = es.select(pmod(hash60(col("s")), lit(mBits)).as("p"))
+      .unionAll(es.select(pmod(hash60b(col("s")), lit(mBits)).as("p")))
+    val filt = eh.select(expr("p div 62").as("word"),
+        expr("shiftleft(cast(1 AS bigint), cast(p % 62 AS int))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val probe = nd.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1), element_at(col("t"), col("i") + 2)).as("s"))
+      .distinct()
+      .select(col("doc_id"),
+        pmod(hash60(col("s")), lit(mBits)).as("p1"),
+        pmod(hash60b(col("s")), lit(mBits)).as("p2"))
+    val contam = probe
+      .join(broadcast(filt.select(col("word").as("w1"), col("bits").as("b1"))),
+        expr("p1 div 62") === col("w1"), "left")
+      .join(broadcast(filt.select(col("word").as("w2"), col("bits").as("b2"))),
+        expr("p2 div 62") === col("w2"), "left")
+      .select(col("doc_id"),
+        when(col("b1").isNotNull &&
+          expr("b1 & shiftleft(cast(1 AS bigint), cast(p1 % 62 AS int))") =!= 0L &&
+          col("b2").isNotNull &&
+          expr("b2 & shiftleft(cast(1 AS bigint), cast(p2 % 62 AS int))") =!= 0L,
+          1L).otherwise(0L).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("hit")).as("n_flagged"))
+      .filter(col("n_flagged") * 2 >= col("n_sh"))
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    staged.select(col("doc_id"), col("source"), col("kept_q"))
+      .join(canon.select(col("doc_id"), col("canon")), Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("label", "ndlabel"), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(!col("kept_q"), "quality")
+          .when(col("doc_id") =!= col("canon"), "exact")
+          .when(col("ndlabel").isNotNull && col("doc_id") =!= col("ndlabel"), "neardup")
+          .when(coalesce(col("contaminated"), lit(false)), "contam")
+          .otherwise("kept").as("stage"))
+  }
+
+  /** The per-source funnel table over [[pipelineFullStages]]
+    * (`docs_pipeline_full`): raw docs and survivors after each of the
+    * four stages — the table a real corpus build publishes, with every
+    * planted family provably dropping at its own stage (oracle-pinned
+    * per source; Round10Spec pins individual planted docs). Columns are
+    * cumulative survivor counts, so each is ≤ its predecessor. */
+  def pipelineFull(spark: SparkSession, d: String): DataFrame =
+    pipelineFullStages(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("stage") =!= "quality", 1L).otherwise(0L)).as("n_quality"),
+        sum(when(!col("stage").isin("quality", "exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("stage").isin("contam", "kept"), 1L).otherwise(0L)).as("n_neardup"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_clean"))
+      .orderBy(col("source"))
+
+  val pipelineFullOracle: String =
+    s"""WITH RECURSIVE base AS (SELECT doc_id, source, lang, text FROM documents),
+       |ev AS (SELECT doc_id, source, lang, text FROM base WHERE doc_id % 97 = 0),
+       |ne AS (SELECT doc_id, source, lang, text FROM base WHERE doc_id % 97 != 0),
+       |corpus AS (
+       |  SELECT doc_id, source, lang, text FROM ne
+       |  UNION ALL
+       |  SELECT doc_id + 9000000, source, lang, text FROM ne WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, source, lang, 'zqdup ' || text FROM ne WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, source, lang, text FROM ev),
+       |st AS (
+       |  SELECT doc_id, source, lang, text,
+       |    cast(len(string_split(text, ' ')) AS bigint) AS nw,
+       |    cast(len(list_distinct(string_split(text, ' '))) AS bigint) AS nd
+       |  FROM corpus),
+       |flag AS (
+       |  SELECT *, (nw >= 30 AND nw <= 80 AND cast(nd AS double) / nw >= 0.45)
+       |    AS kept_q FROM st),
+       |canon AS (
+       |  SELECT doc_id, source, lang, text,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |  FROM flag WHERE kept_q),
+       |e AS (SELECT * FROM canon WHERE doc_id = canon),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM e)) tok),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= ${Dedup.MaxShingleDf}),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |prs AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh p JOIN sh q ON p.s = q.s AND p.lang = q.lang AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM prs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(cast(n_common AS double) / (sa.n + sb.n - n_common), 4) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |  UNION SELECT doc_b, doc_a FROM jp),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u),
+       |comp AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+       |ndkeep AS (
+       |  SELECT e.doc_id, e.text FROM e
+       |  LEFT JOIN comp ON comp.u = e.doc_id
+       |  WHERE comp.label IS NULL OR comp.label = e.doc_id),
+       |es AS (
+       |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT string_split(text, ' ') AS t FROM ev))),
+       |eh AS (
+       |  SELECT (${sqlHash60("s")} % 65536) AS p FROM es
+       |  UNION ALL
+       |  SELECT (${sqlHash60b("s")} % 65536) AS p FROM es),
+       |filt AS (
+       |  SELECT p // 62 AS word,
+       |    bit_or(cast(1 AS bigint) << cast(p % 62 AS int)) AS bits
+       |  FROM eh GROUP BY 1),
+       |ts AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ndkeep))),
+       |probe AS (
+       |  SELECT doc_id,
+       |    (${sqlHash60("s")} % 65536) AS p1,
+       |    (${sqlHash60b("s")} % 65536) AS p2
+       |  FROM ts),
+       |fl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN f1.bits IS NOT NULL
+       |      AND (f1.bits & (cast(1 AS bigint) << cast(p1 % 62 AS int))) != 0
+       |      AND f2.bits IS NOT NULL
+       |      AND (f2.bits & (cast(1 AS bigint) << cast(p2 % 62 AS int))) != 0
+       |    THEN 1 ELSE 0 END AS hit
+       |  FROM probe
+       |  LEFT JOIN filt f1 ON f1.word = p1 // 62
+       |  LEFT JOIN filt f2 ON f2.word = p2 // 62),
+       |contam AS (SELECT doc_id FROM fl GROUP BY 1 HAVING 2 * sum(hit) >= count(*)),
+       |stagecol AS (
+       |  SELECT f.doc_id, f.source,
+       |    CASE WHEN NOT f.kept_q THEN 'quality'
+       |         WHEN f.doc_id != c.canon THEN 'exact'
+       |         WHEN cm.label IS NOT NULL AND cm.label != f.doc_id THEN 'neardup'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'contam'
+       |         ELSE 'kept' END AS stage
+       |  FROM flag f
+       |  LEFT JOIN canon c ON c.doc_id = f.doc_id
+       |  LEFT JOIN comp cm ON cm.u = f.doc_id
+       |  LEFT JOIN contam ct ON ct.doc_id = f.doc_id)
+       |SELECT source, count(*) AS n_raw,
+       |  cast(sum(CASE WHEN stage != 'quality' THEN 1 ELSE 0 END) AS bigint) AS n_quality,
+       |  cast(sum(CASE WHEN stage NOT IN ('quality', 'exact') THEN 1 ELSE 0 END) AS bigint) AS n_exact,
+       |  cast(sum(CASE WHEN stage IN ('contam', 'kept') THEN 1 ELSE 0 END) AS bigint) AS n_neardup,
+       |  cast(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS bigint) AS n_clean
+       |FROM stagecol GROUP BY 1 ORDER BY 1""".stripMargin
+
   val madOutliersOracle: String =
     """WITH med AS (
       |  SELECT source,

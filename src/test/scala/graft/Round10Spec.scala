@@ -506,6 +506,40 @@ class Round10Spec extends SparkSpec {
       "share deltas conserve across the matrix")
   }
 
+  test("docs_pipeline_full: every planted family drops at exactly its stage") {
+    val stages = Pipeline.pipelineFullStages(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // recompute the quality rule locally to select plants whose ORIGINAL
+    // survives stage 1 (a plant of a quality-dropped doc drops there too)
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def keptQ(text: String): Boolean = {
+      val t = text.split(" ", -1)
+      t.length >= 30 && t.length <= 80 &&
+        t.distinct.length.toDouble / t.length >= 0.45
+    }
+    val nonEval = docs.keys.filter(_ % 97 != 0)
+    // exact plant: verbatim re-entry loses the canonical (min-id) race
+    val d5 = nonEval.filter(id => id % 5 == 0 && keptQ(docs(id))).min
+    assert(stages(d5 + 9000000L) == "exact", s"exact plant of $d5: ${stages(d5 + 9000000L)}")
+    // near-dup plant: the zqdup-prepended twin (nw+1 must stay ≤ 80)
+    val d7 = nonEval.filter(id => id % 7 == 0 && keptQ(docs(id)) &&
+      docs(id).split(" ", -1).length <= 79).min
+    assert(stages(d7 + 7000000L) == "neardup", s"near-dup plant of $d7: ${stages(d7 + 7000000L)}")
+    // contamination plant: a held-out eval doc re-entered verbatim
+    val d97 = docs.keys.filter(id => id % 97 == 0 && keptQ(docs(id))).min
+    assert(stages(d97 + 5000000L) == "contam", s"contam plant of $d97: ${stages(d97 + 5000000L)}")
+    // the originals win their races and stay clean
+    assert(stages(d5) == "kept" && stages(d7) == "kept", "plant originals survive")
+    // funnel columns are cumulative survivor counts: monotone non-increasing
+    Pipeline.pipelineFull(spark, Sf).collect().foreach { r =>
+      val cols = (1 to 5).map(r.getLong)
+      assert(cols.zip(cols.tail).forall { case (a, b) => a >= b },
+        s"funnel must shrink monotonically: $cols")
+    }
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
