@@ -1062,4 +1062,89 @@ object TextAnalysis {
       |  cast(sum(sym_pm) // count(*) AS bigint) AS mean_sym_pm,
       |  cast(sum(dig_pm) // count(*) AS bigint) AS mean_dig_pm
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One distributed BPE merge step (`text_bpe_step`) — the tokenizer-
+    * training kernel a data pipeline runs upstream of `docs_pack`: from
+    * the character-level symbol vocabulary, the top-`topK` candidate
+    * merges with (a) the classic get_stats pair count (adjacent
+    * occurrences, overlaps included — the statistic BPE ranks merges by)
+    * and (b) the number of merges a greedy left-to-right application
+    * would actually perform (overlap-aware: a run of r+1 identical chars
+    * holds r adjacent pairs but only ⌊(r+1)/2⌋ non-overlapping merges),
+    * plus the corpus symbol count before/after applying that pair — the
+    * what-if table a tokenizer trainer reads to pick the next merge.
+    *
+    * 100 TB shape: ONE corpus pass (token explode) reduces to the
+    * (word, freq) vocabulary table; every later stage — position explode,
+    * per-(word, pair) island runs, the merge aggregate — is bounded by
+    * Σ|word| over the VOCABULARY, not the corpus, and the only windows
+    * are partitioned by (word, pair). All-integer arithmetic; the one-row
+    * symbol total broadcasts. Single-char tokens carry no pair and are
+    * excluded from the symbol universe (documented contract, mirrored in
+    * the oracle). */
+  def bpeStep(spark: SparkSession, d: String, topK: Int = 20): DataFrame =
+    bpeStepOver(Tables.documents(spark, d).select(col("text")), topK)
+
+  /** [[bpeStep]] over an explicit docs frame (spec hook). */
+  def bpeStepOver(docs: DataFrame, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pos = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w"), col("freq"), col("i"), expr("substr(w, i, 2)").as("pair"))
+    // islands of consecutive positions per (word, pair): only a self-pair
+    // (aa) can chain, and a chain of r pair-positions greedily merges
+    // (r+1) div 2 times
+    val runs = pos
+      .withColumn("g", col("i") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w"), col("pair")).orderBy(col("i"))))
+      .groupBy(col("w"), col("freq"), col("pair"), col("g"))
+      .agg(count(lit(1)).as("run"))
+    val stats = runs
+      .groupBy(col("w"), col("freq"), col("pair"))
+      .agg(sum(col("run")).as("raw"), sum(expr("(run + 1) div 2")).as("greedy"))
+      .groupBy(col("pair"))
+      .agg(sum(col("raw") * col("freq")).as("pair_count"),
+        sum(col("greedy") * col("freq")).as("n_merges"))
+    val symbols = words
+      .agg(sum(length(col("w")).cast("long") * col("freq")).as("symbols_before"))
+    stats.join(broadcast(symbols))
+      .select(col("pair"), col("pair_count"), col("n_merges"),
+        col("symbols_before"),
+        (col("symbols_before") - col("n_merges")).as("symbols_after"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+  }
+
+  val bpeStepOracle: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |pos AS (
+      |  SELECT w, freq, i, substr(w, cast(i AS int), 2) AS pair
+      |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM words)),
+      |isl AS (
+      |  SELECT w, freq, pair,
+      |    i - row_number() OVER (PARTITION BY w, pair ORDER BY i) AS g
+      |  FROM pos),
+      |runs AS (SELECT w, freq, pair, g, count(*) AS run FROM isl GROUP BY 1, 2, 3, 4),
+      |perword AS (
+      |  SELECT w, freq, pair, sum(run) AS raw, sum((run + 1) // 2) AS greedy
+      |  FROM runs GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT pair, cast(sum(raw * freq) AS bigint) AS pair_count,
+      |    cast(sum(greedy * freq) AS bigint) AS n_merges
+      |  FROM perword GROUP BY 1),
+      |sym AS (SELECT cast(sum(length(w) * freq) AS bigint) AS symbols_before
+      |  FROM words)
+      |SELECT pair, pair_count, n_merges, symbols_before,
+      |  symbols_before - n_merges AS symbols_after
+      |FROM stats, sym
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 }

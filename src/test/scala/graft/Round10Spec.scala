@@ -540,6 +540,31 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
+    import spark.implicits._
+    // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
+    // excluded from the symbol universe entirely)
+    val docs = Seq("aaaa bb aaaa", "ab c").toDF("text")
+    val got = TextAnalysis.bpeStepOver(docs, topK = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // 'aa' in aaaa: 3 adjacent pairs but only 2 greedy merges (the BPE
+    // overlap case); symbols_before = 4·2 + 2 + 2 = 12
+    val want = Seq(
+      ("aa", 6L, 4L, 12L, 8L),
+      ("ab", 1L, 1L, 12L, 11L),
+      ("bb", 1L, 1L, 12L, 11L))
+    assert(got == want, s"got $got")
+    // corpus-level sanity on real data: greedy never exceeds the raw
+    // count, accounting recomputes, ordering is (count desc, pair asc)
+    val rows = TextAnalysis.bpeStep(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall { case (_, raw, greedy, before, after) =>
+      greedy >= 1 && greedy <= raw && after == before - greedy })
+    assert(rows.map(-_._2).zip(rows.map(_._1)).sorted.map(_._2).toSeq ==
+      rows.map(_._1).toSeq, "rank order is (count desc, pair asc)")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
