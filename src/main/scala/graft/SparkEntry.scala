@@ -158,6 +158,7 @@ object SparkEntry {
     "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
     "vec_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "knn_bucket_stats" -> ((s, d) => Similarity.knnBucketStats(s, d)),
     "ann_sq_search" -> ((s, d) => Similarity.sqTopK(s, d)),
     "ann_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "vec_power_iter" -> ((s, d) => Similarity.powerIter(s, d)),
@@ -619,6 +620,7 @@ object SparkEntry {
     "ann_recall" -> Similarity.annRecallOracle,
     "ev_windowed_topk" -> Events.windowedTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,
+    "knn_bucket_stats" -> Similarity.knnBucketStatsOracle,
     "ann_sq_search" -> Similarity.sqTopKOracle,
     "ann_sq_recall" -> Similarity.sqRecallOracle,
     "vec_power_iter" -> Similarity.powerIterOracle,

@@ -153,7 +153,13 @@ object Kernels {
     * nPlanes planes — same integer weights + left-to-right folds as
     * [[lshBucketN]] / graft.functions.LshBucket.compute. */
   def sqlLshBucket(e: String, nPlanes: Int): String =
-    s"""list_sum(list_transform(range(0, $nPlanes), p ->
+    sqlLshBucketExpr(e, nPlanes.toString)
+
+  /** [[sqlLshBucket]] with the plane count as an arbitrary SQL scalar
+    * expression (e.g. a subquery) — the adaptive form `knn_join` sizes
+    * its blocking with. */
+  def sqlLshBucketExpr(e: String, planesExpr: String): String =
+    s"""list_sum(list_transform(range(0, $planesExpr), p ->
        |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
        |        $e[j+1] * ((((p*1000003 + j*7919) % 2001) - 1000) / 1000.0))) > 0
        |      THEN cast(1 AS bigint) << p ELSE 0 END))""".stripMargin

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Occupancy ceiling for [[knnJoin]]'s LSH-bucket self-join — same
+    * design language as Dedup.MaxShingleDf / MaxBandDf: per-bucket cost is
+    * quadratic, so buckets above the ceiling are excluded (their dense
+    * neighborhoods belong to the IVF-PQ path) and the drop is published by
+    * the oracle-checked [[knnBucketStats]] ledger. */
+  val MaxKnnBucket = 256
+
   /** Embeddings with the double-cast array + L2 norm projected once. */
   private def normed(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
@@ -1151,14 +1158,47 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** k-NN self-join within LSH buckets: each vector's k nearest bucket
-    * peers. The block is the random-hyperplane bucket — 2^nPlanes cells, a
-    * parameter tuned to corpus size (6 planes → 64 cells here; ~√n-many at
-    * 100 TB) — so per-block pair counts stay O((n/2^b)²). Blocking on a
-    * fixed attribute vocabulary (label) would be O(n²/L) with constant L. */
-  def knnJoin(spark: SparkSession, d: String, k: Int = 3, nPlanes: Int = 6): DataFrame = {
-    val v = normed(spark, d)
+    * peers. The block is the random-hyperplane bucket, and the plane count
+    * is SIZED TO THE CORPUS: p = max(6, bitlen((n−1) div 32)), i.e. the
+    * smallest plane count keeping expected occupancy ≤ ~32 vectors per
+    * bucket, so the per-bucket self-join stays O(32²) and total cost
+    * O(n·32) — LINEAR in the corpus. A fixed p is the classic LSH scale
+    * trap: per-bucket population grows with n and the self-join turns
+    * quadratic (the r10 sf1.0 probe measured 41× cost at 10× vectors with
+    * p frozen at 6; adaptive p returned it to ~linear). The one-number
+    * corpus count that picks p is a driver-side scalar (the same plan-
+    * sizing read AQE performs), mirrored exactly in the oracle via
+    * greatest(6, length(bin((count(*)-1)//32))). `nPlanes > 0` overrides
+    * for spec pinning.
+    *
+    * Adaptive planes alone cannot bound a TIGHT direction-cluster: a
+    * hyperplane through the origin splits a cluster only in proportion to
+    * its angular radius, so near-identical directions co-bucket at ANY
+    * plane count (the r10 probe still measured 18× at 10× on rotation-
+    * replicated clustered embeddings). So the same occupancy ceiling as
+    * every other self-join applies: buckets holding more than `maxBucket`
+    * (= [[MaxKnnBucket]]) vectors are EXCLUDED from the census — cost is
+    * then Σ_{c≤B} c² ≤ B·n, linear — with the drop published by the
+    * oracle-checked [[knnBucketStats]] ledger, never silent. A tight
+    * c-sized cluster intrinsically costs ~c² for exact within-cluster
+    * k-NN; past the ceiling that neighborhood belongs to the IVF-PQ path
+    * (`ann_ivfpq`), which prices dense regions linearly. At the gate SFs
+    * (sf0.01/sf0.1) no bucket exceeds the ceiling, so the cap changes
+    * nothing there. */
+  def knnJoin(spark: SparkSession, d: String, k: Int = 3, nPlanes: Int = 0,
+      maxBucket: Int = MaxKnnBucket): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = math.max(1L, graft.Tables.embeddings(spark, d).count())
+        math.max(6, java.lang.Long.toBinaryString((n - 1) / 32).length)
+      }
+    val v0 = normed(spark, d)
       .select(col("vec_id"), col("e"), col("norm"))
-      .withColumn("bucket", lshBucketN(col("e"), nPlanes))
+      .withColumn("bucket", lshBucketN(col("e"), planes))
+    val keep = v0.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select(col("bucket"))
+    val v = v0.join(broadcast(keep), "bucket")
     val scored = v.as("x").join(v.as("y"),
       col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
@@ -1172,9 +1212,12 @@ object Similarity {
 
   val knnJoinOracle: String =
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |v AS (
-       |  SELECT vec_id, e, ${sqlLshBucket("e", 6)} AS bucket
+       |pl AS (SELECT greatest(6, length(bin((count(*) - 1) // 32))) AS p FROM v0),
+       |vb AS (
+       |  SELECT vec_id, e, ${sqlLshBucketExpr("e", "(SELECT p FROM pl)")} AS bucket
        |  FROM v0),
+       |keep AS (SELECT bucket FROM vb GROUP BY 1 HAVING count(*) <= $MaxKnnBucket),
+       |v AS (SELECT vb.* FROM vb JOIN keep USING (bucket)),
        |s AS (
        |  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(x.e, y.e), 4) AS cos
@@ -1184,6 +1227,50 @@ object Similarity {
        |  FROM s)
        |SELECT vec_id, neighbor_id, cos, rank FROM r
        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
+  /** Occupancy ledger behind [[knnJoin]]'s [[MaxKnnBucket]] ceiling
+    * (`knn_bucket_stats`) — one row: plane count in use, populated
+    * buckets, buckets over the ceiling, vectors total / excluded, the
+    * hottest occupancy, and Σc² over kept buckets (the exact pair budget
+    * the capped self-join pays, provably ≤ ceiling·n). A jump in
+    * n_dropped_vectors is the signal to re-route that corpus's dense
+    * regions through `ann_ivfpq`. Bucket histogram is one partial agg;
+    * the report is a two-row broadcast join. */
+  def knnBucketStats(spark: SparkSession, d: String,
+      nPlanes: Int = 0, maxBucket: Int = MaxKnnBucket): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = math.max(1L, graft.Tables.embeddings(spark, d).count())
+        math.max(6, java.lang.Long.toBinaryString((n - 1) / 32).length)
+      }
+    normed(spark, d)
+      .select(col("vec_id"), lshBucketN(col("e"), planes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(lit(planes.toLong).as("n_planes"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(col("c")).as("n_vectors"),
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L)).as("n_dropped_vectors"),
+        max(col("c")).as("max_occupancy"),
+        sum(when(col("c") <= maxBucket, col("c") * col("c")).otherwise(0L)).as("kept_pair_budget"))
+  }
+
+  val knnBucketStatsOracle: String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |pl AS (SELECT greatest(6, length(bin((count(*) - 1) // 32))) AS p FROM v0),
+       |vb AS (
+       |  SELECT vec_id, ${sqlLshBucketExpr("e", "(SELECT p FROM pl)")} AS bucket
+       |  FROM v0),
+       |h AS (SELECT bucket, count(*) AS c FROM vb GROUP BY 1)
+       |SELECT cast((SELECT p FROM pl) AS bigint) AS n_planes,
+       |  count(*) AS n_buckets,
+       |  cast(sum(CASE WHEN c > $MaxKnnBucket THEN 1 ELSE 0 END) AS bigint) AS n_capped_buckets,
+       |  cast(sum(c) AS bigint) AS n_vectors,
+       |  cast(sum(CASE WHEN c > $MaxKnnBucket THEN c ELSE 0 END) AS bigint) AS n_dropped_vectors,
+       |  max(c) AS max_occupancy,
+       |  cast(sum(CASE WHEN c <= $MaxKnnBucket THEN c * c ELSE 0 END) AS bigint) AS kept_pair_budget
+       |FROM h""".stripMargin
 
   // ---- scalar quantization (SQ8, FAISS IndexScalarQuantizer QT_8bit) ----
 

@@ -540,6 +540,30 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("knn_join: adaptive planes + occupancy cap — over-cap buckets drop with ledger accounting") {
+    import graft.operators.Similarity
+    // at the gate SF nothing reaches the ceiling: the ledger proves it and
+    // the capped join equals the uncapped one
+    val ledger = Similarity.knnBucketStats(spark, Sf).head()
+    assert(ledger.getLong(4) == 0L && ledger.getLong(2) == 0L,
+      s"no bucket may exceed the ceiling at $Sf: $ledger")
+    assert(ledger.getLong(6) <= Similarity.MaxKnnBucket * ledger.getLong(3),
+      "kept pair budget bounded by ceiling x vectors")
+    // force a hot bucket (1 plane -> 2 buckets) with a tiny ceiling: the
+    // join must only emit vectors from under-cap buckets, and the ledger
+    // must account for every excluded vector
+    val tiny = Similarity.knnBucketStats(spark, Sf, nPlanes = 1, maxBucket = 10).head()
+    val nVec = Tables.embeddings(spark, Sf).count()
+    assert(tiny.getLong(3) == nVec, "ledger covers the whole corpus")
+    val kept = nVec - tiny.getLong(4)
+    val joined = Similarity.knnJoin(spark, Sf, nPlanes = 1, maxBucket = 10)
+      .select("vec_id").distinct().count()
+    assert(joined <= kept,
+      s"capped join may only emit under-cap vectors: $joined > $kept")
+    assert(tiny.getLong(4) > 0L,
+      "the forced-hot configuration must actually exercise the cap")
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be

@@ -39,6 +39,19 @@ COPY (
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
 """)
+# embeddings 10x for the ANN/vector-family probe: per-replica DIMENSION
+# ROTATION (embedding[r+1:] || embedding[:r]) keeps the norm distribution
+# identical while decorrelating replicas, so near-dup/recall density stays
+# at sf0.1 levels instead of every vector gaining 9 exact twins.
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + r.r * 10000000 AS vec_id,
+         CAST(e.embedding[(r.r + 1):] || e.embedding[1:r.r] AS FLOAT[]) AS embedding,
+         e.label
+  FROM '{SRC}/embeddings.parquet' e
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
 print(con.execute(
     f"SELECT count(*), min(doc_id), max(doc_id) FROM '{OUT}/documents.parquet'"
 ).fetchall())
