@@ -60,7 +60,17 @@ object StreamOps {
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when `gapSec` passes with no event (event-time, watermark-driven).
-    * Emits closed sessions (append mode). */
+    * Emits closed sessions (append mode).
+    *
+    * The gap compares FLOOR-SECOND timestamps — exactly the batch
+    * `ev_sessionize` rule (`unix_timestamp(ts) − unix_timestamp(prev) >
+    * gapSec`), not raw milliseconds: a raw-ms gap closes a session the
+    * batch window would merge whenever the sub-second parts straddle the
+    * boundary (e.g. X.1 → X+gap.9 is gap·1000+800 ms but a floor-sec diff
+    * of exactly gap). State carries full-µs instants ([[usOf]]) so the
+    * emitted boundaries keep their precision; the eviction timer arms at
+    * the LAST instant any event could still merge under the floor-sec
+    * rule, (⌊last⌋ + gap + 1) s. */
   def sessionize(events: Dataset[StreamEvent], gapSec: Long = 1800L,
       lateness: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -73,18 +83,19 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.n, s.sum, new Timestamp(s.start), new Timestamp(s.last)))
+            Iterator(Session(userId, s.n, s.sum, tsOfUs(s.start), tsOfUs(s.last)))
           } else {
-            val events = it.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            val events = it.toSeq.sortBy(e => usOf(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             events.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapSec * 1000 =>
+                case Some(s) if Math.floorDiv(t, 1000000L) -
+                    Math.floorDiv(s.last, 1000000L) <= gapSec =>
                   cur = Some(SessionState(s.n + 1, s.sum + e.value, s.start, math.max(s.last, t)))
                 case Some(s) => // gap exceeded: close previous, open new
-                  closed ::= Session(userId, s.n, s.sum, new Timestamp(s.start), new Timestamp(s.last))
+                  closed ::= Session(userId, s.n, s.sum, tsOfUs(s.start), tsOfUs(s.last))
                   cur = Some(SessionState(1L, e.value, t, t))
                 case None =>
                   cur = Some(SessionState(1L, e.value, t, t))
@@ -92,7 +103,8 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+              state.setTimeoutTimestamp(
+                (Math.floorDiv(s.last, 1000000L) + gapSec + 1L) * 1000L)
             }
             closed.reverseIterator
           }
@@ -209,7 +221,7 @@ object StreamOps {
         (typ: String, it: Iterator[StreamEvent], state: GroupState[TypeStats]) =>
           var s = state.getOption.getOrElse(TypeStats(0L, 0.0, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id, e.value)).foreach { e =>
+          it.toSeq.sortBy(e => (usOf(e.ts), e.user_id, e.value)).foreach { e =>
             if (s.n >= minN) {
               val sd = math.sqrt(s.m2 / (s.n - 1).toDouble)
               if (sd > 0) {
@@ -467,7 +479,7 @@ object StreamOps {
       .mapGroupsWithState[LateState, LatenessProfile](GroupStateTimeout.NoTimeout()) {
         (typ: String, it: Iterator[StreamEvent], state: GroupState[LateState]) =>
           var s = state.getOption.getOrElse(LateState(0L, 0L, 0L, Long.MinValue))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+          it.toSeq.sortBy(e => (usOf(e.ts), e.user_id)).foreach { e =>
             val t = e.ts.getTime
             if (t < s.runmax)
               s = s.copy(n = s.n + 1, nLate = s.nLate + 1,
@@ -507,7 +519,7 @@ object StreamOps {
           var s = state.getOption.getOrElse(HhState(0L, Map.empty))
           var counters = s.counters
           var n = s.n
-          it.toSeq.sortBy(e => (e.ts.getTime, e.user_id)).foreach { e =>
+          it.toSeq.sortBy(e => (usOf(e.ts), e.user_id)).foreach { e =>
             n += 1
             counters = StreamOps.mgUpdate(counters, k, e.user_id)
           }
@@ -730,7 +742,7 @@ object StreamOps {
         (et: String, it: Iterator[StreamEvent], state: GroupState[Seq[(Long, Long)]]) =>
           var taps = state.getOption.getOrElse(Seq.empty) // ascending (hourSec, cnt)
           val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
-          it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+          it.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
             val hour = e.ts.getTime / 3600000L * 3600L
             touched += hour
             taps.indexWhere(_._1 == hour) match {
@@ -859,7 +871,7 @@ object StreamOps {
             out += BurstVerdict(s.openHour, x, burst)
             s = BurstState(n + 1, s.s1 + x, s.s2 + x * x, -1L, 0L)
           }
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          it.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
             val hour = e.ts.getTime / 3600000L * 3600L
             if (hour != s.openHour) { close(); s = s.copy(openHour = hour, openCnt = 0L) }
             s = s.copy(openCnt = s.openCnt + 1L)
@@ -921,7 +933,7 @@ object StreamOps {
               else (s.maxDrift, s.driftHour)
             s = CusumState(s.openHour, 0L, p, runmin, md, dh, s.nClosed + 1)
           }
-          it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+          it.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
             val h = e.ts.getTime / 3600000L
             s match {
               // maxDrift starts at −1 so the FIRST closed hour claims the

@@ -448,13 +448,15 @@ class StreamOpsSpec extends SparkSpec {
       .filter(col("user_id") < 20)
       .select(col("user_id"), col("event_type"), col("value"), col("ts"))
       .as[StreamEvent].collect().toSeq
-    // independent reference: per user, sort by time and split on > gap
+    // independent reference: per user, sort by time and split on > gap —
+    // at FLOOR-SECOND granularity, the batch ev_sessionize rule
     val expected = evRows.groupBy(_.user_id).flatMap { case (u, es) =>
       val sorted = es.sortBy(_.ts.getTime)
       val sessions = sorted.foldLeft(List.empty[List[StreamEvent]]) {
         case (Nil, e) => List(List(e))
         case (cur :: done, e) =>
-          if (e.ts.getTime - cur.head.ts.getTime <= gapSec * 1000) (e :: cur) :: done
+          if (Math.floorDiv(e.ts.getTime, 1000L) -
+            Math.floorDiv(cur.head.ts.getTime, 1000L) <= gapSec) (e :: cur) :: done
           else List(e) :: cur :: done
       }
       sessions.map(s => (u, s.size.toLong,
@@ -479,6 +481,68 @@ class StreamOpsSpec extends SparkSpec {
           math.round(r.getDouble(2) * 100),
           r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
       assert(expected.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
+  test("sessionize gaps compare at floor-seconds like batch ev_sessionize, not raw ms") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionize(in.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessfs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // raw gap = 1 800 800 ms (> 30 min), but floor-second diff is
+      // exactly 1800 — the batch window MERGES this pair; an ms-gap
+      // stream would split it
+      in.addData(
+        StreamEvent(1, "click", 1.0, Timestamp.valueOf("2024-01-01 10:00:00.1")),
+        StreamEvent(1, "click", 2.0, Timestamp.valueOf("2024-01-01 10:30:00.9")))
+      q.processAllAvailable()
+      // sentinel watermark flushes the open session
+      in.addData(StreamEvent(99, "x", 0.0, Timestamp.valueOf("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      in.addData(StreamEvent(99, "x", 0.0, Timestamp.valueOf("2024-01-03 00:00:01")))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_events, sum_value FROM sessfs WHERE user_id = 1").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((2L, 3.0)),
+        s"boundary-straddling pair must merge like the batch rule, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer matches batch ev_sessionize session-for-session") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = graft.Tables.events(spark, Sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessbp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evRows: _*)
+      q.processAllAvailable()
+      val sentinel = StreamEvent(999999L, "x", 0.0,
+        new Timestamp(evRows.map(_.ts.getTime).max + 86400000L))
+      in.addData(sentinel); q.processAllAvailable()
+      in.addData(sentinel); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, n_events, round(sum_value, 2),
+          |  unix_timestamp(session_start), unix_timestamp(session_end)
+          |FROM sessbp WHERE user_id < 20""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.Events.sessionize(spark, Sf)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("n_events"), col("sum_value"),
+          col("session_start"), col("session_end")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got.nonEmpty && got == batch,
+        s"stream/batch session divergence (missing: ${(batch -- got).take(3)}, " +
+          s"extra: ${(got -- batch).take(3)})")
     } finally q.stop()
   }
 
