@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dedup_lines_apply" -> ((s, d) => Dedup.lineDedupApply(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
+    "dedup_semantic_cell_stats" -> ((s, d) => Dedup.semanticCellStats(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -614,6 +615,7 @@ object SparkEntry {
     "dedup_lines" -> Dedup.lineDedupOracle,
     "dedup_lines_apply" -> Dedup.lineDedupApplyOracle,
     "dedup_semantic" -> Dedup.semanticOracle,
+    "dedup_semantic_cell_stats" -> Dedup.semanticCellStatsOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,

@@ -1384,17 +1384,32 @@ object Dedup {
     * sized to √n — the same envelope as the shingle-index joins. Emits the
     * pruned vector, its keeper (lowest qualifying lower-id neighbor), how
     * many near-dups it had, and its best cosine. */
-  def semantic(spark: SparkSession, d: String, nCells: Int = 32,
-      minCos: Double = 0.95): DataFrame = {
+  /** Cell-occupancy ceiling for [[semantic]]'s within-cell self-join —
+    * the same never-silent capped-self-join pattern as MaxShingleDf /
+    * MaxBandDf / Similarity.MaxKnnBucket; the drop is published by the
+    * oracle-checked [[semanticCellStats]] ledger. */
+  val MaxSemanticCell = 256
+
+  /** Corpus+plants with each member's assigned cell, for [[semantic]] and
+    * its ledger. The CELL COUNT IS SIZED TO THE CORPUS — max(32, ⌊√n⌋),
+    * the IVF convention — because a fixed cell count is the quadratic
+    * scale trap the r10 probe caught in knn_join: per-cell population
+    * grows linearly and Σc² quadratically (fixed 32 cells would pay
+    * n²/32 pairs at any scale; ⌊√n⌋ cells keep expected occupancy ≈ √n
+    * and the broadcast centroid table O(√n·dim) — 16 MB at 10⁹ vectors).
+    * The count that picks the cell grid is one driver-side scalar,
+    * mirrored in the oracle as greatest(32, floor(sqrt(count(*)))). */
+  private def semanticMembers(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(spark, d)
     val all = base.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
       .unionAll(base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(vecDouble(col("embedding")), x => x * lit(2.0)).as("e")))
+    val nCells = math.max(32L, math.sqrt(all.count().toDouble).toLong)
     val v = all.withColumn("norm", vecNorm(col("e")))
     val cents = v
       .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
-      .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
+      .withColumn("cell", pmod(col("vec_id"), lit(nCells)))
       .groupBy(col("cell"), col("dim")).agg(round(avg(col("x")), 6).as("c"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
@@ -1402,8 +1417,20 @@ object Dedup {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
       .select(transform(col("cc"), s => s.getField("carr")).as("cents"))
-    val members = v.join(broadcast(cents))
+    v.join(broadcast(cents))
       .withColumn("cell", nearestCell(col("e"), col("cents"))).drop("cents")
+  }
+
+  def semantic(spark: SparkSession, d: String,
+      minCos: Double = 0.95, maxCell: Int = MaxSemanticCell): DataFrame = {
+    val m0 = semanticMembers(spark, d)
+    // occupancy ceiling: a pathological centroid collapse (every vector
+    // nearest one cell) would re-create the quadratic join the adaptive
+    // grid exists to prevent — cells past the ceiling drop from the
+    // census (Σ_{c≤B} c² ≤ B·n) and the 27k ledger accounts for them
+    val keep = m0.groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxCell).select(col("cell"))
+    val members = m0.join(broadcast(keep), "cell")
     members.as("p").join(members.as("q"),
       col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("p.vec_id").as("keeper"),
@@ -1415,16 +1442,38 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  val semanticOracle: String =
-    """WITH base AS (
+  /** Occupancy ledger behind [[semantic]]'s adaptive cell grid and
+    * [[MaxSemanticCell]] ceiling (`dedup_semantic_cell_stats`) — cells in
+    * use, capped cells, vectors total / excluded, hottest occupancy, and
+    * Σc² over kept cells (the exact pair budget the within-cell join
+    * pays). The same one-row accounting every capped self-join in this
+    * library publishes. */
+  def semanticCellStats(spark: SparkSession, d: String,
+      maxCell: Int = MaxSemanticCell): DataFrame =
+    semanticMembers(spark, d)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("c") > maxCell, 1L).otherwise(0L)).as("n_capped_cells"),
+        sum(col("c")).as("n_vectors"),
+        sum(when(col("c") > maxCell, col("c")).otherwise(0L)).as("n_dropped_vectors"),
+        max(col("c")).as("max_occupancy"),
+        sum(when(col("c") <= maxCell, col("c") * col("c")).otherwise(0L)).as("kept_pair_budget"))
+
+  /** Shared member-assignment CTE chain (adaptive ⌊√n⌋ cell grid) for
+    * [[semanticOracle]] and [[semanticCellStatsOracle]]. */
+  private val sqlSemanticMembers: String =
+    """base AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 1000000,
       |    list_transform(embedding::DOUBLE[], x -> x * 2)
       |  FROM embeddings WHERE vec_id % 10 = 0),
+      |g AS (SELECT greatest(32, cast(floor(sqrt(count(*))) AS bigint)) AS g
+      |  FROM base),
       |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM base),
       |cents AS (
-      |  SELECT vec_id % 32 AS cell, j AS cj, round(avg(e[j]), 6) AS c
+      |  SELECT vec_id % (SELECT g FROM g) AS cell, j AS cj,
+      |    round(avg(e[j]), 6) AS c
       |  FROM x GROUP BY 1, 2),
       |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
       |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM base),
@@ -1438,20 +1487,37 @@ object Dedup {
       |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
       |    FROM dots d JOIN cnorms cn ON d.cell = cn.cell
       |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
-      |  WHERE arank = 1),
-      |members AS (
-      |  SELECT b.vec_id, b.e, vn.norm, a.cell
-      |  FROM base b JOIN vnorms vn ON b.vec_id = vn.vec_id
-      |  JOIN assigned a ON b.vec_id = a.vec_id),
-      |pairs AS (
-      |  SELECT q.vec_id AS vec_id, p.vec_id AS keeper,
-      |    round(list_dot_product(p.e, q.e) / (p.norm * q.norm), 4) AS cos
-      |  FROM members p JOIN members q
-      |    ON p.cell = q.cell AND p.vec_id < q.vec_id)
-      |SELECT vec_id, min(keeper) AS kept_by, count(*) AS n_dups,
-      |  max(cos) AS max_cos
-      |FROM pairs WHERE cos >= 0.95
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |  WHERE arank = 1)""".stripMargin
+
+  val semanticOracle: String =
+    s"""WITH $sqlSemanticMembers,
+       |keepc AS (SELECT cell FROM assigned GROUP BY 1
+       |  HAVING count(*) <= $MaxSemanticCell),
+       |members AS (
+       |  SELECT b.vec_id, b.e, vn.norm, a.cell
+       |  FROM base b JOIN vnorms vn ON b.vec_id = vn.vec_id
+       |  JOIN assigned a ON b.vec_id = a.vec_id
+       |  JOIN keepc k ON a.cell = k.cell),
+       |pairs AS (
+       |  SELECT q.vec_id AS vec_id, p.vec_id AS keeper,
+       |    round(list_dot_product(p.e, q.e) / (p.norm * q.norm), 4) AS cos
+       |  FROM members p JOIN members q
+       |    ON p.cell = q.cell AND p.vec_id < q.vec_id)
+       |SELECT vec_id, min(keeper) AS kept_by, count(*) AS n_dups,
+       |  max(cos) AS max_cos
+       |FROM pairs WHERE cos >= 0.95
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val semanticCellStatsOracle: String =
+    s"""WITH $sqlSemanticMembers,
+       |h AS (SELECT cell, count(*) AS c FROM assigned GROUP BY 1)
+       |SELECT count(*) AS n_cells,
+       |  cast(sum(CASE WHEN c > $MaxSemanticCell THEN 1 ELSE 0 END) AS bigint) AS n_capped_cells,
+       |  cast(sum(c) AS bigint) AS n_vectors,
+       |  cast(sum(CASE WHEN c > $MaxSemanticCell THEN c ELSE 0 END) AS bigint) AS n_dropped_vectors,
+       |  max(c) AS max_occupancy,
+       |  cast(sum(CASE WHEN c <= $MaxSemanticCell THEN c * c ELSE 0 END) AS bigint) AS kept_pair_budget
+       |FROM h""".stripMargin
 
   /** Dedup-threshold calibration curve (`dedup_threshold_curve`) — the
     * sweep a pipeline operator runs BEFORE committing to a Jaccard cutoff:

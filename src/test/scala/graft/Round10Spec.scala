@@ -564,6 +564,21 @@ class Round10Spec extends SparkSpec {
       "the forced-hot configuration must actually exercise the cap")
   }
 
+  test("dedup_semantic: adaptive sqrt-n cell grid + occupancy ledger accounting") {
+    val r = Dedup.semanticCellStats(spark, Sf).head()
+    val base = Tables.embeddings(spark, Sf)
+    val n = base.count() + base.filter(col("vec_id") % 10 === 0).count()
+    val grid = math.max(32L, math.sqrt(n.toDouble).toLong)
+    assert(r.getLong(0) <= grid, s"populated cells ${r.getLong(0)} exceed the $grid grid")
+    assert(r.getLong(2) == n, "ledger covers corpus + plants")
+    assert(r.getLong(3) == 0L && r.getLong(1) == 0L,
+      s"no cell may reach the ceiling at $Sf: $r")
+    assert(r.getLong(5) <= Dedup.MaxSemanticCell.toLong * r.getLong(2),
+      "kept pair budget bounded by ceiling x vectors")
+    // a forced ceiling of 1 leaves no pairable cell at all
+    assert(Dedup.semantic(spark, Sf, maxCell = 1).count() == 0L)
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
