@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_embedding_bucket_stats" -> ((s, d) => Dedup.embeddingBucketStats(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
@@ -601,6 +602,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_threshold_curve" -> Dedup.thresholdCurveOracle,
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
+    "dedup_embedding_bucket_stats" -> Dedup.embeddingBucketStatsOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,

@@ -966,22 +966,30 @@ object Dedup {
     * original's bucket (power-of-two scaling is exact in FP, so each plane's
     * projection is exactly doubled — same sign, same bucket).
     *
-    * Blocking on the LSH bucket (2^planes cells, plane count tuned to corpus
-    * size) keeps pair generation O((n/2^b)²) per block — unlike blocking on a
-    * fixed label vocabulary, which degenerates to O(n²/L) with constant L at
-    * 100 TB. Same bucketing as [[Similarity.lshTopK]]
-    * (graft.functions.LshBucket, native codegen). */
+    * Blocking on the LSH bucket keeps pair generation O((n/2^b)²) per
+    * block — unlike blocking on a fixed label vocabulary, which
+    * degenerates to O(n²/L) with constant L at 100 TB. Same bucketing as
+    * [[Similarity.lshTopK]] (graft.functions.LshBucket, native codegen).
+    *
+    * Two scale guards (r10, the knn_join audit generalized — the sf1.0
+    * probe measured 14.5× cost at 10× vectors from co-bucketed clusters):
+    * the plane count is SIZED TO THE CORPUS (max(16, bitlen((n−1) div
+    * 32)), oracle-mirrored from count(*)), and buckets holding more than
+    * [[MaxEmbedBucket]] vectors — tight direction-clusters no plane count
+    * separates — are excluded with the drop published by the
+    * oracle-checked [[embeddingBucketStats]] ledger. Dense-cluster pair
+    * listing is intrinsically quadratic OUTPUT anyway; past the ceiling
+    * that neighborhood belongs to [[semantic]]'s aggregated (linear-
+    * output) form. At the gate SFs the hottest bucket is 72 (sf0.01) /
+    * 330 (sf0.1), under the 512 ceiling — the cap changes no gate
+    * result. */
   def embeddingCosine(spark: SparkSession, d: String, minCos: Double = 0.999,
-      nPlanes: Int = 16): DataFrame = {
-    val base = Tables.embeddings(spark, d)
-    val all = base.select(col("vec_id"), col("embedding"))
-      .unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-    // double-cast + norm + bucket once per vector; pairs do a single dot fold
-    val v = all.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
-      .withColumn("norm", vecNorm(col("e")))
-      .withColumn("bucket", lshBucketN(col("e"), nPlanes))
-    v.as("x").join(v.as("y"),
+      nPlanes: Int = 0, maxBucket: Int = MaxEmbedBucket): DataFrame = {
+    val v = embedBucketed(spark, d, nPlanes)
+    val keep = v.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBucket).select(col("bucket"))
+    val vk = v.join(broadcast(keep), "bucket")
+    vk.as("x").join(vk.as("y"),
       col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(dot(col("x.e"), col("y.e")) / (col("x.norm") * col("y.norm")), 3).as("cos"))
@@ -989,20 +997,78 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val embeddingCosineOracle: String =
-    s"""WITH v0 AS (
+  /** Occupancy ceiling for [[embeddingCosine]]'s bucket self-join (same
+    * pattern as MaxShingleDf / MaxBandDf / Similarity.MaxKnnBucket;
+    * ledger: [[embeddingBucketStats]]). */
+  val MaxEmbedBucket = 512
+
+  /** Corpus+plants with norms and adaptive-plane LSH buckets — shared by
+    * [[embeddingCosine]] and its ledger. */
+  private def embedBucketed(spark: SparkSession, d: String,
+      nPlanes: Int = 0): DataFrame = {
+    val base = Tables.embeddings(spark, d)
+    val all = base.select(col("vec_id"), col("embedding"))
+      .unionAll(base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else {
+        val n = math.max(1L, all.count())
+        math.max(16, java.lang.Long.toBinaryString((n - 1) / 32).length)
+      }
+    // double-cast + norm + bucket once per vector; pairs do a single dot fold
+    all.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+      .withColumn("norm", vecNorm(col("e")))
+      .withColumn("bucket", lshBucketN(col("e"), planes))
+  }
+
+  /** Occupancy ledger behind [[embeddingCosine]]'s ceiling
+    * (`dedup_embedding_bucket_stats`) — same one-row accounting as every
+    * capped self-join in the library. */
+  def embeddingBucketStats(spark: SparkSession, d: String,
+      nPlanes: Int = 0, maxBucket: Int = MaxEmbedBucket): DataFrame =
+    embedBucketed(spark, d, nPlanes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(col("c")).as("n_vectors"),
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L)).as("n_dropped_vectors"),
+        max(col("c")).as("max_occupancy"),
+        sum(when(col("c") <= maxBucket, col("c") * col("c")).otherwise(0L)).as("kept_pair_budget"))
+
+  /** Shared corpus + adaptive-plane bucket CTEs for the embedding-dedup
+    * oracles. */
+  private val sqlEmbedBucketed: String =
+    s"""v0 AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
        |  UNION ALL
        |  SELECT vec_id+1000000,
        |    (list_transform(embedding, x -> x * 2))::DOUBLE[] FROM embeddings),
+       |epl AS (SELECT greatest(16, length(bin((count(*) - 1) // 32))) AS p FROM v0),
        |v AS (
-       |  SELECT vec_id, e, ${sqlLshBucket("e", 16)} AS bucket
-       |  FROM v0)
+       |  SELECT vec_id, e, ${sqlLshBucketExpr("e", "(SELECT p FROM epl)")} AS bucket
+       |  FROM v0)""".stripMargin
+
+  val embeddingCosineOracle: String =
+    s"""WITH $sqlEmbedBucketed,
+       |ekeep AS (SELECT bucket FROM v GROUP BY 1 HAVING count(*) <= $MaxEmbedBucket),
+       |vk AS (SELECT v.* FROM v JOIN ekeep USING (bucket))
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  round(list_cosine_similarity(x.e, y.e), 3) AS cos
-       |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |FROM vk x JOIN vk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE round(list_cosine_similarity(x.e, y.e), 3) >= 0.999
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  val embeddingBucketStatsOracle: String =
+    s"""WITH $sqlEmbedBucketed,
+       |h AS (SELECT bucket, count(*) AS c FROM v GROUP BY 1)
+       |SELECT count(*) AS n_buckets,
+       |  cast(sum(CASE WHEN c > $MaxEmbedBucket THEN 1 ELSE 0 END) AS bigint) AS n_capped_buckets,
+       |  cast(sum(c) AS bigint) AS n_vectors,
+       |  cast(sum(CASE WHEN c > $MaxEmbedBucket THEN c ELSE 0 END) AS bigint) AS n_dropped_vectors,
+       |  max(c) AS max_occupancy,
+       |  cast(sum(CASE WHEN c <= $MaxEmbedBucket THEN c * c ELSE 0 END) AS bigint) AS kept_pair_budget
+       |FROM h""".stripMargin
 
   /** Recall of the MinHash-LSH banding against the exact-Jaccard ground
     * truth — the eval that closes the dedup loop the way [[ann_recall]]

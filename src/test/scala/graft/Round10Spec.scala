@@ -579,6 +579,23 @@ class Round10Spec extends SparkSpec {
     assert(Dedup.semantic(spark, Sf, maxCell = 1).count() == 0L)
   }
 
+  test("dedup_embedding: occupancy cap with ledger; gate SF untouched") {
+    val r = Dedup.embeddingBucketStats(spark, Sf).head()
+    val n = Tables.embeddings(spark, Sf).count() * 2 // corpus + x2 plants
+    assert(r.getLong(2) == n, "ledger covers corpus + plants")
+    assert(r.getLong(1) == 0L && r.getLong(3) == 0L,
+      s"no bucket may reach the ceiling at $Sf: $r")
+    assert(r.getLong(5) <= Dedup.MaxEmbedBucket.toLong * r.getLong(2))
+    // forced-hot: 1 plane -> 2 buckets; a tiny ceiling leaves only
+    // under-cap buckets in the join, ledger accounts for the rest
+    val tiny = Dedup.embeddingBucketStats(spark, Sf, nPlanes = 1, maxBucket = 10).head()
+    assert(tiny.getLong(3) > 0L, "forced-hot configuration must exercise the cap")
+    val pairs = Dedup.embeddingCosine(spark, Sf, nPlanes = 1, maxBucket = 10)
+    val touched = pairs.select("vec_a").union(pairs.select("vec_b")).distinct().count()
+    assert(touched <= n - tiny.getLong(3),
+      "capped join may only emit under-cap vectors")
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
