@@ -39,6 +39,20 @@ COPY (
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
 """)
+# events 10x for the event-analytics probe: disjoint event_id/user_id
+# ranges per replica, timestamps UNCHANGED — same span, 10x density (the
+# realistic traffic scale-up: per-user series keep sf0.1 shape, per-hour
+# volumes grow 10x). DuckDB rewrites ts as TIMESTAMP(US); Tables.events
+# handles that branch natively.
+con.execute(f"""
+COPY (
+  SELECT e.event_id + r.r * 100000000 AS event_id, e.ts,
+         e.user_id + r.r * 10000 AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{SRC}/events.parquet' e
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
 # embeddings 10x for the ANN/vector-family probe: per-replica DIMENSION
 # ROTATION (embedding[r+1:] || embedding[:r]) keeps the norm distribution
 # identical while decorrelating replicas, so near-dup/recall density stays
