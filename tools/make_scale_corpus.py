@@ -32,13 +32,51 @@ COPY (
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
 ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
 """)
+# full TPC-H family 10x with CONSISTENT key shifts (disjoint replicas:
+# per-key densities stay at sf0.1 levels — the "bigger catalog" scale-up):
+# orderkey +r*10^8, custkey +r*10^5, partkey +r*10^6, suppkey +r*10^5.
+# nation/region are fixed dimensions and copy through unshifted.
 con.execute(f"""
 COPY (
-  SELECT l.* REPLACE (l.l_orderkey + r.r * 100000000 AS l_orderkey)
+  SELECT l.* REPLACE (l.l_orderkey + r.r * 100000000 AS l_orderkey,
+                      l.l_partkey + r.r * 1000000 AS l_partkey,
+                      l.l_suppkey + r.r * 100000 AS l_suppkey)
   FROM '{SRC}/lineitem.parquet' l
   CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
 ) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
 """)
+con.execute(f"""
+COPY (
+  SELECT o.* REPLACE (o.o_orderkey + r.r * 100000000 AS o_orderkey,
+                      o.o_custkey + r.r * 100000 AS o_custkey)
+  FROM '{SRC}/orders.parquet' o
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT c.* REPLACE (c.c_custkey + r.r * 100000 AS c_custkey)
+  FROM '{SRC}/customer.parquet' c
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT p.* REPLACE (p.p_partkey + r.r * 1000000 AS p_partkey)
+  FROM '{SRC}/part.parquet' p
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/part.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT s.* REPLACE (s.s_suppkey + r.r * 100000 AS s_suppkey)
+  FROM '{SRC}/supplier.parquet' s
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r) r
+) TO '{OUT}/supplier.parquet' (FORMAT PARQUET)
+""")
+for t in ("nation", "region"):
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
 # events 10x for the event-analytics probe: disjoint event_id/user_id
 # ranges per replica, timestamps UNCHANGED — same span, 10x density (the
 # realistic traffic scale-up: per-user series keep sf0.1 shape, per-hour
