@@ -1465,7 +1465,7 @@ object Dedup {
     * and the broadcast centroid table O(√n·dim) — 16 MB at 10⁹ vectors).
     * The count that picks the cell grid is one driver-side scalar,
     * mirrored in the oracle as greatest(32, floor(sqrt(count(*)))). */
-  private def semanticMembers(spark: SparkSession, d: String): DataFrame = {
+  private[graft] def semanticMembers(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(spark, d)
     val all = base.select(col("vec_id"), vecDouble(col("embedding")).as("e"))
       .unionAll(base.filter(col("vec_id") % 10 === 0)
@@ -1489,7 +1489,11 @@ object Dedup {
 
   def semantic(spark: SparkSession, d: String,
       minCos: Double = 0.95, maxCell: Int = MaxSemanticCell): DataFrame = {
-    val m0 = semanticMembers(spark, d)
+    // ONE materialization of the assigned members: the occupancy ceiling
+    // and BOTH self-join sides read it, so the codebook broadcast + argmax
+    // assignment runs once, not four times (localCheckpoint — the same
+    // share-the-index discipline as dedup_winnow_pairs)
+    val m0 = semanticMembers(spark, d).localCheckpoint()
     // occupancy ceiling: a pathological centroid collapse (every vector
     // nearest one cell) would re-create the quadratic join the adaptive
     // grid exists to prevent — cells past the ceiling drop from the

@@ -127,6 +127,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vector-bucket self-joins run on the occupancy-capped bucket/cell set") {
+    // r10's third cap family: LSH-bucket / k-means-cell self-joins over
+    // embeddings. Tight direction-clusters co-bucket at ANY plane count
+    // (origin hyperplanes split a cluster only in proportion to its
+    // angular radius), so each of these plans must carry its occupancy
+    // ceiling filter — the probe measured 41× (knn_join) and 14.5×
+    // (dedup_embedding) at 10× vectors before the caps landed.
+    for ((name, df, cap) <- Seq(
+      ("knn_join", Similarity.knnJoin(spark, Sf), Similarity.MaxKnnBucket),
+      ("dedup_embedding", Dedup.embeddingCosine(spark, Sf), Dedup.MaxEmbedBucket),
+      ("dedup_semantic", Dedup.semantic(spark, Sf), Dedup.MaxSemanticCell))) {
+      val s = fmt(df)
+      assert(s"""c#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
+        s"$name plan lacks the bucket-occupancy ceiling filter (c <= $cap)")
+    }
+  }
+
   test("ivf/pq assignments are map-side: no exchange on the streamed side of the codebook broadcast") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -303,10 +320,14 @@ class PlanSpec extends SparkSpec {
       "both hash probes must join the broadcast filter words")
   }
 
-  test("semantic dedup assigns cells map-side: both member sides stream the codebook broadcast") {
+  test("semantic dedup assigns cells map-side: one codebook broadcast over an unshuffled corpus") {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val df = Dedup.semantic(spark, Sf)
+    // r10: semantic() materializes the assigned members ONCE
+    // (localCheckpoint) so the ceiling filter and both self-join sides
+    // share a single assignment pass — the plan property to pin lives on
+    // the member pipeline itself
+    val df = Dedup.semanticMembers(spark, Sf)
     var joins = 0
     def walk(p: SparkPlan): Unit = {
       p match {
@@ -325,7 +346,7 @@ class PlanSpec extends SparkSpec {
       p.children.foreach(walk)
     }
     walk(physical(df))
-    assert(joins == 2, "one codebook broadcast per self-join side")
+    assert(joins == 1, "exactly one codebook broadcast in the member pipeline")
     assert(physical(df).toString.toLowerCase.contains("nearestcell"),
       "assignment must be the native NearestCell expression")
   }
