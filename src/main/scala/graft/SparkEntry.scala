@@ -189,6 +189,7 @@ object SparkEntry {
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
     "docs_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
     "docs_mad_outliers" -> ((s, d) => Pipeline.madOutliers(s, d)),
+    "docs_quality_classifier" -> ((s, d) => Pipeline.qualityClassifier(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -648,6 +649,7 @@ object SparkEntry {
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,
     "docs_reservoir" -> Pipeline.reservoirOracle,
     "docs_mad_outliers" -> Pipeline.madOutliersOracle,
+    "docs_quality_classifier" -> Pipeline.qualityClassifierOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

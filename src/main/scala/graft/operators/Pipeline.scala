@@ -1218,4 +1218,63 @@ object Pipeline {
       |    * 10000 // count(*) AS bigint) AS outlier_bp
       |FROM dev JOIN mad ON dev.source = mad.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hashed linear quality classifier (`docs_quality_classifier`) — the
+    * fastText-style model-based filter stage (FineWeb-Edu / DCLM style:
+    * score every document with a cheap linear classifier, keep the top
+    * bands). Feature hashing: token → md5 → bucket (mod [[ClassifierBuckets]]);
+    * the per-bucket weight here is derived arithmetically from the bucket id
+    * (Knuth multiplicative hash mod 2048 — a deterministic stand-in the
+    * oracle can recompute; a trained model would broadcast a
+    * [[ClassifierBuckets]]-long weight array instead, changing nothing in
+    * the plan shape). Doc score = mean bucket weight, reported as the
+    * integer band `(10·Σw) div (2048·n)` ∈ [0,9] so the keep decision
+    * (band ≥ 5) is exact integer arithmetic on both engines — no float
+    * threshold to diverge over.
+    *
+    * Scale: one codegen'd map pass per token (hash + weight, no vocab
+    * table), partial-agg to (doc, source) then to (source, band) — shuffle
+    * volume is per-doc counters then |sources|·10 rows; document bodies
+    * never shuffle. The published table is the per-source score histogram a
+    * corpus build reads to pick its keep threshold. */
+  val ClassifierBuckets = 1024
+
+  def qualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % ClassifierBuckets).as("bucket"))
+      .select(col("doc_id"), col("source"),
+        ((col("bucket") * lit(2654435761L)) % 2048).as("w"))
+    w.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("s"))
+      .select(col("source"),
+        expr("(10 * s) div (2048 * n_tok)").as("score_band"), col("n_tok"))
+      .groupBy(col("source"), col("score_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("score_band"), col("n_docs"),
+        col("n_tokens"), (col("score_band") >= 5).cast("long").as("kept"))
+      .orderBy(col("source"), col("score_band"))
+  }
+
+  val qualityClassifierOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    cast(('0x' || substr(md5(t), 1, 8)) AS bigint) % $ClassifierBuckets
+       |      AS bucket
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)),
+       |scored AS (
+       |  SELECT doc_id, source, count(*) AS n_tok,
+       |    sum((bucket * 2654435761) % 2048) AS s
+       |  FROM tok GROUP BY 1, 2),
+       |banded AS (
+       |  SELECT source, (10 * s) // (2048 * n_tok) AS score_band, n_tok
+       |  FROM scored)
+       |SELECT source, cast(score_band AS bigint) AS score_band,
+       |  count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS n_tokens,
+       |  cast(score_band >= 5 AS bigint) AS kept
+       |FROM banded GROUP BY source, score_band ORDER BY 1, 2""".stripMargin
 }

@@ -621,6 +621,31 @@ class Round10Spec extends SparkSpec {
       rows.map(_._1).toSeq, "rank order is (count desc, pair asc)")
   }
 
+  test("docs_quality_classifier: bands partition the corpus and one doc's band recomputes by hand") {
+    val rows = Pipeline.qualityClassifier(spark, Sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9),
+      "score bands are the integer deciles of the [0,2) scaled-mean range")
+    assert(rows.forall(r => r.getLong(4) == (if (r.getLong(1) >= 5) 1L else 0L)),
+      "kept is exactly the band >= 5 threshold")
+    // every doc lands in exactly one (source, band) cell
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, Sf).count())
+    // independent re-derivation: score one document with java MessageDigest,
+    // not Spark SQL, and find it in its source's band histogram
+    val doc = Tables.documents(spark, Sf)
+      .select("doc_id", "source", "text").orderBy("doc_id").head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ws = doc.getString(2).split(" ", -1).map { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % Pipeline.ClassifierBuckets) *
+        2654435761L % 2048
+    }
+    val band = 10L * ws.sum / (2048L * ws.length)
+    assert(rows.exists(r => r.getString(0) == doc.getString(1) &&
+      r.getLong(1) == band && r.getLong(2) >= 1L),
+      s"hand-scored band $band for doc 0 missing from its source histogram")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
