@@ -210,6 +210,7 @@ object SparkEntry {
     "text_vocab_prune" -> ((s, d) => TextAnalysis.vocabPrune(s, d)),
     "text_dup_ngram_frac" -> ((s, d) => TextAnalysis.dupNgramFrac(s, d)),
     "text_ttr" -> ((s, d) => TextAnalysis.ttr(s, d)),
+    "text_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "text_top_phrases" -> ((s, d) => TextAnalysis.topPhrases(s, d)),
     "text_ngram_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(s, d)),
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
@@ -586,6 +587,7 @@ object SparkEntry {
     "text_vocab_prune" -> TextAnalysis.vocabPruneOracle,
     "text_dup_ngram_frac" -> TextAnalysis.dupNgramFracOracle,
     "text_ttr" -> TextAnalysis.ttrOracle,
+    "text_zipf_slope" -> TextAnalysis.zipfSlopeOracle,
     "text_top_phrases" -> TextAnalysis.topPhrasesOracle,
     "text_ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "text_substr_dup" -> TextAnalysis.substrDupOracle,

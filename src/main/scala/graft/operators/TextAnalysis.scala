@@ -1147,4 +1147,89 @@ object TextAnalysis {
       |  symbols_before - n_merges AS symbols_after
       |FROM stats, sym
       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  /** Zipf head size for [[zipfSlope]]: the fit runs over the top
+    * [[ZipfHead]] ranks, where the power law holds and the long-noise tail
+    * does not dominate the regression (standard practice); it also bounds
+    * every magnitude in the all-long arithmetic proof below. */
+  val ZipfHead = 1000
+
+  /** Zipf-law vocabulary audit (`text_zipf_slope`) — per-source power-law
+    * exponent of the rank/frequency curve, the standard corpus-health
+    * diagnostic (a healthy natural-language crawl fits ln f ≈ −s·ln r with
+    * s ≈ 1; machine-generated or template-heavy sources bend it). Least
+    * squares over the top-[[ZipfHead]] ranks with both coordinates
+    * quantized to integer MILLI-lns (`floor(ln·1000 + 0.5)` — the
+    * jsDivergence precedent: quantize each term BEFORE any sum so nothing
+    * accumulates float error), so the whole fit is exact long arithmetic:
+    * slope_neg_e4 = (10⁴·(Σx·Σy − n·Σxy)) div (n·Σx² − (Σx)²), reported
+    * NEGATED (≈10 000 for s=1) because rank-ordering makes frequency
+    * non-increasing in rank, hence the covariance ≤ 0 and the negated
+    * numerator ≥ 0 — truncating `div` therefore agrees between engines
+    * with no floor-vs-truncate sign hazard. Magnitude proof for the long
+    * arithmetic: x ≤ ln(10³)·10³ < 6 909, y ≤ ln(10¹²)·10³ < 27 632 even
+    * at 10¹² corpus tokens, so 10⁴·Σx·Σy < 1.9e18 < 2⁶³.
+    *
+    * Scale: one corpus pass to the (source, word) vocab agg; the rank
+    * window partitions by source over the VOCAB table (never the corpus)
+    * and the fit is a |sources|-row aggregate of the 1000-row heads. */
+  def zipfSlope(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"))
+    val head = vocab
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= ZipfHead)
+      .select(col("source"),
+        floor(log(col("r").cast("double")) * 1000 + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 1000 + lit(0.5))
+          .cast("long").as("y"))
+    head.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_head"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_head") > 1)
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_vocab"), col("n_tokens"), col("n_head"),
+        expr("(10000L * (sx * sy - n_head * sxy)) div (n_head * sxx - sx * sx)")
+          .as("slope_neg_e4"))
+      .orderBy(col("source"))
+  }
+
+  val zipfSlopeOracle: String =
+    s"""WITH vocab AS (
+       |  SELECT source, t AS w, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT source, count(*) AS n_vocab, sum(c) AS n_tokens
+       |  FROM vocab GROUP BY 1),
+       |head AS (
+       |  SELECT source,
+       |    cast(floor(ln(cast(r AS double)) * 1000 + 0.5) AS bigint) AS x,
+       |    cast(floor(ln(cast(c AS double)) * 1000 + 0.5) AS bigint) AS y
+       |  FROM (SELECT source, c,
+       |          row_number() OVER (PARTITION BY source
+       |                             ORDER BY c DESC, w) AS r
+       |        FROM vocab)
+       |  WHERE r <= $ZipfHead),
+       |fit AS (
+       |  SELECT source, count(*) AS n_head,
+       |    sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM head GROUP BY 1)
+       |SELECT f.source, cast(t.n_vocab AS bigint) AS n_vocab,
+       |  cast(t.n_tokens AS bigint) AS n_tokens,
+       |  cast(f.n_head AS bigint) AS n_head,
+       |  cast((10000 * (sx * sy - n_head * sxy))
+       |    // (n_head * sxx - sx * sx) AS bigint) AS slope_neg_e4
+       |FROM fit f JOIN tot t ON f.source = t.source
+       |WHERE f.n_head > 1 ORDER BY 1""".stripMargin
 }

@@ -646,6 +646,37 @@ class Round10Spec extends SparkSpec {
       s"hand-scored band $band for doc 0 missing from its source histogram")
   }
 
+  test("text_zipf_slope: negated slope is non-negative and one source refits by hand") {
+    val rows = TextAnalysis.zipfSlope(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), TextAnalysis.ZipfHead),
+        "fit head bounded by vocab and ZipfHead")
+      assert(r.getLong(4) >= 0L,
+        "rank-ordering makes frequency non-increasing, so -slope >= 0")
+    }
+    // independent refit: pull one source's vocabulary and redo the
+    // quantized least squares in plain Scala
+    val src = rows.head.getString(0)
+    val vocab = Tables.documents(spark, Sf)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.ZipfHead)
+    val xy = vocab.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log(i + 1.0) * 1000 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1000 + 0.5).toLong)
+    }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    val expected = (10000L * (sx * sy - n * sxy)) / (n * sxx - sx * sx)
+    assert(rows.head.getLong(4) == expected,
+      s"hand refit of $src gives $expected, operator says ${rows.head.getLong(4)}")
+  }
+
   test("text_code_detect: densities bounded, routing share recomputes") {
     val rows = TextAnalysis.codeDetect(spark, Sf).collect()
     assert(rows.nonEmpty)
