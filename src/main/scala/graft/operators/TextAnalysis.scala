@@ -1148,6 +1148,105 @@ object TextAnalysis {
       |FROM stats, sym
       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
 
+  /** Number of unrolled merge steps in [[bpeTrain]]. */
+  val BpeTrainSteps = 5
+
+  /** Multi-step BPE training (`text_bpe_train`) — the actual tokenizer-
+    * training LOOP, not just [[bpeStep]]'s one-step what-if table: starting
+    * from the character symbol vocabulary, [[BpeTrainSteps]] rounds of
+    * (count adjacent pairs → pick the argmax merge → apply it greedily
+    * left-to-right) unrolled into one plan, emitting each round's chosen
+    * merge and its get_stats count (overlaps included — the statistic BPE
+    * ranks merges by, recomputed from the CURRENT symbol sequence each
+    * round exactly like the classic trainer).
+    *
+    * The greedy merge application is exact on both engines through the
+    * DOUBLE-SPACE symbol encoding: a word's symbol sequence is
+    * `' ' + symbols.mkString("  ") + ' '`, so every symbol is flanked by
+    * its own space on each side, the merge (a, b) is the literal string
+    * replacement `' a  b ' → ' ab '`, and SQL `replace`'s left-to-right
+    * non-overlapping scan IS the greedy BPE pass (a run `a a a a` merges
+    * to `aa aa`, never the overlapping `a aa a`). Symbols never contain
+    * spaces, so a pattern can only align on true symbol boundaries.
+    *
+    * 100 TB shape: ONE corpus pass reduces to the (word, freq) vocabulary;
+    * each round is a vocab-bounded pair count + a one-row argmax broadcast
+    * back onto the vocab — [[BpeTrainSteps]] × O(Σ|word| over vocab), the
+    * corpus never re-scanned. Deterministic: argmax ties break on pair
+    * string order both engines. */
+  def bpeTrain(spark: SparkSession, d: String, steps: Int = BpeTrainSteps): DataFrame =
+    bpeTrainOver(Tables.documents(spark, d).select(col("text")), steps)
+
+  /** [[bpeTrain]] over an explicit docs frame (spec hook). */
+  def bpeTrainOver(docs: DataFrame, steps: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("freq"))
+    var bests = List.empty[DataFrame]
+    for (k <- 1 to steps) {
+      val stats = vocab
+        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+        .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
+        .select(col("freq"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(col("freq"),
+          concat(element_at(col("l"), col("i")), lit(" "),
+            element_at(col("l"), col("i") + 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"))
+      bests :+= best
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(expr(
+          """replace(s,
+            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
+            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
+            .stripMargin).as("s"),
+          col("freq"))
+    }
+    bests.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
+  val bpeTrainOracle: String = {
+    val steps = (1 to BpeTrainSteps).map { k =>
+      s"""stats$k AS (
+         |  SELECT l[i] || ' ' || l[i+1] AS pair,
+         |    cast(sum(freq) AS bigint) AS pair_count
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, freq,
+         |          unnest(generate_series(1,
+         |            len(string_split(trim(s), '  ')) - 1)) AS i
+         |        FROM vocab${k - 1})
+         |  GROUP BY 1),
+         |best$k AS (
+         |  SELECT cast($k AS bigint) AS step, pair, pair_count
+         |  FROM stats$k ORDER BY pair_count DESC, pair LIMIT 1),
+         |vocab$k AS (
+         |  SELECT replace(s,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' ||
+         |      split_part(pair, ' ', 2) || ' ',
+         |    ' ' || split_part(pair, ' ', 1) ||
+         |      split_part(pair, ' ', 2) || ' ') AS s, freq
+         |  FROM vocab${k - 1}, best$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeTrainSteps)
+      .map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |vocab0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps
+       |$union ORDER BY step""".stripMargin
+  }
+
   /** Zipf head size for [[zipfSlope]]: the fit runs over the top
     * [[ZipfHead]] ranks, where the power law holds and the long-noise tail
     * does not dominate the regression (standard practice); it also bounds

@@ -596,6 +596,47 @@ class Round10Spec extends SparkSpec {
       "capped join may only emit under-cap vectors")
   }
 
+  test("text_bpe_train: five unrolled merges match a plain-Scala BPE trainer") {
+    import spark.implicits._
+    // independent reference trainer: classic Sennrich loop over a
+    // (symbols, freq) vocabulary — get_stats counts every adjacent
+    // position (overlaps included), the merge applies greedily
+    // left-to-right, argmax ties break on pair string order
+    def refTrain(words: Seq[(String, Long)], steps: Int): Seq[(Long, String, Long)] = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      (1 to steps).map { k =>
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          stats((syms(i), syms(i + 1))) = stats.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val ((a, b), c) = stats.toSeq.minBy { case ((x, y), n) => (-n, x + " " + y) }
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        (k.toLong, s"$a $b", c)
+      }
+    }
+    // planted corpus exercising the overlap case (aaaa), a cascading merge
+    // (e->er->ert chains across steps) and ties
+    val docs = Seq("aaaa bb aaaa ert", "ab ert aaaa", "ert erx c").toDF("text")
+    val words = Seq("aaaa" -> 3L, "bb" -> 1L, "ab" -> 1L, "ert" -> 3L, "erx" -> 1L)
+    val got = TextAnalysis.bpeTrainOver(docs, steps = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == refTrain(words, 5), s"got $got want ${refTrain(words, 5)}")
+    // and on the real corpus: steps are 1..5, counts positive and
+    // non-increasing is NOT required (merges change the pair universe),
+    // but every chosen pair must be two space-separated symbols
+    val real = TextAnalysis.bpeTrain(spark, Sf).collect()
+    assert(real.map(_.getLong(0)).toSeq == (1L to 5L) &&
+      real.forall(r => r.getString(1).split(" ").length == 2 && r.getLong(2) > 0))
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
