@@ -185,6 +185,7 @@ object SparkEntry {
     "docs_pipeline_full" -> ((s, d) => Pipeline.pipelineFull(s, d)),
     "text_bpe_step" -> ((s, d) => TextAnalysis.bpeStep(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
@@ -648,6 +649,7 @@ object SparkEntry {
     "docs_pipeline_full" -> Pipeline.pipelineFullOracle,
     "text_bpe_step" -> TextAnalysis.bpeStepOracle,
     "text_bpe_train" -> TextAnalysis.bpeTrainOracle,
+    "text_bpe_apply" -> TextAnalysis.bpeApplyOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,

@@ -1247,6 +1247,101 @@ object TextAnalysis {
        |$union ORDER BY step""".stripMargin
   }
 
+  /** Tokenizer application (`text_bpe_apply`) — run the [[bpeTrain]]-learned
+    * merges over the WHOLE corpus and publish the per-source compression
+    * table (tokens, char-level symbols, symbols after BPE, compression in
+    * basis points) — the number `docs_token_budget` actually wants: how many
+    * symbols a trained tokenizer emits per source. Merges are learned
+    * corpus-wide (same argmax sequence as [[bpeTrain]] — single-char words
+    * carry no pairs so their inclusion here changes no merge decision) and
+    * applied to the DISTINCT-word vocabulary only; per-source numbers come
+    * from joining the per-word symbol count back onto the (source, word)
+    * counts, so the corpus is scanned once and everything downstream is
+    * vocab-bounded. Same double-space replace encoding as [[bpeTrain]]. */
+  def bpeApply(spark: SparkSession, d: String, steps: Int = BpeTrainSteps): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val srcCounts = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+    var vocab = words.select(col("w"),
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("freq"))
+    for (_ <- 1 to steps) {
+      val stats = vocab
+        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(col("freq"),
+          concat(element_at(col("l"), col("i")), lit(" "),
+            element_at(col("l"), col("i") + 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1)
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(col("w"), expr(
+          """replace(s,
+            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
+            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
+            .stripMargin).as("s"),
+          col("freq"))
+    }
+    val perWord = vocab.select(col("w"),
+      size(split(trim(col("s")), "  ")).cast("long").as("n_sym"))
+    srcCounts.join(perWord, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(length(col("w")).cast("long") * col("freq")).as("chars"),
+        sum(col("n_sym") * col("freq")).as("sym_after"))
+      .select(col("source"), col("n_tokens"), col("chars"), col("sym_after"),
+        expr("sym_after * 10000 div chars").as("compression_bp"))
+      .orderBy(col("source"))
+  }
+
+  val bpeApplyOracle: String = {
+    val steps = (1 to BpeTrainSteps).map { k =>
+      s"""stats$k AS (
+         |  SELECT l[i] || ' ' || l[i+1] AS pair, sum(freq) AS pair_count
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, freq,
+         |          unnest(generate_series(1,
+         |            len(string_split(trim(s), '  ')) - 1)) AS i
+         |        FROM vocab${k - 1})
+         |  GROUP BY 1),
+         |best$k AS (SELECT pair FROM stats$k
+         |  ORDER BY pair_count DESC, pair LIMIT 1),
+         |vocab$k AS (
+         |  SELECT w, replace(s,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' ||
+         |      split_part(pair, ' ', 2) || ' ',
+         |    ' ' || split_part(pair, ' ', 1) ||
+         |      split_part(pair, ' ', 2) || ' ') AS s, freq
+         |  FROM vocab${k - 1}, best$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |words AS (SELECT w, sum(freq) AS freq FROM src GROUP BY 1),
+       |vocab0 AS (
+       |  SELECT w,
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps,
+       |perword AS (
+       |  SELECT w, len(string_split(trim(s), '  ')) AS n_sym
+       |  FROM vocab$BpeTrainSteps)
+       |SELECT source, cast(sum(freq) AS bigint) AS n_tokens,
+       |  cast(sum(length(w) * freq) AS bigint) AS chars,
+       |  cast(sum(n_sym * freq) AS bigint) AS sym_after,
+       |  cast(sum(n_sym * freq) * 10000 // sum(length(w) * freq)
+       |    AS bigint) AS compression_bp
+       |FROM src JOIN perword USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Zipf head size for [[zipfSlope]]: the fit runs over the top
     * [[ZipfHead]] ranks, where the power law holds and the long-noise tail
     * does not dominate the regression (standard practice); it also bounds

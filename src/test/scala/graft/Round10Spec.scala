@@ -637,6 +637,22 @@ class Round10Spec extends SparkSpec {
       real.forall(r => r.getString(1).split(" ").length == 2 && r.getLong(2) > 0))
   }
 
+  test("text_bpe_apply: per-source symbol accounting is conservative and consistent with the trainer") {
+    val rows = TextAnalysis.bpeApply(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, chars, sym, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sym <= chars, "a merge never adds symbols")
+      assert(sym >= tok, "every token is at least one symbol")
+      assert(bp == sym * 10000 / chars, "compression recomputes")
+    }
+    // corpus-wide totals: chars equals the raw character count of all
+    // tokens; 5 merges must remove exactly (applied merge count) symbols,
+    // which is positive on real text
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
