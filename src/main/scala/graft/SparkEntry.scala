@@ -192,6 +192,7 @@ object SparkEntry {
     "docs_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
     "docs_mad_outliers" -> ((s, d) => Pipeline.madOutliers(s, d)),
     "docs_quality_classifier" -> ((s, d) => Pipeline.qualityClassifier(s, d)),
+    "docs_softdedup" -> ((s, d) => Pipeline.softDedup(s, d)),
     "docs_split" -> ((s, d) => Pipeline.splitAudit(s, d)),
     "text_unigram_lp" -> ((s, d) => Pipeline.unigramLogProb(s, d)),
     "docs_pii_scrub" -> ((s, d) => Pipeline.piiScrub(s, d)),
@@ -656,6 +657,7 @@ object SparkEntry {
     "docs_reservoir" -> Pipeline.reservoirOracle,
     "docs_mad_outliers" -> Pipeline.madOutliersOracle,
     "docs_quality_classifier" -> Pipeline.qualityClassifierOracle,
+    "docs_softdedup" -> Pipeline.softDedupOracle,
     "docs_split" -> Pipeline.splitOracle,
     "text_unigram_lp" -> Pipeline.unigramLogProbOracle,
     "docs_pii_scrub" -> Pipeline.piiScrubOracle,

@@ -1219,6 +1219,60 @@ object Pipeline {
       |FROM dev JOIN mad ON dev.source = mad.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Duplicate down-weighting (`docs_softdedup`) — the soft alternative to
+    * dropping duplicates: every document in an exact-duplicate group of
+    * size g keeps training weight 1/g (so each distinct text contributes
+    * exactly one document's worth of gradient no matter how many copies
+    * the crawl found), published per source as integer ×10 000 effective
+    * sizes (`10000 div g` — exact on both engines, no float weights). The
+    * table a corpus build reads to decide between hard dedup and
+    * down-weighting: n_docs vs eff_docs_x10k is the duplication tax, and
+    * eff_chars_x10k re-prices the token budget under soft weights.
+    *
+    * Scale: groups ride the md5 digest window (digest-shuffle discipline —
+    * text bodies never shuffle, the window partitions by the 128-bit
+    * digest), then one per-source counting agg. */
+  def softDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    // the corpus re-entry plant the dedup family uses: docs with id ≡ 3
+    // (mod 7) come back verbatim and id ≡ 10 (mod 91) twice, so weight
+    // groups of size 2 and 3 exist at every SF — moduli coprime to the
+    // 20-way source assignment, so every source carries weighted groups
+    val corpus = base
+      .unionAll(base.filter(col("doc_id") % 7 === 3))
+      .unionAll(base.filter(col("doc_id") % 91 === 10))
+    val g = corpus
+      .select(col("source"), col("n_chars"),
+        count(lit(1)).over(Window.partitionBy(md5(col("text")))).as("g"))
+    g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(expr("10000 div g")).as("eff_docs_x10k"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_chars") * expr("10000 div g")).as("eff_chars_x10k"))
+      .orderBy(col("source"))
+  }
+
+  val softDedupOracle: String =
+    """WITH corpus AS (
+      |  SELECT source, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT source, n_chars, text FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT source, n_chars, text FROM documents WHERE doc_id % 91 = 10),
+      |g AS (
+      |  SELECT source, n_chars,
+      |    count(*) OVER (PARTITION BY md5(text)) AS g
+      |  FROM corpus)
+      |SELECT source, count(*) AS n_docs,
+      |  cast(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_docs,
+      |  cast(sum(10000 // g) AS bigint) AS eff_docs_x10k,
+      |  cast(sum(n_chars) AS bigint) AS chars,
+      |  cast(sum(n_chars * (10000 // g)) AS bigint) AS eff_chars_x10k
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hashed linear quality classifier (`docs_quality_classifier`) — the
     * fastText-style model-based filter stage (FineWeb-Edu / DCLM style:
     * score every document with a cheap linear classifier, keep the top

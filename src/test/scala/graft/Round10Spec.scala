@@ -653,6 +653,26 @@ class Round10Spec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
 
+  test("docs_softdedup: weights conserve mass and the planted groups price at exactly 1/g") {
+    val rows = Pipeline.softDedup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, Sf).select("doc_id", "source").collect()
+    val perSrc = docs.groupBy(_.getString(1))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ids = perSrc(src).map(_.getLong(0))
+      val n2 = ids.count(i => i % 7 == 3 && i % 91 != 10) // pairs
+      val n3 = ids.count(_ % 91 == 10)                    // triples
+      val base = ids.length
+      assert(r.getLong(1) == base + n2 + 2L * n3, s"$src corpus size")
+      assert(r.getLong(2) == 2L * n2 + 3L * n3, s"$src dup count")
+      // every group of g copies contributes g * (10000 div g)
+      val expectedEff = (base - n2 - n3) * 10000L + n2 * 2L * 5000L + n3 * 3L * 3333L
+      assert(r.getLong(3) == expectedEff, s"$src effective docs")
+      assert(r.getLong(3) <= r.getLong(1) * 10000L, "soft weights never exceed raw mass")
+    }
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
