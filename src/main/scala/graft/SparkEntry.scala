@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_embedding_bucket_stats" -> ((s, d) => Dedup.embeddingBucketStats(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
+    "docs_softdedup_neardup" -> ((s, d) => Dedup.softDedupNearDup(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
@@ -611,6 +612,7 @@ object SparkEntry {
     "dedup_embedding_bucket_stats" -> Dedup.embeddingBucketStatsOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
+    "docs_softdedup_neardup" -> Dedup.softDedupNearDupOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,

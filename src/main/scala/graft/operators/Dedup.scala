@@ -780,6 +780,59 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Near-dup SoftDeDup (`docs_softdedup_neardup`) — the published form of
+    * duplicate down-weighting: weight every document 1/g where g is the
+    * size of its NEAR-duplicate cluster (MinHash-LSH pairs → BSP connected
+    * components, the [[dedupApply]] labeling), so a 40-copy boilerplate
+    * family contributes one document's worth of gradient without dropping
+    * 39 texts outright. Published per lang as integer ×10 000 effective
+    * masses (`10000 div g`, exact both engines) beside the hard-dedup
+    * numbers `dedup_apply` reports — the drop-vs-downweight comparison a
+    * corpus build reads. Scale: labels cover dup ENDPOINTS only
+    * (edge-induced BSP state), singletons coalesce to their own id and the
+    * cluster-size join shuffles label ids, never text. */
+  def softDedupNearDup(spark: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(spark, d)
+    val docs = docsWithNearDups(spark, d).select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    val sizes = docs.groupBy(col("label")).agg(count(lit(1)).as("g"))
+    docs.join(sizes, "label")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum(expr("10000 div g")).as("eff_docs_x10k"))
+      .orderBy(col("lang"))
+  }
+
+  val softDedupNearDupOracle: String = {
+    val pairsSql = minhashLshOracle.replace("ORDER BY i.doc_a, i.doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u, least(u, min(v)) AS label FROM reach GROUP BY u),
+       |corpus AS (
+       |  SELECT doc_id, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id+1000000, lang FROM documents),
+       |lab AS (
+       |  SELECT d.lang, coalesce(c.label, d.doc_id) AS label
+       |  FROM corpus d LEFT JOIN comp c ON d.doc_id = c.u),
+       |sizes AS (SELECT label, count(*) AS g FROM lab GROUP BY 1)
+       |SELECT lang, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS bigint)
+       |    AS n_in_clusters,
+       |  cast(sum(10000 // g) AS bigint) AS eff_docs_x10k
+       |FROM lab JOIN sizes USING (label)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val clustersOracle: String = {
     val pairsSql = minhashLshOracle.replace("ORDER BY i.doc_a, i.doc_b", "")
     s"""WITH RECURSIVE pairs AS (

@@ -673,6 +673,29 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("docs_softdedup_neardup: per-lang effective mass re-derives from the cluster labels") {
+    val rows = Dedup.softDedupNearDup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // independent re-derivation in plain Scala from the label assignment
+    val labels = Dedup.clusterLabels(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "lang").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getString(1)),
+        (r.getLong(0) + 1000000L, r.getString(1))))
+    val lab = docs.map { case (id, lang) => (lang, labels.getOrElse(id, id)) }
+    val sizes = lab.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val expect = lab.groupBy(_._1).map { case (lang, xs) =>
+      lang -> (xs.length.toLong,
+        xs.count(x => sizes(x._2) > 1).toLong,
+        xs.map(x => 10000L / sizes(x._2)).sum)
+    }
+    rows.foreach { r =>
+      val (n, in, eff) = expect(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == in && r.getLong(3) == eff,
+        s"${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) want ($n,$in,$eff)")
+    }
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
