@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_semantic_cell_stats" -> ((s, d) => Dedup.semanticCellStats(s, d)),
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
+    "ann_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
@@ -627,6 +628,7 @@ object SparkEntry {
     "dedup_semantic" -> Dedup.semanticOracle,
     "dedup_semantic_cell_stats" -> Dedup.semanticCellStatsOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
+    "ann_mips" -> Similarity.mipsTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,

@@ -69,6 +69,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact maximum-inner-product top-k (`ann_mips`) — the retrieval
+    * scoring two-tower recommenders and dense-retrieval rankers use, where
+    * the UNNORMALIZED dot product is the estimand (a long document/item
+    * vector SHOULD outrank a short one — cosine's normalization is wrong
+    * there). Same brute-force shape as [[bruteforceTopK]]: queries
+    * broadcast, one linear corpus pass, per-query top-k as a map-side
+    * WindowGroupLimit. Scores ride integer MICRO inner products
+    * (`floor(dot·10⁶ + 0.5)` — the family's exact-bigint convention after
+    * round-4 flipped a PQ row on a .xxxx5 boundary), so ranking ties break
+    * identically on both engines. Scale path: the classic norm-augmentation
+    * reduction (append √(M²−‖x‖²) to corpus vectors, 0 to queries) turns
+    * MIPS into cosine over d+1 dims, after which the whole IVF/PQ ladder
+    * above applies unchanged — this row is the exact baseline that ladder
+    * would be priced against. */
+  def mipsTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(dot(col("qe"), col("e")) * 1e6 + lit(0.5)).cast("long").as("ip_e6"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip_e6").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsTopKOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, v.vec_id AS neighbor_id,
+      |    cast(floor(list_dot_product(qe, v.e) * 1e6 + 0.5) AS bigint)
+      |      AS ip_e6
+      |  FROM q, v WHERE v.vec_id != query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ip_e6 DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, neighbor_id, ip_e6, cast(rank AS int) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val bruteforceTopKOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),

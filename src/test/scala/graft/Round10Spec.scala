@@ -696,6 +696,33 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ann_mips: one query's top-5 re-derives from plain-Scala dot products") {
+    val got = Similarity.mipsTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty && got.forall(_._4 >= 1) && got.forall(_._4 <= 5))
+    // per query: ranks are 1..5 with ip non-increasing
+    got.groupBy(_._1).foreach { case (q, xs) =>
+      val s = xs.sortBy(_._4)
+      assert(s.map(_._4).toSeq == (1 to s.length) &&
+        s.sliding(2).forall {
+          case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+          case _ => true
+        }, s"query $q ordering")
+    }
+    // independent re-derivation for query 0
+    val vecs = Tables.embeddings(spark, Sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q0 = vecs(0L)
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        (id, math.floor(q0.zip(e).map(p => p._1 * p._2).sum * 1e6 + 0.5).toLong)
+      }
+      .sortBy { case (id, ip) => (-ip, id) }.take(5)
+    assert(got.filter(_._1 == 0L).sortBy(_._4).map(x => (x._2, x._3)).toSeq == expect,
+      "query 0 top-5 by hand")
+  }
+
   test("text_bpe_step: hand-computed merge table on a planted corpus, incl. the overlap case") {
     import spark.implicits._
     // words: aaaa ×2, bb ×1, ab ×1 (and a single-char token that must be
