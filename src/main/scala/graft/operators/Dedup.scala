@@ -663,13 +663,42 @@ object Dedup {
     * state never rides a superstep); callers that need a full-corpus
     * labeling must left-join and `coalesce(label, doc_id)` — see
     * [[dedupApply]] for the pattern. The BSP loop [[clusters]]
-    * aggregates. */
-  def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame = {
+    * aggregates.
+    *
+    * MATERIALIZED ONCE PER (session, dataset): the MinHash-LSH pair scan +
+    * BSP label propagation is the most expensive pass in the dedup family,
+    * and FOUR independent consumers read its converged output
+    * ([[clusters]], [[dedupApply]], [[clusterStats]] via clusters, and
+    * [[softDedupNearDup]]) — a 100 TB build runs the chain once and every
+    * decision operator reads the label table, so the library does the
+    * same: the converged frame is localCheckpoint-pinned (the
+    * [[winnowPairs]] shared-index discipline) and cached keyed by
+    * (sessionUUID, dir). The cache holds only the small (dup-endpoint ×
+    * 2-column) label frame, is only consulted at the default `maxIter`
+    * (spec hooks passing a custom budget bypass it), and
+    * [[clearLabelCache]] drops it (tests / re-ingest). Results are
+    * bit-identical to a fresh run — the oracle SQL is unchanged. */
+  def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame =
+    if (maxIter != 20) computeClusterLabels(spark, d, maxIter)
+    else labelCache.computeIfAbsent((spark, d),
+      _ => computeClusterLabels(spark, d, maxIter).localCheckpoint())
+
+  private def computeClusterLabels(spark: SparkSession, d: String,
+      maxIter: Int): DataFrame = {
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
     // edge-induced vertices: the BSP label state is O(dup endpoints), not
     // O(corpus) — docs with no near-dup pair never ride a superstep join
     connectedComponentsOfEdges(pairs, maxIter)
   }
+
+  // keyed by session IDENTITY: a stopped session's entry is dropped by
+  // clearLabelCache (test teardown) or dies with the JVM; the cached value
+  // is the tiny two-column label frame, never corpus-sized
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop all cached cluster-label frames (see [[clusterLabels]]). */
+  def clearLabelCache(): Unit = labelCache.clear()
 
   /** Distributed connected components over an undirected edge list:
     * min-label propagation PLUS a pointer-doubling shortcut per superstep

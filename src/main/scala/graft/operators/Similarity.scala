@@ -1227,8 +1227,22 @@ object Similarity {
     * (`ann_ivfpq`), which prices dense regions linearly. At the gate SFs
     * (sf0.01/sf0.1) no bucket exceeds the ceiling, so the cap changes
     * nothing there. */
+  /** `logDropped = true` runs the [[knnBucketStats]] ledger up front and
+    * WARN-logs any over-cap exclusion — for ad-hoc use where nobody reads
+    * the ledger query, so a silent cap can't go unnoticed (one extra
+    * |corpus|-linear aggregate; the oracle row keeps the default false,
+    * where the ledger remains the audited channel). */
   def knnJoin(spark: SparkSession, d: String, k: Int = 3, nPlanes: Int = 0,
-      maxBucket: Int = MaxKnnBucket): DataFrame = {
+      maxBucket: Int = MaxKnnBucket, logDropped: Boolean = false): DataFrame = {
+    if (logDropped) {
+      val r = knnBucketStats(spark, d, nPlanes, maxBucket).collect()(0)
+      val dropped = r.getAs[Long]("n_dropped_vectors")
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"knnJoin: $dropped vectors in ${r.getAs[Long]("n_capped_buckets")} " +
+            s"over-cap buckets (max occupancy ${r.getAs[Long]("max_occupancy")}) " +
+            "excluded from the census - route dense regions through ann_ivfpq")
+    }
     val planes =
       if (nPlanes > 0) nPlanes
       else {

@@ -878,6 +878,123 @@ object TextAnalysis {
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** ExactSubstr APPLY (`text_substr_apply`) — the removal contract behind
+    * [[substrDup]]'s audit: Lee et al.'s ExactSubstr dedup DELETES the
+    * duplicated spans, so this is the decision operator — per affected
+    * document, how many characters a span cut removes and what survives.
+    * A character is duplicated iff some 40-char stride-1 window covering
+    * it has a digest appearing in ≥2 DISTINCT documents (every occurrence
+    * cut — the deduplicate-text-datasets convention, which drops all
+    * copies of a cross-document passage rather than electing a keeper;
+    * electing one would need a global per-digest anchor pass).
+    *
+    * The cut is an exact interval union computed relationally: shared
+    * window positions sort per doc, and position i contributes
+    * min(40, next_shared_i − i) chars (40 for the last) — a per-doc
+    * `lead` window over SHARED positions only, never the full position
+    * universe. Scale shape is [[substrDup]]'s: the stride-1 digest pass
+    * is the paper's suffix-array index size, the df pass is one distinct
+    * + partial agg, and everything after the shared-join is bounded by
+    * \|shared positions\|. The passage-level twin of [[Dedup.lineDedupApply]]'s
+    * contract (kept/cut accounting per affected doc); at 100 TB run the
+    * [[substrApplyWinnow]] prefilter first so only candidate docs pay the
+    * stride-1 pass. */
+  def substrApply(spark: SparkSession, d: String): DataFrame =
+    substrApplyOn(Tables.documents(spark, d))
+
+  /** The [[substrApply]] kernel over any (doc_id, source, text) relation —
+    * public so specs can plant cross-document passages at any alignment. */
+  def substrApplyOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = docs
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("chars_total"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("source"), col("chars_total"), col("i"),
+        hash60(expr("substring(text, i, 40)")).as("h"))
+    // digests shared across >= 2 distinct docs (the audit's df >= 2 rule)
+    val sharedH = win.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    win.join(sharedH, "h")
+      .withColumn("next_i", lead(col("i"), 1).over(byDoc))
+      .withColumn("cut",
+        least(lit(40L), coalesce((col("next_i") - col("i")).cast("long"), lit(40L))))
+      .groupBy(col("doc_id"), col("source"), col("chars_total"))
+      .agg(count(lit(1)).as("n_shared_windows"), sum(col("cut")).as("chars_cut"))
+      .select(col("doc_id"), col("source"), col("n_shared_windows"),
+        col("chars_total"), col("chars_cut"),
+        (col("chars_total") - col("chars_cut")).as("chars_kept"),
+        expr("(chars_total - chars_cut) * 10000 div chars_total").as("kept_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substrApplyOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH w AS (
+       |  SELECT doc_id, source, cast(len(text) AS bigint) AS chars_total, i,
+       |    ${sqlHash60("substr(text, cast(i AS int), 40)")} AS h
+       |  FROM (SELECT doc_id, source, text,
+       |          unnest(generate_series(1, len(text) - 39)) AS i
+       |        FROM documents WHERE len(text) >= 40)),
+       |df AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |s AS (SELECT w.* FROM w JOIN df USING (h)),
+       |c AS (
+       |  SELECT doc_id, source, chars_total, i,
+       |    least(40, coalesce(
+       |      lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 40)) AS cut
+       |  FROM s)
+       |SELECT doc_id, source, count(*) AS n_shared_windows, chars_total,
+       |  cast(sum(cut) AS bigint) AS chars_cut,
+       |  chars_total - cast(sum(cut) AS bigint) AS chars_kept,
+       |  (chars_total - cast(sum(cut) AS bigint)) * 10000 // chars_total
+       |    AS kept_bp
+       |FROM c GROUP BY doc_id, source, chars_total
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The 100 TB path for [[substrApply]]: the winnowed fingerprint index
+    * ([[substrDupWinnow]]'s w-window minima, ~2/(w+1) of the position
+    * universe) PREFILTERS candidate documents, and only those pay the
+    * stride-1 exact cut. The winnowing guarantee bounds the recall loss
+    * exactly: any cross-document run ≥ 40+w−1 chars shares a fingerprint,
+    * so a doc whose duplicated passages are all ≥ 47 chars is always a
+    * candidate; only docs whose ONLY shared material is a 40-46-char run
+    * can be missed — and since window df is recomputed over the candidate
+    * set, a candidate's overlap with such a missed doc is likewise
+    * uncounted (both sides of the loss are bounded by the same <47-char
+    * rule; the spec pins planted-passage equality with the exact form).
+    * Same output contract as [[substrApply]]. */
+  def substrApplyWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
+    substrApplyWinnowOn(Tables.documents(spark, d), w)
+
+  def substrApplyWinnowOn(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = docs
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        hash60(expr("substring(text, i, 40)")).as("h0"))
+      .withColumn("m", min(col("h0")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === w)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
+    val sharedFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2).select(col("fp"))
+    val candidates = fps.join(sharedFp, "fp").select(col("doc_id")).distinct()
+    substrApplyOn(docs.join(candidates, "doc_id"))
+  }
+
   /** Pairwise source divergence (`text_js_divergence`) — the
     * Jensen–Shannon divergence between every pair of sources' hashed
     * 64-bucket unigram distributions: the corpus-similarity matrix a

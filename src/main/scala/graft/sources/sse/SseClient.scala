@@ -359,10 +359,19 @@ final class SseClient(
     causeMessages(t).exists(m =>
       m.contains("429") || m.contains("too many requests") || m.contains("rate limit"))
 
-  /** A 401 anywhere in the cause chain — the resource server rejected the
-    * presented credentials (for OAuth2: a revoked-before-expiry token). */
+  /** A 401 STATUS anywhere in the cause chain — the resource server
+    * rejected the presented credentials (for OAuth2: a revoked-before-
+    * expiry token). Matches only status-code phrasings (`HTTP 401 ...`
+    * from [[HttpSseEndpoint]], the JDK's `response code: 401`, or the word
+    * "unauthorized") — a bare `401` substring also appears in ports, byte
+    * counts, and serials like `4010`, and a spurious match here costs a
+    * token-endpoint round trip on every reconnect. */
   private def isUnauthorizedError(t: Throwable): Boolean =
-    causeMessages(t).exists(m => m.contains("401") || m.contains("unauthorized"))
+    causeMessages(t).exists(m =>
+      UnauthorizedRe.pattern.matcher(m).find() || m.contains("unauthorized"))
+
+  private val UnauthorizedRe =
+    """(?:\bhttp 401\b|response code:? 401\b|\bstatus(?: code)?:? 401\b)""".r
 
   private def causeMessages(t: Throwable): List[String] = {
     def msgs(x: Throwable, acc: List[String]): List[String] =

@@ -79,7 +79,13 @@ final case class SseConfig(
     s"circuit.breaker.failure.threshold must be positive, got $t"))
   require(circuitBreakerOpenMs > 0, "circuit.breaker.open.ms must be positive")
   // advanced TLS (Step 9): a custom trust anchor set and the explicit
-  // verification kill-switch are contradictory instructions
+  // verification kill-switch are contradictory instructions.
+  // SCOPE WARNING: https.insecure.skip.verify disables certificate AND
+  // hostname verification on EVERY HTTPS call this source makes — the SSE
+  // stream AND the OAuth2 token fetch (where the client secret is POSTed).
+  // An operator opting in for a self-signed stream cert is also trusting
+  // the network path to the token endpoint; test rigs only — production
+  // self-signed upstreams belong in https.truststore.path.
   require(!(httpsInsecureSkipVerify && httpsTruststorePath.isDefined),
     "https.truststore.path and https.insecure.skip.verify are mutually exclusive")
   require(transport == "log" || transport == "live",

@@ -778,7 +778,17 @@ object StreamOps {
     * on-time tick can still land in it, so the event-time timeout emits
     * the bar one final time and drops the cell — the same close-and-drop
     * rule as [[bitmapDistinctStream]] (each cell is O(1), but a year of
-    * dead hour keys is still a year of dead state). */
+    * dead hour keys is still a year of dead state).
+    *
+    * BEHAVIOR CONTRACT (eviction's two visible consequences — shared with
+    * [[bitmapDistinctStream]]): (1) the watermark DROPS late ticks — an
+    * event later than `lateness` never reaches the state (the pre-r10
+    * timeout-free form counted it), so pick a lateness that covers the
+    * source's real disorder (`ev_watermark_recommend` measures it);
+    * (2) append output re-emits the FINAL bar from the eviction timer
+    * even when a refreshed emission for the same hour already went out —
+    * consumers must keep the LATEST emission per hour_ts (the parity
+    * specs' dedup rule), not assume one row per hour. */
   def ohlcStream(ticks: Dataset[Tick],
       lateness: String = "1 hour"): Dataset[OhlcBar] = {
     import ticks.sparkSession.implicits._
@@ -982,7 +992,13 @@ object StreamOps {
     * steady-state store size is O(open days × types), never O(history).
     * The timeout fires at max(day end, watermark + 1): a cell first
     * touched by a late-but-in-watermark event whose day already closed
-    * finalizes on the next watermark advance. */
+    * finalizes on the next watermark advance.
+    *
+    * BEHAVIOR CONTRACT (same as [[ohlcStream]]): the watermark DROPS
+    * events later than `lateness` (they are silently absent from the
+    * count — set the lateness from measured disorder), and append output
+    * carries BOTH per-batch refreshed counts and the timer's final row
+    * per cell — consumers keep the latest emission per (day, type). */
   def bitmapDistinctStream(events: Dataset[StreamEvent],
       lateness: String = "1 hour"): Dataset[BitmapCell] = {
     import events.sparkSession.implicits._

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-11 additions: the ExactSubstr removal contract, the shared
+  * cluster-label chain, and the MIPS-on-compressed-index ladder. */
+class Round11Spec extends SparkSpec {
+
+  // aperiodic deterministic filler so window distinctness behaves like
+  // real text (shared with Round10Spec's winnow spec)
+  private def filler(seed: Int, n: Int): String =
+    (0 until n).map(i => ('a' + ((i * i * 31 + seed * 7 + i) % 26)).toChar).mkString
+
+  test("text_substr_apply: planted passage is cut exactly, at any alignment") {
+    import spark.implicits._
+    val p = "the quick brown fox jumps over the lazy dog repeatedly tonight" // 63 chars
+    val docs = Seq(
+      (1L, "s", filler(1, 83) + p + filler(2, 100)),
+      (2L, "s", filler(3, 57) + p + filler(4, 140)),
+      (3L, "s", filler(5, 320))).toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.substrApplyOn(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      s"exactly the two planted docs are affected: ${rows.mkString(";")}")
+    rows.foreach { r =>
+      // every 40-char window fully inside the 63-char passage is shared in
+      // both docs; their interval union is exactly the passage
+      assert(r.getAs[Long]("chars_cut") == p.length.toLong,
+        s"cut must be exactly the planted span: $r")
+      assert(r.getAs[Long]("chars_kept") ==
+        r.getAs[Long]("chars_total") - p.length, s"kept accounting: $r")
+      assert(r.getAs[Long]("kept_bp") ==
+        r.getAs[Long]("chars_kept") * 10000 / r.getAs[Long]("chars_total"))
+    }
+  }
+
+  test("text_substr_apply: overlapping shared windows union, never double-count") {
+    import spark.implicits._
+    // two separate planted passages in one doc — the cut is their SUM;
+    // and a doc that is one long shared run — the cut is the whole doc
+    val p1 = filler(11, 45)
+    val p2 = filler(12, 52)
+    val docs = Seq(
+      (1L, "s", p1 + filler(1, 60) + p2),
+      (2L, "s", filler(2, 71) + p1 + filler(3, 55)),
+      (3L, "s", p2 + filler(4, 66))).toDF("doc_id", "source", "text")
+    val byDoc = TextAnalysis.substrApplyOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("chars_cut")).toMap
+    assert(byDoc(1L) == (p1.length + p2.length).toLong,
+      s"doc 1 loses both planted spans, overlap-unioned: $byDoc")
+    assert(byDoc(2L) == p1.length.toLong && byDoc(3L) == p2.length.toLong, s"$byDoc")
+  }
+
+  test("text_substr_apply_winnow: candidate prefilter preserves >=47-char cuts") {
+    import spark.implicits._
+    val p = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    val docs = Seq(
+      (1L, "s", filler(1, 83) + p + filler(2, 100)),
+      (2L, "s", filler(3, 57) + p + filler(4, 140)),
+      (3L, "s", filler(5, 320))).toDF("doc_id", "source", "text")
+    val exact = TextAnalysis.substrApplyOn(docs).collect().map(_.toSeq).toSet
+    val win = TextAnalysis.substrApplyWinnowOn(docs, 8).collect().map(_.toSeq).toSet
+    assert(win == exact,
+      s"winnow-prefiltered apply must equal exact on >=47-char passages:\n$win\nvs\n$exact")
+  }
+
+  test("clusterLabels: one materialization per (session, dataset), bit-identical") {
+    Dedup.clearLabelCache()
+    val t0 = System.nanoTime()
+    val a = Dedup.clusterLabels(spark, Sf)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val b = Dedup.clusterLabels(spark, Sf)
+    val warmMs = (System.nanoTime() - t1) / 1e6
+    assert(a eq b, "the four consumers must read ONE materialized label frame")
+    assert(warmMs < math.max(50.0, coldMs / 2),
+      s"cached call must skip the BSP chain: cold=${coldMs}ms warm=${warmMs}ms")
+    // a custom superstep budget is a spec hook, never served from cache
+    val c = Dedup.clusterLabels(spark, Sf, maxIter = 19)
+    assert(!(c eq a))
+    // consumers of the cached frame still produce the oracle-shaped output
+    val clusters = Dedup.clusters(spark, Sf).collect()
+    assert(clusters.forall(_.getAs[Long]("n_members") > 1))
+    val apply = Dedup.dedupApply(spark, Sf).collect()
+    assert(apply.forall(r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_docs")))
+    Dedup.clearLabelCache()
+    assert(!(Dedup.clusterLabels(spark, Sf) eq a), "clear drops the pin")
+  }
+}

@@ -7,8 +7,14 @@ Usage:  python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [q1,q2,...]
 Run the Spark side first:
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out q1,q2"
 
-Mirrors the driver gate: row count, column-name set, and a value hash over
-rows with columns sorted by name.
+Mirrors the driver gate (row count, column-name set, typed value hash over
+rows with columns sorted by name) with ONE divergence: rows whose floats
+differ by <1e-6 across a round(6) boundary are reported as
+"WARN float-tolerance", NOT "ok" — the driver's exact typed value hash
+WOULD reject them, so a tolerance row means the query needs the repo's
+round/quantize conventions tightened before it can be trusted to pass the
+driver. Tolerance rows exit 0 only under --allow-float-tol; by default
+they count as failures so local green == driver green.
 """
 import sys, json, glob, os, math, re
 import duckdb
@@ -69,8 +75,10 @@ def norm(v):
     return v
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--allow-float-tol"]
+    allow_tol = "--allow-float-tol" in sys.argv[1:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2].split(",")) if len(args) > 2 else None
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -78,6 +86,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     fails = 0
+    warns = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -114,15 +123,20 @@ def main():
         a, b = canon(sp_rows, sp_cols), canon(oc_rows, oc_cols)
         if a != b:
             # float fallback: rows that only differ by <tolerance across a
-            # round(6) boundary still pass; anything else is a mismatch
+            # round(6) boundary are a WARNING, not an ok — the driver's
+            # exact typed value hash would reject them
             if all(rows_close(x, y) for x, y in zip(a, b)):
-                print(f"{name}: ok ({len(sp_rows)} rows, float-tolerance)")
-                continue
+                print(f"{name}: WARN float-tolerance ({len(sp_rows)} rows — "
+                      "driver's exact hash would FAIL this)")
+                warns += 1; continue
             diff = [(x, y) for x, y in zip(a, b) if not rows_close(x, y)][:3]
             print(f"{name}: HASH mismatch, first diffs {diff}")
             fails += 1; continue
         print(f"{name}: ok ({len(sp_rows)} rows)")
-    sys.exit(1 if fails else 0)
+    if warns:
+        print(f"{warns} float-tolerance warning(s)"
+              + ("" if allow_tol else " (counted as failures; pass --allow-float-tol to tolerate)"))
+    sys.exit(1 if fails or (warns and not allow_tol) else 0)
 
 if __name__ == "__main__":
     main()
