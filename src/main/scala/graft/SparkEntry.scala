@@ -145,6 +145,8 @@ object SparkEntry {
     // §2.4 similarity search
     "ann_bruteforce" -> ((s, d) => Similarity.bruteforceTopK(s, d)),
     "ann_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
+    "ann_mips_ivfpq" -> ((s, d) => Similarity.mipsIvfPqTopK(s, d)),
+    "ann_mips_recall" -> ((s, d) => Similarity.mipsIvfPqRecall(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
@@ -631,6 +633,8 @@ object SparkEntry {
     "dedup_semantic_cell_stats" -> Dedup.semanticCellStatsOracle,
     "ann_bruteforce" -> Similarity.bruteforceTopKOracle,
     "ann_mips" -> Similarity.mipsTopKOracle,
+    "ann_mips_ivfpq" -> Similarity.mipsIvfPqTopKOracle,
+    "ann_mips_recall" -> Similarity.mipsIvfPqRecallOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,

@@ -83,12 +83,14 @@ object Similarity {
     * MIPS into cosine over d+1 dims, after which the whole IVF/PQ ladder
     * above applies unchanged — this row is the exact baseline that ladder
     * would be priced against. */
-  def mipsTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def mipsTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      sampleMod: Int = 1): DataFrame = {
     val v = Tables.embeddings(spark, d)
       .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = corpusSample(v, nQueries, sampleMod)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         floor(dot(col("qe"), col("e")) * 1e6 + lit(0.5)).cast("long").as("ip_e6"))
     val byQuery = Window.partitionBy(col("query_id"))
@@ -184,8 +186,14 @@ object Similarity {
     * step) with shuffles proportional to |cells|·dims only, then collapsed
     * to a single row so it can ride a broadcast to every assignment task. */
   private def centroidMatrix(spark: SparkSession, d: String, nCells: Int): DataFrame =
-    Tables.embeddings(spark, d)
-      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+    centroidMatrixOn(Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e")), nCells)
+
+  /** [[centroidMatrix]] over any (vec_id, e: array&lt;double&gt;) frame — the
+    * augmented-vector MIPS path trains its coarse quantizer on d+1-dim
+    * vectors through the same machinery. */
+  private def centroidMatrixOn(v: DataFrame, nCells: Int): DataFrame =
+    v.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "v")))
       .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)))
       .groupBy(col("cell"), col("dim"))
       .agg(round(avg(col("v")), 6).as("c"))
@@ -663,10 +671,15 @@ object Similarity {
     * seed groups (vec_id mod k — one k-means init step) per subspace;
     * shuffles are proportional to m·k·(dims/m) = k·dims only. */
   private def pqCodebookLong(spark: SparkSession, d: String, m: Int, k: Int,
+      dims: Int): DataFrame =
+    pqCodebookLongOn(Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e")), m, k, dims)
+
+  /** [[pqCodebookLong]] over any (vec_id, e: array&lt;double&gt;) frame. */
+  private def pqCodebookLongOn(v: DataFrame, m: Int, k: Int,
       dims: Int): DataFrame = {
     val sw = dims / m
-    Tables.embeddings(spark, d)
-      .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+    v.select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "v")))
       .withColumn("sub", expr(s"dim div $sw"))
       .withColumn("sd", pmod(col("dim"), lit(sw)))
       .withColumn("cell", pmod(col("vec_id"), lit(k.toLong)))
@@ -777,11 +790,17 @@ object Similarity {
     * codebook cell. Query-sized shuffles only. Shared by [[pqSearchTopK]]
     * and [[ivfPqSearchTopK]]. */
   private def pqDistTables(spark: SparkSession, d: String, nQueries: Int,
-      sw: Int, cbLong: DataFrame): DataFrame = {
-    val qcomp = Tables.embeddings(spark, d)
+      sw: Int, cbLong: DataFrame): DataFrame =
+    pqDistTablesOn(Tables.embeddings(spark, d)
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        posexplode(vecDouble(col("embedding"))).as(Seq("dim", "v")))
+      .select(col("vec_id").as("query_id"), vecDouble(col("embedding")).as("e")),
+      sw, cbLong)
+
+  /** [[pqDistTables]] over any (query_id, e: array&lt;double&gt;) frame — the
+    * MIPS path builds its tables from ZERO-augmented query vectors. */
+  private def pqDistTablesOn(q: DataFrame, sw: Int, cbLong: DataFrame): DataFrame = {
+    val qcomp = q
+      .select(col("query_id"), posexplode(col("e")).as(Seq("dim", "v")))
       .withColumn("sub", expr(s"dim div $sw"))
       .withColumn("sd", pmod(col("dim"), lit(sw)))
     qcomp
@@ -1192,6 +1211,179 @@ object Similarity {
        |  ORDER BY d2, neighbor_id) AS rank FROM ts),
        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5),
        |approx AS (SELECT query_id, neighbor_id FROM ($ivfPqSearchTopKOracle) s)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** MIPS on the compressed index (`ann_mips_ivfpq`) — the 100 TB scale
+    * path [[mipsTopK]] documents, now implemented: the classic
+    * norm-augmentation reduction (Bachrach et al. 2014) appends
+    * √(M²−‖x‖²) to every corpus vector (M² = max squared norm, a one-row
+    * broadcast scalar) and 0 to queries, making every augmented corpus
+    * norm exactly M — so argmax q·x over the corpus becomes
+    * argmin ‖q̂−x̂‖² in d+1 dims, and the ENTIRE existing IVF-PQ ladder
+    * applies unchanged to the augmented frame: coarse cells bound WHICH
+    * vectors a query scores (\|corpus\|/nCells candidates), PQ/ADC bounds
+    * WHAT is read per candidate (m code bytes + m table lookups).
+    *
+    * Faithful to the reduction, queries quantize in their OWN form: the
+    * probe cell and the ADC tables come from the ZERO-augmented query
+    * vector (a corpus-form query would smuggle its own norm back into the
+    * metric). 65 = 64+1 dims split into m=5 subspaces of 13 — no padding.
+    * Same one-row-broadcast / zero-corpus-exchange shape as
+    * [[ivfPqSearchTopK]] (the augmentation itself is a map-side concat
+    * against the broadcast M² row); same round-6 / integer-micro /
+    * left-assoc ADC conventions, so adist is oracle-exact. Priced by
+    * [[mipsIvfPqRecall]] against the exact [[mipsTopK]] baseline. */
+  def mipsIvfPqTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 5, kCells: Int = 16, nCells: Int = 16,
+      sampleMod: Int = 1): DataFrame = {
+    val dims = 65
+    val sw = dims / m
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e0"))
+    // one-row model scalar: the max squared norm that sizes the sphere
+    val m2row = base.agg(max(dot(col("e0"), col("e0"))).as("m2"))
+    val vaug = base.crossJoin(broadcast(m2row))
+      .select(col("vec_id"), concat(col("e0"),
+        array(round(sqrt(greatest(col("m2") - dot(col("e0"), col("e0")),
+          lit(0.0))), 6))).as("e"))
+    val qaug = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        concat(col("e0"), array(lit(0.0))).as("e"))
+    val cbLong = pqCodebookLongOn(vaug, m, kCells, dims)
+    val cm = centroidMatrixOn(vaug, nCells)
+    // one corpus pass: IVF cell then m PQ codes, chained one-row broadcasts
+    val withCb = vaug.join(broadcast(cm))
+      .withColumn("cell", nearestCell(col("e"), col("cents")))
+      .drop("cents")
+      .join(broadcast(pqCodebook(cbLong)))
+    val corpus = (0 until m).foldLeft(withCb) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }.select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"code_$s")): _*)
+    val qcells = qaug.join(broadcast(cm))
+      .select(col("query_id"), nearestCell(col("e"), col("cents")).as("qcell"))
+    val qdt = pqDistTablesOn(qaug, sw, cbLong).join(qcells, "query_id")
+    corpusSample(corpus, nQueries, sampleMod).join(broadcast(qdt),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adistMicroExpr(m).as("adist_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist_micro"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsIvfPqTopKOracle: String =
+    """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |mx AS (SELECT max(list_dot_product(e, e)) AS m2 FROM v0),
+      |v AS (SELECT vec_id, list_append(e,
+      |        round(sqrt(greatest(mx.m2 - list_dot_product(e, e), 0)), 6)) AS e
+      |      FROM v0, mx),
+      |qv AS (SELECT vec_id AS query_id, list_append(e, 0.0) AS e
+      |       FROM v0 WHERE vec_id < 10),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |comp AS (
+      |  SELECT vec_id, (j-1) // 13 AS sub, (j-1) % 13 AS sd, e[j] AS val FROM x),
+      |cents AS (
+      |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+      |  FROM comp GROUP BY 1, 2, 3),
+      |cdists AS (
+      |  SELECT comp.vec_id, comp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+      |    FROM cdists) WHERE r = 1),
+      |qx AS (SELECT query_id, e, unnest(generate_series(1, len(e))) AS j FROM qv),
+      |qcomp AS (
+      |  SELECT query_id, (j-1) // 13 AS sub, (j-1) % 13 AS sd, e[j] AS val FROM qx),
+      |qdt AS (
+      |  SELECT qcomp.query_id, qcomp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM qcomp JOIN cents ON qcomp.sub = cents.sub AND qcomp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |icents AS (
+      |  SELECT vec_id % 16 AS icell, j AS cj, round(avg(e[j]), 6) AS c
+      |  FROM x GROUP BY 1, 2),
+      |icnorms AS (SELECT icell, sqrt(sum(c*c)) AS cnorm FROM icents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |idots AS (
+      |  SELECT x.vec_id, icents.icell, sum(e[j] * c) AS dot
+      |  FROM x JOIN icents ON x.j = icents.cj GROUP BY 1, 2),
+      |iassigned AS (
+      |  SELECT vec_id, icell FROM (
+      |    SELECT d.vec_id, d.icell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.icell) AS arank
+      |    FROM idots d JOIN icnorms cn ON d.icell = cn.icell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |qnorms AS (SELECT query_id, sqrt(list_dot_product(e, e)) AS norm FROM qv),
+      |qidots AS (
+      |  SELECT qx.query_id, icents.icell, sum(e[j] * c) AS dot
+      |  FROM qx JOIN icents ON qx.j = icents.cj GROUP BY 1, 2),
+      |qassigned AS (
+      |  SELECT query_id, icell FROM (
+      |    SELECT d.query_id, d.icell,
+      |      row_number() OVER (PARTITION BY d.query_id
+      |        ORDER BY round(d.dot / (qn.norm * cn.cnorm), 6) DESC, d.icell) AS arank
+      |    FROM qidots d JOIN icnorms cn ON d.icell = cn.icell
+      |    JOIN qnorms qn ON d.query_id = qn.query_id)
+      |  WHERE arank = 1),
+      |persub AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub,
+      |    cast(round(q.d2 * 1000000) AS bigint) AS d2u
+      |  FROM codes c
+      |  JOIN iassigned ia ON ia.vec_id = c.vec_id
+      |  JOIN qdt q ON c.sub = q.sub AND c.cell = q.cell
+      |  JOIN qassigned qa ON qa.query_id = q.query_id AND qa.icell = ia.icell
+      |  WHERE c.vec_id != q.query_id),
+      |tot AS (
+      |  SELECT query_id, neighbor_id,
+      |    ((((max(CASE WHEN sub = 0 THEN d2u END)
+      |      + max(CASE WHEN sub = 1 THEN d2u END))
+      |      + max(CASE WHEN sub = 2 THEN d2u END))
+      |      + max(CASE WHEN sub = 3 THEN d2u END))
+      |      + max(CASE WHEN sub = 4 THEN d2u END)) AS adist_micro
+      |  FROM persub GROUP BY 1, 2),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS int) AS rank
+      |  FROM tot)
+      |SELECT query_id, neighbor_id, adist_micro, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of the MIPS IVF-PQ index vs the exact inner-product truth
+    * ([[mipsTopK]]) — the measured eval that prices the norm-augmentation
+    * reduction's BOTH losses at once (coarse-cell miss + quantized-rank
+    * flip), completing the family convention: every index claim ships with
+    * its recall table. Read beside [[ivfPqRecall]]: the MIPS row pays one
+    * extra loss source the cosine row doesn't — the augmented dimension's
+    * share of quantization error concentrates on long-vs-short-norm
+    * distinctions, exactly the distinction MIPS exists to preserve. */
+  def mipsIvfPqRecall(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, truthSample: Int = 1): DataFrame = {
+    val truth = mipsTopK(spark, d, nQueries, k, sampleMod = truthSample)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = mipsIvfPqTopK(spark, d, nQueries, k, sampleMod = truthSample)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val mipsIvfPqRecallOracle: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($mipsTopKOracle) t),
+       |approx AS (SELECT query_id, neighbor_id FROM ($mipsIvfPqTopKOracle) s)
        |SELECT t.query_id,
        |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
        |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k

@@ -63,6 +63,40 @@ class Round11Spec extends SparkSpec {
       s"winnow-prefiltered apply must equal exact on >=47-char passages:\n$win\nvs\n$exact")
   }
 
+  test("ann_mips_ivfpq: norm augmentation preserves the exact MIPS ranking (plain Scala)") {
+    // the reduction mipsIvfPqTopK rides: x_hat = x ++ [round6(sqrt(M2 - x.x))],
+    // q_hat = q ++ [0] makes L2-argmin == inner-product-argmax. Re-derive
+    // both sides from raw doubles at sf0.001 and require identical top-5
+    // (quantization aside, the only impl-vs-reduction gap is the round-6
+    // on the augmented coordinate — this pins that it never flips a rank
+    // on real data).
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val m2 = vecs.map { case (_, e) => dot(e, e) }.max
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aug = vecs.map { case (id, e) =>
+      id -> (e :+ round6(math.sqrt(math.max(m2 - dot(e, e), 0.0))))
+    }
+    for (q <- 0 until 10) {
+      val qe = vecs(q)._2
+      val qa = qe :+ 0.0
+      val byIp = vecs.filter(_._1 != q)
+        .map { case (id, e) => (id, math.floor(dot(qe, e) * 1e6 + 0.5).toLong) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5).map(_._1).toSeq
+      val byL2 = aug.filter(_._1 != q)
+        .map { case (id, ea) =>
+          (id, qa.indices.foldLeft(0.0)((s, i) =>
+            s + (qa(i) - ea(i)) * (qa(i) - ea(i)))) }
+        .sortBy { case (id, d2) => (d2, id) }.take(5).map(_._1).toSeq
+      assert(byIp == byL2, s"query $q: ip top-5 $byIp != augmented-L2 top-5 $byL2")
+    }
+  }
+
   test("clusterLabels: one materialization per (session, dataset), bit-identical") {
     Dedup.clearLabelCache()
     val t0 = System.nanoTime()
