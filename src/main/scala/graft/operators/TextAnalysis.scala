@@ -1459,6 +1459,119 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Merge budget for [[bpeTrainCurve]] — the driver-driven loop is
+    * plan-depth-free, so this is a knob, not a ceiling; 20 keeps the
+    * DuckDB oracle's unrolled twin tractable at the gate SFs. */
+  val BpeCurveSteps = 20
+
+  /** Trained-tokenizer curve (`text_bpe_curve`) — [[bpeTrain]]'s loop
+    * driven from the DRIVER to N merges (a real tokenizer runs thousands;
+    * the unrolled form's Catalyst plan grows a replace+join layer per
+    * round and stops being a sensible plan past ~5). The corpus is scanned
+    * ONCE into the (symbols, freq) vocabulary, which is localCheckpoint-
+    * pinned; each round then (1) counts adjacent pairs over the vocab,
+    * (2) reads the one-row argmax to the driver — the same bounded
+    * model-artifact read as the ship-the-model streaming twins: the merge
+    * table IS the trained model, N rows total — (3) applies the merge as a
+    * literal double-space replace and re-checkpoints, keeping lineage
+    * depth 1 no matter how many merges run. Emits one row per round:
+    * the chosen merge, its get_stats count, and the corpus symbol count
+    * AFTER the merge — the compression curve a tokenizer trainer watches
+    * for diminishing returns. Per-round cost is vocab-bounded (the r10
+    * probe's round shape); the corpus is never re-scanned. Exact
+    * cross-engine via the same double-space greedy-replace encoding as
+    * [[bpeTrain]]; the oracle unrolls the identical N rounds in SQL. */
+  def bpeTrainCurve(spark: SparkSession, d: String,
+      steps: Int = BpeCurveSteps): DataFrame =
+    bpeTrainCurveOver(Tables.documents(spark, d).select(col("text")), steps)
+
+  /** [[bpeTrainCurve]] over an explicit docs frame (spec hook). */
+  def bpeTrainCurveOver(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("freq")).localCheckpoint()
+    val curve = Seq.newBuilder[(Long, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val stats = vocab
+        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(col("freq"),
+          concat(element_at(col("l"), col("i")), lit(" "),
+            element_at(col("l"), col("i") + 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        vocab = vocab.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("freq")).localCheckpoint()
+        val symAfter = vocab
+          .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq")))
+          .collect()(0).getLong(0)
+        curve += ((k.toLong, pair, cnt, symAfter))
+        k += 1
+      }
+    }
+    curve.result().toDF("step", "pair", "pair_count", "symbols_after")
+      .orderBy(col("step"))
+  }
+
+  val bpeTrainCurveOracle: String = {
+    val steps = (1 to BpeCurveSteps).map { k =>
+      s"""stats$k AS (
+         |  SELECT l[i] || ' ' || l[i+1] AS pair,
+         |    cast(sum(freq) AS bigint) AS pair_count
+         |  FROM (SELECT string_split(trim(s), '  ') AS l, freq,
+         |          unnest(generate_series(1,
+         |            len(string_split(trim(s), '  ')) - 1)) AS i
+         |        FROM vocab${k - 1})
+         |  GROUP BY 1),
+         |best$k AS (
+         |  SELECT cast($k AS bigint) AS step, pair, pair_count
+         |  FROM stats$k ORDER BY pair_count DESC, pair LIMIT 1),
+         |vocab$k AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' ||
+         |      split_part(pair, ' ', 2) || ' ',
+         |    ' ' || split_part(pair, ' ', 1) ||
+         |      split_part(pair, ' ', 2) || ' ') AS s, freq
+         |  FROM vocab${k - 1}, best$k),
+         |sym$k AS (
+         |  SELECT cast(sum(len(string_split(trim(s), '  ')) * freq) AS bigint)
+         |    AS symbols_after
+         |  FROM vocab$k),
+         |row$k AS (
+         |  SELECT step, pair, pair_count, symbols_after FROM best$k, sym$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeCurveSteps)
+      .map(kk => s"SELECT * FROM row$kk").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |vocab0 AS (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps
+       |$union ORDER BY step""".stripMargin
+  }
+
   /** Zipf head size for [[zipfSlope]]: the fit runs over the top
     * [[ZipfHead]] ranks, where the power law holds and the long-noise tail
     * does not dominate the regression (standard practice); it also bounds
