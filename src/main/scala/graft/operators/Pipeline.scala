@@ -975,14 +975,15 @@ object Pipeline {
     * probes a BROADCAST m-bit Bloom filter built from the held-out eval
     * shingles (k=2 from one md5), so the surviving corpus is never
     * joined against the eval set row-for-row. */
-  def pipelineFullStages(spark: SparkSession, d: String,
-      maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
-    val mBits = 65536L
+  /** The planted-family corpus [[pipelineFullStages]] runs over — public so
+    * the streaming ingest-funnel parity spec can feed the SAME corpus
+    * through [[graft.streaming.StreamOps.ingestFunnelStream]]. */
+  def fullCorpus(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
     val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
     val nonEval = base.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
-    val corpus = nonEval
+    nonEval
       .unionAll(nonEval.filter(col("doc_id") % 5 === 0).select(
         (col("doc_id") + 9000000L).as("doc_id"), col("source"), col("lang"), col("text")))
       .unionAll(nonEval.filter(col("doc_id") % 7 === 0).select(
@@ -990,6 +991,15 @@ object Pipeline {
         concat(lit("zqdup "), col("text")).as("text")))
       .unionAll(evalDocs.select((col("doc_id") + 5000000L).as("doc_id"),
         col("source"), col("lang"), col("text")))
+  }
+
+  def pipelineFullStages(spark: SparkSession, d: String,
+      maxDf: Int = Dedup.MaxShingleDf): DataFrame = {
+    val mBits = 65536L
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val evalDocs = base.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val corpus = fullCorpus(spark, d)
     val t = tokens(col("text"))
     // stage 1: quality (same rule as docs_pipeline_e2e)
     val staged = corpus.select(col("doc_id"), col("source"), col("lang"), col("text"),

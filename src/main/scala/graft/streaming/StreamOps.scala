@@ -913,6 +913,66 @@ object StreamOps {
         lit(0.0), (acc, x) => acc + x), 4).as("score"))
   }
 
+  /** Streaming ingest funnel — the in-flight composition of the batch
+    * `docs_pipeline_full`'s STATELESS stages, chained as ONE projection:
+    * quality gate (same token-count/distinct-ratio rule) → Bloom
+    * decontamination probe (the batch-published filter embedded as a plan
+    * literal, [[decontaminateStream]]'s kernel) → DSIR importance score
+    * ([[dsirScoreStream]]'s shipped 128-bucket model) → hashed-linear
+    * quality-classifier band ([[graft.operators.Pipeline.qualityClassifier]]'s
+    * exact integer arithmetic). No join, no state store, no watermark —
+    * at 100 TB/day the whole funnel rides the ingest map stage, and
+    * re-publishing any model (filter, weights) is a plan swap.
+    *
+    * Emits per doc: the funnel verdict `stage` ∈ quality \| contam \| kept
+    * plus both scores. The two STATEFUL batch stages (exact dedup,
+    * near-dup clustering) are deliberately absent — cross-document
+    * identity needs corpus state and lives downstream (batch, or the
+    * bounded-watermark streaming dedups); the parity contract is: any doc
+    * the batch funnel labels quality/contam/kept gets the SAME label here,
+    * and batch exact/neardup docs pass through as kept-or-contam for the
+    * downstream dedup to adjudicate (the spec pins both on a split feed).
+    * A doc with no shingles is never "contam" (the batch probe's ≥3-token
+    * universe). */
+  def ingestFunnelStream(docs: DataFrame, filterWords: Seq[Long],
+      bucketWeights: Seq[Double], mBits: Int = 65536): DataFrame = {
+    import graft.functions.Kernels.{bloomContains, shingles3, tokens}
+    val nB = bucketWeights.size
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(t).cast("long").as("nw"),
+        size(array_distinct(t)).cast("long").as("nd"),
+        array_distinct(shingles3(t)).as("sh"))
+      .select(col("doc_id"), col("source"), col("text"), col("nw"), col("nd"),
+        size(col("sh")).cast("long").as("n_sh"),
+        size(filter(col("sh"), s => bloomContains(s, filterWords, mBits)))
+          .cast("long").as("n_flagged"))
+      .withColumn("kept_q", col("nw") >= 30 && col("nw") <= 80 &&
+        col("nd").cast("double") / col("nw") >= 0.45)
+      .withColumn("contaminated",
+        col("n_sh") > 0 && col("n_flagged") * 2 >= col("n_sh"))
+      .withColumn("dsir_score", round(aggregate(
+        transform(tokens(col("text")),
+          w => element_at(typedLit(bucketWeights),
+            (pmod(graft.functions.Kernels.hash31(w), lit(nB.toLong)) + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x), 4))
+      // the classifier's exact integer chain: token → md5 bucket →
+      // (bucket · 2654435761) mod 2048 weight; band = (10·Σw) div (2048·n)
+      .withColumn("clf_s", aggregate(
+        transform(tokens(col("text")),
+          w => (conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+            % graft.operators.Pipeline.ClassifierBuckets) * 2654435761L % 2048L),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("source"),
+        when(!col("kept_q"), "quality")
+          .when(col("contaminated"), "contam")
+          .otherwise("kept").as("stage"),
+        col("nw"), col("n_sh"), col("n_flagged"), col("dsir_score"),
+        when(col("nw") > 0, expr("(10 * clf_s) div (2048 * nw)"))
+          .otherwise(lit(null)).as("clf_band"))
+  }
+
   /** Streaming CUSUM change-point monitor — the in-flight twin of the batch
     * `ev_changepoint`, in ship-the-model form: the batch run publishes each
     * type's mean hourly rate (the CUSUM reference k — a \|types\|-sized

@@ -1600,4 +1600,57 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming ingest funnel: stateless stage labels match the batch funnel on a split feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val words = graft.operators.Dedup.bloomFilterWords(spark, Sf)
+    val weights = graft.operators.Pipeline.dsirModelLocal(spark, Sf)
+    val corpusRows = graft.operators.Pipeline.fullCorpus(spark, Sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.ingestFunnelStream(
+      in.toDF().toDF("doc_id", "source", "text"), words.toSeq, weights)
+      .writeStream.format("memory").queryName("funnel").start()
+    try {
+      val (b1, b2) = corpusRows.splitAt(corpusRows.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, stage, dsir_score, clf_band FROM funnel").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val batch = graft.operators.Pipeline.pipelineFullStages(spark, Sf).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed.keySet == batch.keySet, "every corpus doc gets a verdict")
+      // contract 1: any doc the batch funnel labels with a STATELESS stage
+      // gets the same label in-flight
+      val stateless = batch.filter { case (_, st) => Set("quality", "contam", "kept")(st) }
+      val div = stateless.filter { case (id, st) => streamed(id)._1 != st }
+      assert(div.isEmpty, s"stateless-stage divergence: ${div.take(5)}")
+      // contract 2: batch exact/neardup docs (cross-document identity -
+      // downstream dedup's job) pass through as kept-or-contam
+      val stateful = batch.filter { case (_, st) => Set("exact", "neardup")(st) }
+      assert(stateful.forall { case (id, _) =>
+        Set("kept", "contam")(streamed(id)._1) }, "stateful-stage passthrough")
+      // the planted families make every class non-trivial
+      Seq("quality", "contam", "kept").foreach(stg =>
+        assert(stateless.exists(_._2 == stg), s"no $stg docs in corpus"))
+      assert(stateful.nonEmpty, "no planted duplicate survived to the dedup stages")
+      // classifier band: independent plain-Scala recompute on 20 docs
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(x: String): String =
+        md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      corpusRows.take(20).foreach { case (id, _, text) =>
+        val toks = text.split(" ").toSeq
+        val s = toks.map { t =>
+          val bucket = java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) %
+            graft.operators.Pipeline.ClassifierBuckets
+          bucket * 2654435761L % 2048L
+        }.sum
+        val band = 10L * s / (2048L * toks.size)
+        assert(streamed(id)._3 == band, s"doc $id clf band: ${streamed(id)._3} vs $band")
+      }
+    } finally q.stop()
+  }
 }
