@@ -1089,6 +1089,35 @@ object StreamOps {
       }
   }
 
+  /** [[bitmapDistinctStream]] on Spark 4's `transformWithState` — the
+    * modern-API migration applied to the operator that stresses the state
+    * store MOST: the per-cell bitmap is the library's heaviest state
+    * (O(users/62) longs per (day, type)), and the fMGWS form re-serializes
+    * the WHOLE word map on every update because the legacy API holds one
+    * opaque state value per key. Here the bitmap lives in a TWS
+    * `MapState[word → bits]` — RocksDB persists each word as its own
+    * store entry, so a batch that touches w words writes w entries, not
+    * the whole map — and the (n_words, distinct) pair rides a separate
+    * `ValueState` updated INCREMENTALLY as bits first appear, so emitting
+    * a refreshed count never scans the map (the fMGWS twin popcounts the
+    * full map per batch). Finalized-cell eviction keeps the fMGWS twin's
+    * exact rule via an event-time TIMER re-armed at
+    * max(day end, watermark + 1) (the [[Scd2Processor]] one-timer-per-key
+    * pattern): when it fires, the cell emits its final count once more
+    * and ALL three state variables clear. Same behavior contract as
+    * [[bitmapDistinctStream]] (late events beyond `lateness` are dropped;
+    * append output needs latest-emission-per-cell); parity + eviction +
+    * checkpointed-restart specs pin it on RocksDB. */
+  def bitmapDistinctStreamTws(events: Dataset[StreamEvent],
+      lateness: String = "1 hour"): Dataset[BitmapCell] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(e => (e.ts.getTime / 86400000L, e.event_type))
+      .transformWithState(new BitmapDistinctProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming gap-octave monitor — the in-flight twin of the batch
     * `ev_gap_histogram`, BY COMPOSITION: [[transitionStream]] already
     * carries every per-user dwell gap (O(1) last-event state), so the
@@ -1299,6 +1328,61 @@ class Scd2Processor(ttlMs: Long)
       open.clear()
       armedAt.clear()
       Iterator.single(Scd2Interval(uid, st.version, st.status, st.n, st.from, st.last))
+    }
+  }
+}
+
+/** [[StreamOps.bitmapDistinctStreamTws]]'s typed processor: the exact-
+  * distinct bitmap as a TWS `MapState[word → bits]` (per-word RocksDB
+  * entries — an update touches only its word), incrementally-maintained
+  * (n_words, distinct) counters in a `ValueState` (emissions never scan
+  * the map), and the [[Scd2Processor]] one-timer-per-key eviction pattern
+  * firing at max(day end, watermark + 1). */
+class BitmapDistinctProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), StreamEvent, BitmapCell] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TTLConfig, TimerValues, ValueState}
+  @transient private var words: MapState[Long, Long] = _
+  @transient private var counts: ValueState[(Long, Long)] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    words = getHandle.getMapState[Long, Long]("words",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    counts = getHandle.getValueState[(Long, Long)]("counts",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[BitmapCell] = {
+    var (nw, dist) = if (counts.exists()) counts.get() else (0L, 0L)
+    rows.foreach { e =>
+      val w = e.user_id / 62
+      val bit = 1L << (e.user_id % 62).toInt
+      if (words.containsKey(w)) {
+        val cur = words.getValue(w)
+        if ((cur & bit) == 0L) { words.updateValue(w, cur | bit); dist += 1 }
+      } else { words.updateValue(w, bit); nw += 1; dist += 1 }
+    }
+    counts.update((nw, dist))
+    if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+    val at = math.max((key._1 + 1L) * 86400000L,
+      timers.getCurrentWatermarkInMs() + 1L)
+    getHandle.registerTimer(at)
+    armedAt.update(at)
+    Iterator.single(BitmapCell(key._1, key._2, nw, dist))
+  }
+
+  override def handleExpiredTimer(key: (Long, String), timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[BitmapCell] = {
+    if (!counts.exists()) { armedAt.clear(); words.clear(); Iterator.empty }
+    else {
+      val (nw, dist) = counts.get()
+      words.clear(); counts.clear(); armedAt.clear()
+      Iterator.single(BitmapCell(key._1, key._2, nw, dist))
     }
   }
 }

@@ -1653,4 +1653,133 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("TWS bitmap twin: final per-cell counts bit-identical to batch on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.bitmapDistinctStreamTws(in.toDS())
+      .writeStream.format("memory").queryName("twsbmd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      // idempotence probe: replayed events cannot double-count (bit_or)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT day, event_type, max(distinct_users) FROM twsbmd GROUP BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Events.bitmapDistinct(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"TWS bitmap stream/batch divergence: ${streamed.size} vs ${batch.size} cells")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS bitmap twin: finalized day cells evict and shrink the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.bitmapDistinctStreamTws(in.toDS(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("twsbmevict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamEvent(1, "click", 0, hts(0)), StreamEvent(2, "click", 0, hts(1)),
+        StreamEvent(3, "click", 0, hts(2)), StreamEvent(1, "click", 0, hts(3)))
+      q.processAllAvailable()
+      // two days later: the view event's data batch holds BOTH cells (6
+      // state rows: words+counts+armedAt each); the engine's follow-up
+      // no-data batch advances the watermark past day-1 end and fires the
+      // timer -> the cell's three state rows clear (6 -> 3), all within
+      // one processAllAvailable
+      in.addData(StreamEvent(9, "view", 0, hts(2880))); q.processAllAvailable()
+      in.addData(StreamEvent(9, "view", 0, hts(2881))); q.processAllAvailable()
+      val series = q.recentProgress.toSeq.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .filter(_ > 0)
+      assert(series.max == 6 && series.last == 3,
+        s"day-1 eviction must shrink the store 6 -> 3, got $series")
+      val day1 = hts(0).getTime / 86400000L
+      val finals = spark.sql(
+        s"SELECT n_words, distinct_users FROM twsbmevict WHERE day = $day1 AND event_type = 'click'")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(finals.nonEmpty && finals.last == ((1L, 3L)),
+        s"final emission must carry the exact day-1 census, got $finals")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS bitmap timers: the eviction flush fires across a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsbmtimer").toString
+    val in = MemoryStream[StreamEvent]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(expected: Int): Unit = {
+      val committed = commits()
+      val q = StreamOps.bitmapDistinctStreamTws(in.toDS(), lateness = "1 minute")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[BitmapCell], _: Long) =>
+          rows.synchronized {
+            rows ++= ds.collect().map(c =>
+              (c.day, c.event_type, c.n_words, c.distinct_users))
+          }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while ((rows.synchronized(rows.size) < expected ||
+            commits() <= committed) && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+    }
+    try {
+      // run 1: three users land in the day-1 click cell; the eviction
+      // timer is armed at day end but the watermark never reaches it
+      // before shutdown - the timer must survive in the checkpointed store
+      in.addData(
+        StreamEvent(1, "click", 0, hts(0)), StreamEvent(2, "click", 0, hts(1)),
+        StreamEvent(1, "click", 0, hts(2)))
+      runBatch(expected = 1) // the refreshed in-flight emission
+      val day1 = hts(0).getTime / 86400000L
+      // run 2 (fresh query, same checkpoint): a day-3 event pushes the
+      // watermark past day-1 end; the engine fires the RESTORED timer
+      in.addData(StreamEvent(9, "view", 0, hts(2880)))
+      runBatch(expected = 2)
+      in.addData(StreamEvent(9, "view", 0, hts(2881)))
+      runBatch(expected = 4)
+      val finals = rows.synchronized(rows.filter(r => r._1 == day1 && r._2 == "click").toList)
+      assert(finals.last == ((day1, "click", 1L, 2L)),
+        s"restored timer must flush the exact day-1 census, got $finals")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
