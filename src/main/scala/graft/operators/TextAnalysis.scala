@@ -1572,6 +1572,188 @@ object TextAnalysis {
        |$union ORDER BY step""".stripMargin
   }
 
+  /** Seed head sizes for [[unigramEm]]: all single chars plus the top
+    * [[UnigramSeedNgrams]] bigrams AND trigrams (by count, ties on piece
+    * string) form the seed inventory — max piece length 3 is what makes
+    * the Viterbi DP a 3-register fold (see below). */
+  val UnigramSeedNgrams = 150
+
+  /** Sentinel for "piece absent / position unreachable" in the Viterbi
+    * DP — far below any real path (path scores are ≥ −60 000·len milli-ln)
+    * yet safe from Long overflow when two sentinels add. */
+  val UnigramNeg = -1000000000000000L
+
+  /** Unigram-LM (SentencePiece-style) tokenizer EM step
+    * (`text_unigram_em`) — the OTHER tokenizer family real pipelines
+    * train, beside BPE: ONE full EM iteration over a seed vocabulary.
+    * Seed = every single character + the top-[[UnigramSeedNgrams]]
+    * bigrams/trigrams by corpus count; piece log-probs are integer
+    * MILLI-lns (`floor(ln·1000 + 0.5)`, the zipf/jsDivergence
+    * convention — quantized BEFORE any summation, so the whole DP is
+    * exact long arithmetic). E-step: VITERBI-segment every vocab word
+    * under those log-probs; M-step: re-estimate from the segmentation
+    * counts (`lp_milli = lnq(e_count) − lnq(Σe)`).
+    *
+    * The Viterbi recurrence is a CODEGEN'D FOLD, not a join or UDF:
+    * max piece length 3 means dp[i] depends only on dp[i−1..i−3], so the
+    * forward pass carries exactly three dp registers plus the
+    * backpointer array through `aggregate(sequence(1, len(w)), …)`, with
+    * piece lookups as `element_at` against the ONE-ROW broadcast
+    * piece→lp map (the codebook pattern); a second fold walks the
+    * backpointers right-to-left into the chosen pieces. Ties prefer the
+    * LONGER piece (checked 3→2→1 against the max, identically both
+    * engines); single chars are always seeded, so every position is
+    * reachable and no real path ever sees [[UnigramNeg]].
+    *
+    * 100 TB shape: one corpus pass to the (word, freq) vocab; seed
+    * counting, the DP (O(len) per DISTINCT word), and both estimates are
+    * vocab-bounded; the model that ships is the piece table itself. The
+    * DuckDB twin runs the identical DP as a recursive CTE over (word,
+    * position) with the same sentinel/tie conventions. */
+  def unigramEm(spark: SparkSession, d: String): DataFrame =
+    unigramEmOver(Tables.documents(spark, d).select(col("text")))
+
+  /** [[unigramEm]] over an explicit docs frame (spec hook). */
+  def unigramEmOver(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    def grams(n: Int): DataFrame = words
+      .filter(length(col("w")) >= n)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - (n - 1))).as("i"))
+      .select(col("w").substr(col("i"), lit(n)).as("p"), col("freq"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+    def topK(g: DataFrame): DataFrame = g
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("p"))))
+      .filter(col("r") <= UnigramSeedNgrams).drop("r")
+    val seeds = grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
+    def lnq(c: Column): Column =
+      floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
+    val tot = seeds.agg(sum(col("cnt")).as("t"))
+    val lp = seeds.crossJoin(broadcast(tot))
+      .select(col("p"), (lnq(col("cnt")) - lnq(col("t"))).as("lp"))
+    // the shipped model: one row, |seeds| entries — the codebook pattern
+    val lpMap = lp.groupBy()
+      .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("lpm"))
+    val NEG = lit(UnigramNeg)
+    def cand(st: Column, w: Column, i: Column, len: Int): Column = {
+      val reg = st.getField(s"d$len")
+      reg + coalesce(element_at(col("lpm"), w.substr(i - (len - 1), lit(len))), NEG)
+    }
+    val fwd = words.crossJoin(broadcast(lpMap))
+      .withColumn("bl", aggregate(
+        sequence(lit(1), length(col("w"))),
+        struct(lit(0L).as("d1"), NEG.as("d2"), NEG.as("d3"),
+          array().cast("array<int>").as("bl")),
+        (st, i) => {
+          val c1 = cand(st, col("w"), i, 1)
+          val c2 = cand(st, col("w"), i, 2)
+          val c3 = cand(st, col("w"), i, 3)
+          val best = greatest(c3, c2, c1)
+          struct(best.as("d1"), st.getField("d1").as("d2"),
+            st.getField("d2").as("d3"),
+            concat(st.getField("bl"), array(
+              when(c3 === best, 3).when(c2 === best, 2).otherwise(1))).as("bl"))
+        },
+        st => st.getField("bl")))
+    val segs = fwd.withColumn("ps", aggregate(
+        sequence(length(col("w")), lit(1), lit(-1)),
+        struct(length(col("w")).as("expect"),
+          array().cast("array<string>").as("ps")),
+        (st, i) => {
+          val hit = i === st.getField("expect")
+          val l = element_at(col("bl"), i)
+          struct(
+            when(hit, st.getField("expect") - l)
+              .otherwise(st.getField("expect")).as("expect"),
+            when(hit, concat(st.getField("ps"),
+                array(col("w").substr(i - l + 1, l))))
+              .otherwise(st.getField("ps")).as("ps"))
+        },
+        st => st.getField("ps")))
+      .select(col("freq"), explode(col("ps")).as("p"))
+    val ecnt = segs.groupBy(col("p")).agg(sum(col("freq")).as("e_count"))
+    val etot = ecnt.agg(sum(col("e_count")).as("et"))
+    seeds.join(ecnt, "p").crossJoin(broadcast(etot))
+      .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
+        col("cnt").as("seed_count"), col("e_count"),
+        (lnq(col("e_count")) - lnq(col("et"))).as("lp_milli"))
+      .orderBy(col("e_count").desc, col("piece"))
+  }
+
+  val unigramEmOracle: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1),
+       |g1 AS (
+       |  SELECT substr(w, cast(i AS int), 1) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS i
+       |        FROM words) GROUP BY 1),
+       |g2 AS (
+       |  SELECT substr(w, cast(i AS int), 2) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM words WHERE len(w) >= 2) GROUP BY 1),
+       |g3 AS (
+       |  SELECT substr(w, cast(i AS int), 3) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3) GROUP BY 1),
+       |s2 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g2)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |s3 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g3)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |seeds AS (SELECT p, cnt FROM g1 UNION ALL
+       |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |tot AS (SELECT sum(cnt) AS t FROM seeds),
+       |lp AS (
+       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
+       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
+       |  FROM seeds, tot),
+       |dp AS (
+       |  SELECT w, freq, len(w) AS L, 0 AS i,
+       |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
+       |    cast($UnigramNeg AS bigint) AS d3, cast([] AS int[]) AS bl
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, freq, L, i + 1,
+       |    greatest(c1, c2, c3), d1, d2,
+       |    list_append(bl, CASE WHEN c3 = greatest(c1, c2, c3) THEN 3
+       |                         WHEN c2 = greatest(c1, c2, c3) THEN 2
+       |                         ELSE 1 END)
+       |  FROM (
+       |    SELECT dp.w, dp.freq, dp.L, dp.i, dp.d1, dp.d2, dp.d3, dp.bl,
+       |      dp.d1 + coalesce(l1.lp, $UnigramNeg) AS c1,
+       |      dp.d2 + coalesce(l2.lp, $UnigramNeg) AS c2,
+       |      dp.d3 + coalesce(l3.lp, $UnigramNeg) AS c3
+       |    FROM dp
+       |    LEFT JOIN lp l1 ON l1.p = substr(dp.w, dp.i + 1, 1)
+       |    LEFT JOIN lp l2 ON dp.i >= 1 AND l2.p = substr(dp.w, dp.i, 2)
+       |    LEFT JOIN lp l3 ON dp.i >= 2 AND l3.p = substr(dp.w, dp.i - 1, 3)
+       |    WHERE dp.i < dp.L) s),
+       |bt AS (
+       |  SELECT w, freq, bl, L AS expect, cast(NULL AS varchar) AS piece
+       |  FROM dp WHERE i = L
+       |  UNION ALL
+       |  SELECT w, freq, bl, expect - bl[expect],
+       |    substr(w, expect - bl[expect] + 1, bl[expect])
+       |  FROM bt WHERE expect > 0),
+       |ecnt AS (
+       |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e_count
+       |  FROM bt WHERE piece IS NOT NULL GROUP BY 1),
+       |etot AS (SELECT sum(e_count) AS et FROM ecnt)
+       |SELECT s.p AS piece, cast(length(s.p) AS bigint) AS piece_len,
+       |  cast(s.cnt AS bigint) AS seed_count, e.e_count,
+       |  cast(floor(ln(cast(e.e_count AS double)) * 1000 + 0.5) AS bigint)
+       |    - cast(floor(ln(cast(et.et AS double)) * 1000 + 0.5) AS bigint)
+       |    AS lp_milli
+       |FROM seeds s JOIN ecnt e ON e.p = s.p, etot et
+       |ORDER BY e.e_count DESC, s.p""".stripMargin
+
   /** Zipf head size for [[zipfSlope]]: the fit runs over the top
     * [[ZipfHead]] ranks, where the power law holds and the long-noise tail
     * does not dominate the regression (standard practice); it also bounds

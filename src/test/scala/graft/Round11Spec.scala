@@ -161,4 +161,77 @@ class Round11Spec extends SparkSpec {
     Dedup.clearLabelCache()
     assert(!(Dedup.clusterLabels(spark, Sf) eq a), "clear drops the pin")
   }
+
+  // independent plain-Scala unigram-LM EM step: seed counting, top-K,
+  // milli-ln quantization, Viterbi (ties prefer the LONGER piece), greedy
+  // backtrack, E-counts and the re-estimated log-probs
+  private def refUnigramEm(texts: Seq[String]): Seq[(String, Long, Long, Long, Long)] = {
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    def grams(n: Int): Map[String, Long] = words.toSeq.flatMap { case (w, f) =>
+      if (w.length >= n) (0 to w.length - n).map(i => w.substring(i, i + n) -> f)
+      else Nil
+    }.groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
+    def topK(g: Map[String, Long]): Seq[(String, Long)] =
+      g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(TextAnalysis.UnigramSeedNgrams)
+    val seeds = grams(1).toSeq ++ topK(grams(2)) ++ topK(grams(3))
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    val t = seeds.map(_._2).sum
+    val lp = seeds.map { case (p0, c) => p0 -> (lnq(c) - lnq(t)) }.toMap
+    val NEG = TextAnalysis.UnigramNeg
+    def viterbi(w: String): Seq[String] = {
+      val L = w.length
+      val dp = Array.fill(L + 1)(NEG); dp(0) = 0L
+      val bl = Array.fill(L + 1)(1)
+      for (i <- 1 to L) {
+        var best = Long.MinValue; var blen = 1
+        for (l <- 1 to 3 if i - l >= 0) {
+          val c = dp(i - l) + lp.getOrElse(w.substring(i - l, i), NEG)
+          if (c > best || (c == best && l > blen)) { best = c; blen = l }
+        }
+        dp(i) = best; bl(i) = blen
+      }
+      var i = L
+      val out = Seq.newBuilder[String]
+      while (i > 0) { out += w.substring(i - bl(i), i); i -= bl(i) }
+      out.result()
+    }
+    val ecnt = words.toSeq.flatMap { case (w, f) => viterbi(w).map(_ -> f) }
+      .groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
+    val et = ecnt.values.sum
+    val seedCnt = seeds.toMap
+    ecnt.toSeq.sortBy { case (p0, e) => (-e, p0) }.map { case (p0, e) =>
+      (p0, p0.length.toLong, seedCnt(p0), e, lnq(e) - lnq(et))
+    }
+  }
+
+  test("text_unigram_em: EM step matches the plain-Scala Viterbi fold on a planted corpus") {
+    import spark.implicits._
+    // repetitive structure so multi-char pieces WIN segmentations, plus
+    // aperiodic filler so chars stay competitive elsewhere
+    val corpus = Seq(
+      "abcabcabc ababab " + filler(21, 40),
+      "abcabc xyxyxyxy " + filler(22, 35),
+      "abcabcabcabc zzzz zzzz " + filler(23, 30),
+      filler(24, 50) + " ababab xyxy")
+    val got = TextAnalysis.unigramEmOver(corpus.toDF("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = refUnigramEm(corpus)
+    assert(got == want, s"EM divergence:\n got=${got.take(8)}...\nwant=${want.take(8)}...")
+    // the repetitive plants must actually segment into multi-char pieces
+    val byPiece = got.map(x => x._1 -> x._4).toMap
+    assert(byPiece.contains("abc") && byPiece("abc") >= 7L,
+      s"'abc' must be a winning trigram piece: ${got.filter(_._1.length == 3).take(5)}")
+    assert(got.exists(_._2 == 2L), "some bigram piece must be used")
+  }
+
+  test("text_unigram_em: full-corpus parity with the plain-Scala reference at sf0.001") {
+    val texts = graft.Tables.documents(spark, Sf).select("text")
+      .collect().map(_.getString(0)).toSeq
+    val got = TextAnalysis.unigramEm(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = refUnigramEm(texts)
+    assert(got == want,
+      s"sf0.001 EM divergence: first diff ${got.zip(want).find(x => x._1 != x._2)}")
+  }
 }
