@@ -906,25 +906,30 @@ object TextAnalysis {
     * public so specs can plant cross-document passages at any alignment. */
   def substrApplyOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the corpus-sized position frame carries ONLY (doc_id, i, digest) —
+    // doc metadata rejoins per AFFECTED doc after the aggregation, so the
+    // two big shuffles (digest df, shared-position join) move 20 bytes/row
     val win = docs
       .filter(length(col("text")) >= 40)
-      .select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("chars_total"),
+      .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
         col("text"))
-      .select(col("doc_id"), col("source"), col("chars_total"), col("i"),
+      .select(col("doc_id"), col("i"),
         hash60(expr("substring(text, i, 40)")).as("h"))
     // digests shared across >= 2 distinct docs (the audit's df >= 2 rule)
     val sharedH = win.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    win.join(sharedH, "h")
+    val perDoc = win.join(sharedH, "h")
       .withColumn("next_i", lead(col("i"), 1).over(byDoc))
       .withColumn("cut",
         least(lit(40L), coalesce((col("next_i") - col("i")).cast("long"), lit(40L))))
-      .groupBy(col("doc_id"), col("source"), col("chars_total"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_windows"), sum(col("cut")).as("chars_cut"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("chars_total")), "doc_id")
       .select(col("doc_id"), col("source"), col("n_shared_windows"),
         col("chars_total"), col("chars_cut"),
         (col("chars_total") - col("chars_cut")).as("chars_kept"),
