@@ -223,6 +223,7 @@ object SparkEntry {
     "text_substr_dup" -> ((s, d) => TextAnalysis.substrDup(s, d)),
     "text_substr_dup_winnow" -> ((s, d) => TextAnalysis.substrDupWinnow(s, d)),
     "text_substr_apply" -> ((s, d) => TextAnalysis.substrApply(s, d)),
+    "text_substr_apply_winnow" -> ((s, d) => TextAnalysis.substrApplyWinnow(s, d)),
     "text_bpe_curve" -> ((s, d) => TextAnalysis.bpeTrainCurve(s, d)),
     "text_unigram_em" -> ((s, d) => TextAnalysis.unigramEm(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
@@ -603,6 +604,7 @@ object SparkEntry {
     "text_substr_dup" -> TextAnalysis.substrDupOracle,
     "text_substr_dup_winnow" -> TextAnalysis.substrDupWinnowOracle,
     "text_substr_apply" -> TextAnalysis.substrApplyOracle,
+    "text_substr_apply_winnow" -> TextAnalysis.substrApplyWinnowOracle,
     "text_bpe_curve" -> TextAnalysis.bpeTrainCurveOracle,
     "text_unigram_em" -> TextAnalysis.unigramEmOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,

@@ -1000,6 +1000,47 @@ object TextAnalysis {
     substrApplyOn(docs.join(candidates, "doc_id"))
   }
 
+  val substrApplyWinnowOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    val h = sqlHash60("substr(text, cast(i AS int), 40)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents WHERE len(text) >= 40),
+       |g AS (
+       |  SELECT doc_id, [$h for i in range(1, len(text) - 38)] AS kh FROM d),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kh) >= 8
+       |      THEN list_distinct([list_min(kh[i:i+7]) for i in range(1, len(kh) - 6)])
+       |      ELSE [] END AS fps
+       |  FROM g),
+       |fp AS (SELECT doc_id, unnest(fps) AS h FROM f),
+       |fdf AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+       |cand AS (SELECT DISTINCT doc_id FROM fp JOIN fdf USING (h)),
+       |w AS (
+       |  SELECT doc_id, i, ${sqlHash60("substr(text, cast(i AS int), 40)")} AS h
+       |  FROM (SELECT d.doc_id, d.text,
+       |          unnest(generate_series(1, len(text) - 39)) AS i
+       |        FROM d JOIN cand USING (doc_id))),
+       |df2 AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |s AS (SELECT w.* FROM w JOIN df2 USING (h)),
+       |c AS (
+       |  SELECT doc_id, i,
+       |    least(40, coalesce(
+       |      lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 40)) AS cut
+       |  FROM s),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_shared_windows,
+       |    cast(sum(cut) AS bigint) AS chars_cut
+       |  FROM c GROUP BY 1)
+       |SELECT a.doc_id, d.source, a.n_shared_windows,
+       |  cast(len(d.text) AS bigint) AS chars_total, a.chars_cut,
+       |  len(d.text) - a.chars_cut AS chars_kept,
+       |  (len(d.text) - a.chars_cut) * 10000 // len(d.text) AS kept_bp
+       |FROM agg a JOIN d USING (doc_id) ORDER BY a.doc_id""".stripMargin
+  }
+
   /** Pairwise source divergence (`text_js_divergence`) — the
     * Jensen–Shannon divergence between every pair of sources' hashed
     * 64-bucket unigram distributions: the corpus-similarity matrix a
@@ -1630,10 +1671,10 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("w")) - (n - 1))).as("i"))
       .select(col("w").substr(col("i"), lit(n)).as("p"), col("freq"))
       .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-    def topK(g: DataFrame): DataFrame = g
-      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("p"))))
-      .filter(col("r") <= UnigramSeedNgrams).drop("r")
+    // top-K via TakeOrderedAndProject (orderBy+limit) — a global
+    // row_number window is the single-reducer killer the repo lints
+    def topK(g: DataFrame): DataFrame =
+      g.orderBy(col("cnt").desc, col("p")).limit(UnigramSeedNgrams)
     val seeds = grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
     def lnq(c: Column): Column =
       floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
