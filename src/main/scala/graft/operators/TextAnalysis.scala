@@ -1730,6 +1730,144 @@ object TextAnalysis {
       .orderBy(col("e_count").desc, col("piece"))
   }
 
+  /** Trained-tokenizer application (`text_unigram_apply`) — the unigram
+    * twin of [[bpeApply]]: segment the WHOLE corpus under the
+    * [[unigramEm]] piece model and publish the per-source compression
+    * table (tokens, chars, pieces after segmentation, basis points) —
+    * read beside `text_bpe_apply` this is the tokenizer bake-off a real
+    * pipeline runs before committing a vocab. The model (seeds + milli-ln
+    * log-probs) is trained corpus-wide exactly as in [[unigramEm]]; the
+    * application needs only each word's optimal PIECE COUNT, so the
+    * Viterbi fold drops the backpointer array entirely and carries six
+    * registers — (dp, count) for each of the last three positions, the
+    * count following the same longer-piece tie rule — making the per-word
+    * pass pure fixed-width codegen. Corpus scanned once to (source, word)
+    * counts; the DP runs per DISTINCT word; per-source numbers come from
+    * the count join-back, all vocab-bounded. */
+  def unigramApply(spark: SparkSession, d: String): DataFrame =
+    unigramApplyOver(Tables.documents(spark, d).select(col("source"), col("text")))
+
+  /** [[unigramApply]] over an explicit (source, text) frame (spec hook). */
+  def unigramApplyOver(docs: DataFrame): DataFrame = {
+    val srcCounts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+    def grams(n: Int): DataFrame = words
+      .filter(length(col("w")) >= n)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - (n - 1))).as("i"))
+      .select(col("w").substr(col("i"), lit(n)).as("p"), col("freq"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+    def topK(g: DataFrame): DataFrame =
+      g.orderBy(col("cnt").desc, col("p")).limit(UnigramSeedNgrams)
+    val seeds = grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
+    def lnq(c: Column): Column =
+      floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
+    val tot = seeds.agg(sum(col("cnt")).as("t"))
+    val lp = seeds.crossJoin(broadcast(tot))
+      .select(col("p"), (lnq(col("cnt")) - lnq(col("t"))).as("lp"))
+    val lpMap = lp.groupBy()
+      .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("lpm"))
+    val NEG = lit(UnigramNeg)
+    def candA(st: Column, w: Column, i: Column, len: Int): Column =
+      st.getField(s"d$len") +
+        coalesce(element_at(col("lpm"), w.substr(i - (len - 1), lit(len))), NEG)
+    val perWord = words.crossJoin(broadcast(lpMap))
+      .withColumn("n_pieces", aggregate(
+        sequence(lit(1), length(col("w"))),
+        struct(lit(0L).as("d1"), NEG.as("d2"), NEG.as("d3"),
+          lit(0L).as("n1"), lit(0L).as("n2"), lit(0L).as("n3")),
+        (st, i) => {
+          val c1 = candA(st, col("w"), i, 1)
+          val c2 = candA(st, col("w"), i, 2)
+          val c3 = candA(st, col("w"), i, 3)
+          val best = greatest(c3, c2, c1)
+          val nbest = when(c3 === best, st.getField("n3") + 1L)
+            .when(c2 === best, st.getField("n2") + 1L)
+            .otherwise(st.getField("n1") + 1L)
+          struct(best.as("d1"), st.getField("d1").as("d2"),
+            st.getField("d2").as("d3"),
+            nbest.as("n1"), st.getField("n1").as("n2"),
+            st.getField("n2").as("n3"))
+        },
+        st => st.getField("n1")))
+      .select(col("w"), col("n_pieces"))
+    srcCounts.join(perWord, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(length(col("w")).cast("long") * col("freq")).as("chars"),
+        sum(col("n_pieces") * col("freq")).as("pieces_after"))
+      .select(col("source"), col("n_tokens"), col("chars"), col("pieces_after"),
+        expr("pieces_after * 10000 div chars").as("compression_bp"))
+      .orderBy(col("source"))
+  }
+
+  val unigramApplyOracle: String =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1, 2),
+       |words AS (SELECT w, sum(freq) AS freq FROM src GROUP BY 1),
+       |g1 AS (
+       |  SELECT substr(w, cast(i AS int), 1) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS i
+       |        FROM words) GROUP BY 1),
+       |g2 AS (
+       |  SELECT substr(w, cast(i AS int), 2) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM words WHERE len(w) >= 2) GROUP BY 1),
+       |g3 AS (
+       |  SELECT substr(w, cast(i AS int), 3) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3) GROUP BY 1),
+       |s2 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g2)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |s3 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g3)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |seeds AS (SELECT p, cnt FROM g1 UNION ALL
+       |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |tot AS (SELECT sum(cnt) AS t FROM seeds),
+       |lp AS (
+       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
+       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
+       |  FROM seeds, tot),
+       |dp AS (
+       |  SELECT w, len(w) AS L, 0 AS i,
+       |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
+       |    cast($UnigramNeg AS bigint) AS d3,
+       |    cast(0 AS bigint) AS n1, cast(0 AS bigint) AS n2,
+       |    cast(0 AS bigint) AS n3
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, L, i + 1,
+       |    greatest(c1, c2, c3), d1, d2,
+       |    CASE WHEN c3 = greatest(c1, c2, c3) THEN n3 + 1
+       |         WHEN c2 = greatest(c1, c2, c3) THEN n2 + 1
+       |         ELSE n1 + 1 END,
+       |    n1, n2
+       |  FROM (
+       |    SELECT dp.w, dp.L, dp.i, dp.d1, dp.d2, dp.d3, dp.n1, dp.n2, dp.n3,
+       |      dp.d1 + coalesce(l1.lp, $UnigramNeg) AS c1,
+       |      dp.d2 + coalesce(l2.lp, $UnigramNeg) AS c2,
+       |      dp.d3 + coalesce(l3.lp, $UnigramNeg) AS c3
+       |    FROM dp
+       |    LEFT JOIN lp l1 ON l1.p = substr(dp.w, dp.i + 1, 1)
+       |    LEFT JOIN lp l2 ON dp.i >= 1 AND l2.p = substr(dp.w, dp.i, 2)
+       |    LEFT JOIN lp l3 ON dp.i >= 2 AND l3.p = substr(dp.w, dp.i - 1, 3)
+       |    WHERE dp.i < dp.L) s),
+       |perword AS (SELECT w, n1 AS n_pieces FROM dp WHERE i = L)
+       |SELECT source, cast(sum(freq) AS bigint) AS n_tokens,
+       |  cast(sum(length(w) * freq) AS bigint) AS chars,
+       |  cast(sum(n_pieces * freq) AS bigint) AS pieces_after,
+       |  cast(sum(n_pieces * freq) * 10000 // sum(length(w) * freq) AS bigint)
+       |    AS compression_bp
+       |FROM src JOIN perword USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val unigramEmOracle: String =
     s"""WITH RECURSIVE words AS (
        |  SELECT w, count(*) AS freq FROM (

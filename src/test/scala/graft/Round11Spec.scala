@@ -234,4 +234,56 @@ class Round11Spec extends SparkSpec {
     assert(got == want,
       s"sf0.001 EM divergence: first diff ${got.zip(want).find(x => x._1 != x._2)}")
   }
+
+  test("text_unigram_apply: per-source compression matches the plain-Scala reference") {
+    import spark.implicits._
+    val rows = Seq(
+      ("web", "abcabcabc ababab " + filler(31, 40)),
+      ("web", "abcabc xyxyxyxy " + filler(32, 35)),
+      ("book", "abcabcabcabc zzzz zzzz " + filler(33, 30)),
+      ("book", filler(34, 50) + " ababab xyxy"),
+      ("code", filler(35, 44) + " abcabc"))
+    val got = TextAnalysis.unigramApplyOver(rows.toDF("source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // reference: same seed/lp model, Viterbi piece COUNT per word, agg by source
+    val srcCounts = rows.flatMap { case (src, t) => t.split(" ").filter(_.nonEmpty).map(src -> _) }
+      .groupBy(identity).map { case ((src, w), xs) => (src, w, xs.size.toLong) }.toSeq
+    val words = srcCounts.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._3).sum }
+    def grams(n: Int): Map[String, Long] = words.toSeq.flatMap { case (w, f) =>
+      if (w.length >= n) (0 to w.length - n).map(i => w.substring(i, i + n) -> f) else Nil
+    }.groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
+    def topK(g: Map[String, Long]): Seq[(String, Long)] =
+      g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(TextAnalysis.UnigramSeedNgrams)
+    val seeds = grams(1).toSeq ++ topK(grams(2)) ++ topK(grams(3))
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    val t = seeds.map(_._2).sum
+    val lp = seeds.map { case (p0, c) => p0 -> (lnq(c) - lnq(t)) }.toMap
+    val NEG = TextAnalysis.UnigramNeg
+    def nPieces(w: String): Long = {
+      val L = w.length
+      val dp = Array.fill(L + 1)(NEG); dp(0) = 0L
+      val bl = Array.fill(L + 1)(1)
+      for (i <- 1 to L) {
+        var best = Long.MinValue; var blen = 1
+        for (l <- 1 to 3 if i - l >= 0) {
+          val c = dp(i - l) + lp.getOrElse(w.substring(i - l, i), NEG)
+          if (c > best || (c == best && l > blen)) { best = c; blen = l }
+        }
+        dp(i) = best; bl(i) = blen
+      }
+      var i = L; var n = 0L
+      while (i > 0) { n += 1; i -= bl(i) }
+      n
+    }
+    val np = words.map { case (w, _) => w -> nPieces(w) }
+    val want = srcCounts.groupBy(_._1).map { case (src, xs) =>
+      val toks = xs.map(_._3).sum
+      val chars = xs.map { case (_, w, f) => w.length * f }.sum
+      val pieces = xs.map { case (_, w, f) => np(w) * f }.sum
+      (src, toks, chars, pieces, pieces * 10000 / chars)
+    }.toSeq.sortBy(_._1)
+    assert(got == want, s"apply divergence:\n got=$got\nwant=$want")
+    // the repetitive plants compress: every source ends below 10000 bp
+    assert(got.forall(_._5 < 10000L), s"compression must bite: $got")
+  }
 }
