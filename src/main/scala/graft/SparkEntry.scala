@@ -147,6 +147,7 @@ object SparkEntry {
     "ann_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     "ann_mips_ivfpq" -> ((s, d) => Similarity.mipsIvfPqTopK(s, d)),
     "ann_mips_recall" -> ((s, d) => Similarity.mipsIvfPqRecall(s, d)),
+    "ann_mips_refine" -> ((s, d) => Similarity.mipsRefineTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vec_centroids" -> ((s, d) => Similarity.centroids(s, d)),
@@ -643,6 +644,7 @@ object SparkEntry {
     "ann_mips" -> Similarity.mipsTopKOracle,
     "ann_mips_ivfpq" -> Similarity.mipsIvfPqTopKOracle,
     "ann_mips_recall" -> Similarity.mipsIvfPqRecallOracle,
+    "ann_mips_refine" -> Similarity.mipsRefineTopKOracle,
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,

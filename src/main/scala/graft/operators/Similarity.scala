@@ -1278,7 +1278,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val mipsIvfPqTopKOracle: String =
+  /** [[mipsIvfPqTopKOracle]] with a caller-chosen top-k — the k=5 instance
+    * is the oracle row; [[mipsRefineTopKOracle]] nests the k=25 instance
+    * as its shortlist stage. */
+  def mipsIvfPqTopKOracleK(k: Int): String = MipsIvfPqOracleBody
+    .replace("rank <= 5 ORDER BY", s"rank <= $k ORDER BY")
+
+  val mipsIvfPqTopKOracle: String = MipsIvfPqOracleBody
+
+  private lazy val MipsIvfPqOracleBody: String =
     """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |mx AS (SELECT max(list_dot_product(e, e)) AS m2 FROM v0),
       |v AS (SELECT vec_id, list_append(e,
@@ -1359,6 +1367,53 @@ object Similarity {
       |  FROM tot)
       |SELECT query_id, neighbor_id, adist_micro, rank FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Two-stage MIPS refine search (`ann_mips_refine`) — the FAISS
+    * `IndexRefineFlat` shape on the MIPS ladder: the compressed augmented
+    * IVF-PQ index shortlists R=25 candidates per query (never touching
+    * raw floats), then ONLY those \|queries\|×R rows join back to the
+    * stored vectors for an exact INNER-PRODUCT re-rank to top-k — the
+    * refine stage stays in MIPS's own metric (integer-micro dots, the
+    * [[mipsTopK]] convention), so it strictly corrects quantization error
+    * against the estimand the recommender actually serves. At 100 TB the
+    * corpus-wide scan reads m code bytes per candidate cell member and
+    * the exact dots touch 25 vectors per query regardless of corpus
+    * size. */
+  def mipsRefineTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, shortlist: Int = 25): DataFrame = {
+    val cand = mipsIvfPqTopK(spark, d, nQueries, k = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    cand
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dot(col("qe"), col("e")) * 1e6 + lit(0.5)).cast("long").as("ip_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ip_e6").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsRefineTopKOracle: String =
+    s"""WITH sl AS (
+       |  SELECT query_id, neighbor_id FROM (${mipsIvfPqTopKOracleK(25)}) s),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |rr AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |    cast(floor(list_dot_product(qv.e, nv.e) * 1e6 + 0.5) AS bigint)
+       |      AS ip_e6
+       |  FROM sl JOIN v qv ON qv.vec_id = sl.query_id
+       |          JOIN v nv ON nv.vec_id = sl.neighbor_id),
+       |r AS (SELECT *, cast(row_number() OVER
+       |  (PARTITION BY query_id ORDER BY ip_e6 DESC, neighbor_id) AS int) AS rank
+       |  FROM rr)
+       |SELECT query_id, neighbor_id, ip_e6, rank FROM r
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Recall@k of the MIPS IVF-PQ index vs the exact inner-product truth
     * ([[mipsTopK]]) — the measured eval that prices the norm-augmentation
