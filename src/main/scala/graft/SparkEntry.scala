@@ -228,6 +228,7 @@ object SparkEntry {
     "text_bpe_curve" -> ((s, d) => TextAnalysis.bpeTrainCurve(s, d)),
     "text_unigram_em" -> ((s, d) => TextAnalysis.unigramEm(s, d)),
     "text_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
+    "text_unigram_prune" -> ((s, d) => TextAnalysis.unigramPrune(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
@@ -610,6 +611,7 @@ object SparkEntry {
     "text_bpe_curve" -> TextAnalysis.bpeTrainCurveOracle,
     "text_unigram_em" -> TextAnalysis.unigramEmOracle,
     "text_unigram_apply" -> TextAnalysis.unigramApplyOracle,
+    "text_unigram_prune" -> TextAnalysis.unigramPruneOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,
     "text_readability" -> TextAnalysis.readabilityOracle,
     "text_js_divergence" -> TextAnalysis.jsDivergenceOracle,

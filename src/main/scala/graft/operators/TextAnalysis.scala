@@ -1659,37 +1659,47 @@ object TextAnalysis {
   def unigramEm(spark: SparkSession, d: String): DataFrame =
     unigramEmOver(Tables.documents(spark, d).select(col("text")))
 
-  /** [[unigramEm]] over an explicit docs frame (spec hook). */
-  def unigramEmOver(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+  /** `floor(ln·1000 + 0.5)` — the family's integer milli-ln quantizer. */
+  private def lnqU(c: Column): Column =
+    floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
+
+  /** The (w, freq) word vocabulary a unigram model trains over. */
+  private def unigramWordsOf(docs: DataFrame): DataFrame = docs
+    .select(explode(tokens(col("text"))).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Seed piece inventory: all single chars + the top-[[UnigramSeedNgrams]]
+    * bigrams/trigrams by count. Top-K rides TakeOrderedAndProject
+    * (orderBy+limit) — a global row_number window is the single-reducer
+    * killer the repo lints. */
+  private def unigramSeedsOf(words: DataFrame): DataFrame = {
     def grams(n: Int): DataFrame = words
       .filter(length(col("w")) >= n)
       .select(col("w"), col("freq"),
         explode(sequence(lit(1), length(col("w")) - (n - 1))).as("i"))
       .select(col("w").substr(col("i"), lit(n)).as("p"), col("freq"))
       .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
-    // top-K via TakeOrderedAndProject (orderBy+limit) — a global
-    // row_number window is the single-reducer killer the repo lints
     def topK(g: DataFrame): DataFrame =
       g.orderBy(col("cnt").desc, col("p")).limit(UnigramSeedNgrams)
-    val seeds = grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
-    def lnq(c: Column): Column =
-      floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
-    val tot = seeds.agg(sum(col("cnt")).as("t"))
-    val lp = seeds.crossJoin(broadcast(tot))
-      .select(col("p"), (lnq(col("cnt")) - lnq(col("t"))).as("lp"))
-    // the shipped model: one row, |seeds| entries — the codebook pattern
-    val lpMap = lp.groupBy()
-      .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("lpm"))
+    grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
+  }
+
+  /** One-row piece→lp map (the shipped model — the codebook pattern). */
+  private def unigramLpMap(lp: DataFrame): DataFrame = lp.groupBy()
+    .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("lpm"))
+
+  /** Viterbi-segment every (w, freq) word under the one-row piece→lp map
+    * and emit one (freq, p) row per piece USE — the 3-register forward
+    * fold + backpointer walk shared by [[unigramEm]] (round 1) and
+    * [[unigramPrune]] (round 2 under the pruned model). */
+  private def vitPieceUses(words: DataFrame, lpMap: DataFrame): DataFrame = {
     val NEG = lit(UnigramNeg)
     def cand(st: Column, w: Column, i: Column, len: Int): Column = {
       val reg = st.getField(s"d$len")
       reg + coalesce(element_at(col("lpm"), w.substr(i - (len - 1), lit(len))), NEG)
     }
-    val fwd = words.crossJoin(broadcast(lpMap))
+    words.crossJoin(broadcast(lpMap))
       .withColumn("bl", aggregate(
         sequence(lit(1), length(col("w"))),
         struct(lit(0L).as("d1"), NEG.as("d2"), NEG.as("d3"),
@@ -1705,7 +1715,7 @@ object TextAnalysis {
               when(c3 === best, 3).when(c2 === best, 2).otherwise(1))).as("bl"))
         },
         st => st.getField("bl")))
-    val segs = fwd.withColumn("ps", aggregate(
+      .withColumn("ps", aggregate(
         sequence(length(col("w")), lit(1), lit(-1)),
         struct(length(col("w")).as("expect"),
           array().cast("array<string>").as("ps")),
@@ -1721,13 +1731,161 @@ object TextAnalysis {
         },
         st => st.getField("ps")))
       .select(col("freq"), explode(col("ps")).as("p"))
-    val ecnt = segs.groupBy(col("p")).agg(sum(col("freq")).as("e_count"))
+  }
+
+  /** [[unigramEm]] over an explicit docs frame (spec hook). */
+  def unigramEmOver(docs: DataFrame): DataFrame = {
+    val words = unigramWordsOf(docs)
+    val seeds = unigramSeedsOf(words)
+    val tot = seeds.agg(sum(col("cnt")).as("t"))
+    val lp = seeds.crossJoin(broadcast(tot))
+      .select(col("p"), (lnqU(col("cnt")) - lnqU(col("t"))).as("lp"))
+    val ecnt = vitPieceUses(words, unigramLpMap(lp))
+      .groupBy(col("p")).agg(sum(col("freq")).as("e_count"))
     val etot = ecnt.agg(sum(col("e_count")).as("et"))
     seeds.join(ecnt, "p").crossJoin(broadcast(etot))
       .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
         col("cnt").as("seed_count"), col("e_count"),
-        (lnq(col("e_count")) - lnq(col("et"))).as("lp_milli"))
+        (lnqU(col("e_count")) - lnqU(col("et"))).as("lp_milli"))
       .orderBy(col("e_count").desc, col("piece"))
+  }
+
+  /** Multi-char pieces the prune round keeps (single chars are never
+    * prunable — they are the coverage guarantee). */
+  val UnigramKeepNgrams = 100
+
+  /** Unigram-LM vocabulary PRUNE round (`text_unigram_prune`) — the step
+    * after [[unigramEm]] in SentencePiece's train loop: shrink the piece
+    * inventory to the survivors (every single char + the
+    * top-[[UnigramKeepNgrams]] multi-char pieces by round-1 usage,
+    * ties on piece string), re-estimate log-probs over the kept set
+    * (`lnq(max(e1,1)) − lnq(Σ max(e1,1))` — the +1 floor keeps unused
+    * chars finite without smoothing the used ones), and RE-SEGMENT the
+    * corpus under the pruned model. Emits per kept piece its round-1 and
+    * round-2 usage counts plus the pruned log-prob — the redistribution
+    * table showing where cut pieces' mass went. Same folds, sentinels
+    * and tie rules as [[unigramEm]] (both rounds ride [[vitPieceUses]]);
+    * the DuckDB twin runs both DPs as recursive CTEs. */
+  def unigramPrune(spark: SparkSession, d: String): DataFrame =
+    unigramPruneOver(Tables.documents(spark, d).select(col("text")))
+
+  /** [[unigramPrune]] over an explicit docs frame; `keepN` lets specs
+    * force a cut that actually prunes USED pieces (the oracle row runs
+    * the default). */
+  def unigramPruneOver(docs: DataFrame,
+      keepN: Int = UnigramKeepNgrams): DataFrame = {
+    val words = unigramWordsOf(docs)
+    val seeds = unigramSeedsOf(words)
+    val tot = seeds.agg(sum(col("cnt")).as("t"))
+    val lp1 = seeds.crossJoin(broadcast(tot))
+      .select(col("p"), (lnqU(col("cnt")) - lnqU(col("t"))).as("lp"))
+    val e1 = vitPieceUses(words, unigramLpMap(lp1))
+      .groupBy(col("p")).agg(sum(col("freq")).as("e1"))
+    val seedsE = seeds.join(e1, Seq("p"), "left")
+      .select(col("p"), coalesce(col("e1"), lit(0L)).as("e1"))
+    val chars = seedsE.filter(length(col("p")) === 1)
+    val multi = seedsE.filter(length(col("p")) > 1 && col("e1") > 0)
+      .orderBy(col("e1").desc, col("p")).limit(keepN)
+    val kept = chars.unionAll(multi)
+    val tot2 = kept.agg(sum(greatest(col("e1"), lit(1L))).as("t2"))
+    val lp2 = kept.crossJoin(broadcast(tot2))
+      .select(col("p"),
+        (lnqU(greatest(col("e1"), lit(1L))) - lnqU(col("t2"))).as("lp"))
+    val e2 = vitPieceUses(words, unigramLpMap(lp2))
+      .groupBy(col("p")).agg(sum(col("freq")).as("e2_count"))
+    kept
+      .join(lp2.withColumnRenamed("lp", "lp2_milli"), "p")
+      .join(e2, "p")
+      .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
+        col("e1").as("e1_count"), col("e2_count"), col("lp2_milli"))
+      .orderBy(col("e2_count").desc, col("piece"))
+  }
+
+  val unigramPruneOracle: String = {
+    def dpBt(k: Int, lpT: String): String =
+      s"""dp$k AS (
+         |  SELECT w, freq, len(w) AS L, 0 AS i,
+         |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
+         |    cast($UnigramNeg AS bigint) AS d3, cast([] AS int[]) AS bl
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w, freq, L, i + 1,
+         |    greatest(c1, c2, c3), d1, d2,
+         |    list_append(bl, CASE WHEN c3 = greatest(c1, c2, c3) THEN 3
+         |                         WHEN c2 = greatest(c1, c2, c3) THEN 2
+         |                         ELSE 1 END)
+         |  FROM (
+         |    SELECT dp$k.w, dp$k.freq, dp$k.L, dp$k.i,
+         |      dp$k.d1, dp$k.d2, dp$k.d3, dp$k.bl,
+         |      dp$k.d1 + coalesce(l1.lp, $UnigramNeg) AS c1,
+         |      dp$k.d2 + coalesce(l2.lp, $UnigramNeg) AS c2,
+         |      dp$k.d3 + coalesce(l3.lp, $UnigramNeg) AS c3
+         |    FROM dp$k
+         |    LEFT JOIN $lpT l1 ON l1.p = substr(dp$k.w, dp$k.i + 1, 1)
+         |    LEFT JOIN $lpT l2 ON dp$k.i >= 1 AND l2.p = substr(dp$k.w, dp$k.i, 2)
+         |    LEFT JOIN $lpT l3 ON dp$k.i >= 2 AND l3.p = substr(dp$k.w, dp$k.i - 1, 3)
+         |    WHERE dp$k.i < dp$k.L) s),
+         |bt$k AS (
+         |  SELECT w, freq, bl, L AS expect, cast(NULL AS varchar) AS piece
+         |  FROM dp$k WHERE i = L
+         |  UNION ALL
+         |  SELECT w, freq, bl, expect - bl[expect],
+         |    substr(w, expect - bl[expect] + 1, bl[expect])
+         |  FROM bt$k WHERE expect > 0)""".stripMargin
+    s"""WITH RECURSIVE words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1),
+       |g1 AS (
+       |  SELECT substr(w, cast(i AS int), 1) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS i
+       |        FROM words) GROUP BY 1),
+       |g2 AS (
+       |  SELECT substr(w, cast(i AS int), 2) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM words WHERE len(w) >= 2) GROUP BY 1),
+       |g3 AS (
+       |  SELECT substr(w, cast(i AS int), 3) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3) GROUP BY 1),
+       |s2 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g2)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |s3 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g3)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |seeds AS (SELECT p, cnt FROM g1 UNION ALL
+       |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |tot AS (SELECT sum(cnt) AS t FROM seeds),
+       |lp1 AS (
+       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
+       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
+       |  FROM seeds, tot),
+       |${dpBt(1, "lp1")},
+       |e1 AS (
+       |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e1
+       |  FROM bt1 WHERE piece IS NOT NULL GROUP BY 1),
+       |se AS (
+       |  SELECT s.p, coalesce(e1.e1, 0) AS e1
+       |  FROM seeds s LEFT JOIN e1 ON e1.p = s.p),
+       |chars AS (SELECT p, e1 FROM se WHERE length(p) = 1),
+       |multi AS (SELECT p, e1 FROM se WHERE length(p) > 1 AND e1 > 0
+       |  ORDER BY e1 DESC, p LIMIT $UnigramKeepNgrams),
+       |kept AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |tot2 AS (SELECT sum(greatest(e1, 1)) AS t2 FROM kept),
+       |lp2 AS (
+       |  SELECT p,
+       |    cast(floor(ln(cast(greatest(e1, 1) AS double)) * 1000 + 0.5) AS bigint)
+       |    - cast(floor(ln(cast(t2 AS double)) * 1000 + 0.5) AS bigint) AS lp
+       |  FROM kept, tot2),
+       |${dpBt(2, "lp2")},
+       |e2 AS (
+       |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e2_count
+       |  FROM bt2 WHERE piece IS NOT NULL GROUP BY 1)
+       |SELECT k.p AS piece, cast(length(k.p) AS bigint) AS piece_len,
+       |  cast(k.e1 AS bigint) AS e1_count, e2.e2_count, l.lp AS lp2_milli
+       |FROM kept k JOIN lp2 l ON l.p = k.p JOIN e2 ON e2.p = k.p
+       |ORDER BY e2.e2_count DESC, k.p""".stripMargin
   }
 
   /** Trained-tokenizer application (`text_unigram_apply`) — the unigram

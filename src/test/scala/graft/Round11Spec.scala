@@ -286,4 +286,70 @@ class Round11Spec extends SparkSpec {
     // the repetitive plants compress: every source ends below 10000 bp
     assert(got.forall(_._5 < 10000L), s"compression must bite: $got")
   }
+
+  test("text_unigram_prune: keepN=1 forces redistribution, matching plain Scala") {
+    import spark.implicits._
+    // round 1 uses both 'abc' and 'xy' heavily; keepN=1 keeps only the
+    // top multi-char piece, so the other's mass must redistribute to
+    // chars/survivors in round 2
+    val corpus = Seq(
+      "abcabcabc xyxyxyxy " + filler(41, 30),
+      "abcabc xyxy " + filler(42, 25),
+      "abcabcabcabc xyxyxy " + filler(43, 20))
+    val got = TextAnalysis.unigramPruneOver(corpus.toDF("text"), keepN = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // plain-Scala reference of the full prune round
+    val words = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    def grams(n: Int): Map[String, Long] = words.toSeq.flatMap { case (w, f) =>
+      if (w.length >= n) (0 to w.length - n).map(i => w.substring(i, i + n) -> f) else Nil
+    }.groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
+    def topK(g: Map[String, Long], k: Int): Seq[(String, Long)] =
+      g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(k)
+    val seeds = grams(1).toSeq ++ topK(grams(2), TextAnalysis.UnigramSeedNgrams) ++
+      topK(grams(3), TextAnalysis.UnigramSeedNgrams)
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    val NEG = TextAnalysis.UnigramNeg
+    def segment(lp: Map[String, Long], w: String): Seq[String] = {
+      val L = w.length
+      val dp = Array.fill(L + 1)(NEG); dp(0) = 0L
+      val bl = Array.fill(L + 1)(1)
+      for (i <- 1 to L) {
+        var best = Long.MinValue; var blen = 1
+        for (l <- 1 to 3 if i - l >= 0) {
+          val c = dp(i - l) + lp.getOrElse(w.substring(i - l, i), NEG)
+          if (c > best || (c == best && l > blen)) { best = c; blen = l }
+        }
+        dp(i) = best; bl(i) = blen
+      }
+      var i = L; val out = Seq.newBuilder[String]
+      while (i > 0) { out += w.substring(i - bl(i), i); i -= bl(i) }
+      out.result()
+    }
+    def eCounts(lp: Map[String, Long]): Map[String, Long] =
+      words.toSeq.flatMap { case (w, f) => segment(lp, w).map(_ -> f) }
+        .groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
+    val t1 = seeds.map(_._2).sum
+    val lp1 = seeds.map { case (p0, c) => p0 -> (lnq(c) - lnq(t1)) }.toMap
+    val e1 = eCounts(lp1)
+    val se = seeds.map(_._1).distinct.map(p0 => p0 -> e1.getOrElse(p0, 0L))
+    val chars = se.filter(_._1.length == 1)
+    val multi = se.filter { case (p0, e) => p0.length > 1 && e > 0 }
+      .sortBy { case (p0, e) => (-e, p0) }.take(1)
+    val kept = chars ++ multi
+    val t2 = kept.map { case (_, e) => math.max(e, 1L) }.sum
+    val lp2 = kept.map { case (p0, e) => p0 -> (lnq(math.max(e, 1L)) - lnq(t2)) }.toMap
+    val e2 = eCounts(lp2)
+    val keptE = kept.toMap
+    val want = e2.toSeq.filter { case (p0, _) => keptE.contains(p0) }
+      .sortBy { case (p0, e) => (-e, p0) }
+      .map { case (p0, e) => (p0, p0.length.toLong, keptE(p0), e, lp2(p0)) }
+    assert(got == want, s"prune divergence:\n got=${got.take(8)}\nwant=${want.take(8)}")
+    // pruning actually bit: exactly one multi-char survivor, and the cut
+    // piece's mass reappears as extra char/survivor uses
+    val multiGot = got.filter(_._2 > 1)
+    assert(multiGot.size == 1, s"keepN=1 must keep one multi-char piece: $multiGot")
+    assert(got.exists(r => r._2 == 1 && r._4 > r._3),
+      s"cut mass must redistribute to single chars: $got")
+  }
 }
