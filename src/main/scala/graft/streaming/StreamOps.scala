@@ -830,6 +830,26 @@ object StreamOps {
       }
   }
 
+  /** [[ohlcStream]] on `transformWithState` — completing the modern-API
+    * migration on the last heavy legacy twin: per-hour bar state moves to
+    * a typed `ValueState[OhlcState]` with the SAME true-µs
+    * (ts, event_id) argmin/argmax open/close rule, and finalize-and-drop
+    * eviction rides an engine event-time TIMER re-armed at
+    * max(hour end, watermark + 1) (the [[Scd2Processor]] /
+    * [[BitmapDistinctProcessor]] one-timer-per-key pattern). Same
+    * behavior contract as the fMGWS form: late ticks beyond `lateness`
+    * drop; append output carries refreshed bars AND the timer's final
+    * emission — consumers keep the latest per hour. */
+  def ohlcStreamTws(ticks: Dataset[Tick],
+      lateness: String = "1 hour"): Dataset[OhlcBar] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withWatermark("ts", lateness)
+      .groupByKey(t => t.ts.getTime / 3600000L * 3600L)
+      .transformWithState(new OhlcProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming schema-drift monitor — the in-flight twin of the batch
     * `sse_schema_infer`: the stateless half (key explode + regex shape
     * classifier — the SAME column expressions as the batch audit) rides
@@ -1383,6 +1403,65 @@ class BitmapDistinctProcessor
       val (nw, dist) = counts.get()
       words.clear(); counts.clear(); armedAt.clear()
       Iterator.single(BitmapCell(key._1, key._2, nw, dist))
+    }
+  }
+}
+
+/** [[StreamOps.ohlcStreamTws]]'s typed processor: the hourly bar in a
+  * `ValueState[OhlcState]` (true-µs + event_id argmin/argmax open/close
+  * keys carried in the state, exactly like the fMGWS twin) with the
+  * one-timer-per-key finalize-and-drop eviction pattern. */
+class OhlcProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, OhlcBar] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+  @transient private var bar: ValueState[OhlcState] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    bar = getHandle.getValueState[OhlcState]("bar",
+      Encoders.product[OhlcState], TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(hour: Long, rows: Iterator[Tick],
+      timers: TimerValues): Iterator[OhlcBar] = {
+    var s = if (bar.exists()) bar.get() else null
+    rows.foreach { t =>
+      val us = StreamOps.usOf(t.ts)
+      val cents = math.floor(t.value * 100 + 0.5).toLong
+      s = if (s == null)
+        OhlcState(us, t.event_id, cents, cents, cents, us, t.event_id, cents, 1L, cents)
+      else {
+        val earlier = us < s.openUs || (us == s.openUs && t.event_id < s.openId)
+        val later = us > s.closeUs || (us == s.closeUs && t.event_id > s.closeId)
+        val o = if (earlier) (us, t.event_id, cents) else (s.openUs, s.openId, s.open)
+        val c = if (later) (us, t.event_id, cents) else (s.closeUs, s.closeId, s.close)
+        OhlcState(o._1, o._2, o._3, math.max(s.high, cents), math.min(s.low, cents),
+          c._1, c._2, c._3, s.n + 1L, s.vol + cents)
+      }
+    }
+    if (s == null) Iterator.empty
+    else {
+      bar.update(s)
+      if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+      val at = math.max((hour + 3600L) * 1000L,
+        timers.getCurrentWatermarkInMs() + 1L)
+      getHandle.registerTimer(at)
+      armedAt.update(at)
+      Iterator.single(OhlcBar(hour, s.n, s.open, s.high, s.low, s.close, s.vol))
+    }
+  }
+
+  override def handleExpiredTimer(hour: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[OhlcBar] = {
+    if (!bar.exists()) { armedAt.clear(); Iterator.empty }
+    else {
+      val st = bar.get()
+      bar.clear(); armedAt.clear()
+      Iterator.single(OhlcBar(hour, st.n, st.open, st.high, st.low, st.close, st.vol))
     }
   }
 }

@@ -1782,4 +1782,132 @@ class StreamOpsSpec extends SparkSpec {
         case None => spark.conf.unset(key) }
     }
   }
+
+  test("TWS OHLC twin: latest bar per hour bit-identical to batch on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ticks = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value")).collect()
+      .map(r => Tick(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(_.ts.getTime)
+    val (b1, b2) = ticks.splitAt(ticks.length / 2)
+    val in = MemoryStream[Tick]
+    val q = StreamOps.ohlcStreamTws(in.toDS())
+      .writeStream.format("memory").queryName("twsohlc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // keep the fullest emission per hour (bars only grow within an hour)
+      val streamed = spark.sql(
+        "SELECT hour_ts, n_trades, open_cents, high_cents, low_cents, close_cents, volume_cents " +
+          "FROM twsohlc").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).maxBy(_._1) }
+      val batch = graft.operators.Events.ohlcHourly(spark, Sf).collect()
+        .map(r => r.getTimestamp(0).getTime / 1000L ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"TWS OHLC stream/batch divergence: ${streamed.size} vs ${batch.size} hours")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS OHLC twin: finalized hour bars evict and shrink the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Tick]
+    val q = StreamOps.ohlcStreamTws(in.toDS(), lateness = "1 minute")
+      .writeStream.format("memory").queryName("twsohlcevict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Tick(1, hts(0), 10.0), Tick(2, hts(1), 12.5), Tick(3, hts(2), 9.0))
+      q.processAllAvailable()
+      // three hours later: a new bar opens; the engine's no-data batch
+      // advances the watermark past hour-1 end and fires the timer —
+      // the bar's two state rows clear (4 -> 2 within one call)
+      in.addData(Tick(9, hts(180), 20.0)); q.processAllAvailable()
+      in.addData(Tick(10, hts(181), 21.0)); q.processAllAvailable()
+      val series = q.recentProgress.toSeq.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .filter(_ > 0)
+      assert(series.max == 4 && series.last == 2,
+        s"hour-1 eviction must shrink the store 4 -> 2, got $series")
+      val h1 = hts(0).getTime / 3600000L * 3600L
+      val finals = spark.sql(
+        s"SELECT n_trades, open_cents, high_cents, low_cents, close_cents, volume_cents " +
+          s"FROM twsohlcevict WHERE hour_ts = $h1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(finals.nonEmpty &&
+        finals.last == ((3L, 1000L, 1250L, 900L, 900L, 3150L)),
+        s"final bar must carry the exact hour-1 census, got ${finals.toSeq}")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS OHLC timers: the finalize flush fires across a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsohlctimer").toString
+    val in = MemoryStream[Tick]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(expected: Int): Unit = {
+      val committed = commits()
+      val q = StreamOps.ohlcStreamTws(in.toDS(), lateness = "1 minute")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[OhlcBar], _: Long) =>
+          rows.synchronized {
+            rows ++= ds.collect().map(b =>
+              (b.hour_ts, b.n_trades, b.open_cents, b.close_cents))
+          }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while ((rows.synchronized(rows.size) < expected ||
+            commits() <= committed) && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+    }
+    try {
+      in.addData(Tick(1, hts(0), 10.0), Tick(2, hts(30), 15.0))
+      runBatch(expected = 1) // refreshed in-flight bar; timer armed at hour end
+      val h1 = hts(0).getTime / 3600000L * 3600L
+      // fresh query, same checkpoint: a tick 3 h later pushes the
+      // watermark past hour-1 end; the engine fires the RESTORED timer
+      in.addData(Tick(9, hts(180), 20.0))
+      runBatch(expected = 2)
+      in.addData(Tick(10, hts(181), 21.0))
+      runBatch(expected = 4)
+      val finals = rows.synchronized(rows.filter(_._1 == h1).toList)
+      assert(finals.last == ((h1, 2L, 1000L, 1500L)),
+        s"restored timer must flush the exact hour-1 bar, got $finals")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
