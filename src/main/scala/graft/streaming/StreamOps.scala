@@ -464,6 +464,33 @@ object StreamOps {
       }
   }
 
+  /** [[funnel]] on `transformWithState` — the port that exercises the
+    * THIRD typed state primitive: step times live in a TWS
+    * `ListState[Long]` (append-only per landed step — RocksDB appends an
+    * entry instead of re-serializing the whole sequence, the same
+    * per-entry win [[BitmapDistinctProcessor]] gets from `MapState`),
+    * the done flag in a `ValueState[Boolean]`, and the dormancy TTL on
+    * an engine event-time timer re-armed at last-activity + TTL (the
+    * one-timer-per-key pattern) whose expiry clears all three state
+    * variables — same eviction semantics as the fMGWS twin's
+    * `hasTimedOut` branch: a re-admitted user restarts from scratch.
+    * Same ordering (true-µs + step-index tiebreak), at-or-after chain
+    * and exactly-once conversion contract; parity + TTL specs on
+    * RocksDB. */
+  def funnelTws(events: Dataset[StreamEvent],
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      lateness: String = "1 hour",
+      ttlHours: Long = 2160L): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val stepSet = steps.toSet
+    events
+      .withWatermark("ts", lateness)
+      .filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps, ttlHours * 3600000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming event-time disorder monitor — the live twin of the batch
     * `ev_lateness` audit: keyed state per event type holds the running
     * event-time maximum (exactly what a watermark tracks) plus cumulative
@@ -1463,6 +1490,71 @@ class OhlcProcessor
       bar.clear(); armedAt.clear()
       Iterator.single(OhlcBar(hour, st.n, st.open, st.high, st.low, st.close, st.vol))
     }
+  }
+}
+
+/** [[StreamOps.funnelTws]]'s typed processor: step times in an
+  * append-only `ListState[Long]`, the done flag in a `ValueState`, and
+  * the dormancy TTL on an engine event-time timer (one per key) whose
+  * expiry clears everything — the ListState showcase beside
+  * [[Scd2Processor]]'s ValueState+timer and
+  * [[BitmapDistinctProcessor]]'s MapState. */
+class FunnelProcessor(steps: Seq[String], ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, Conversion] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimerValues, ValueState}
+  @transient private var times: ListState[Long] = _
+  @transient private var done: ValueState[Boolean] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    times = getHandle.getListState[Long]("times",
+      Encoders.scalaLong, TTLConfig.NONE)
+    done = getHandle.getValueState[Boolean]("done",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[Conversion] = {
+    var ts = times.get().toSeq
+    var isDone = done.exists() && done.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+    var lastMs = Long.MinValue
+    // same true-µs + step-index ordering and at-or-after chain as the
+    // fMGWS twin (ties: a step sorts AFTER its predecessor)
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), steps.indexOf(e.event_type)))
+      .foreach { e =>
+        lastMs = math.max(lastMs, e.ts.getTime)
+        if (!isDone) {
+          val idx = ts.length
+          val us = StreamOps.usOf(e.ts)
+          if (idx < steps.length && e.event_type == steps(idx) &&
+            (ts.isEmpty || us >= ts.last)) {
+            times.appendValue(us) // per-entry append, not a re-serialize
+            ts = ts :+ us
+            if (ts.length == steps.length) {
+              isDone = true
+              out += Conversion(uid, StreamOps.tsOfUs(ts.head),
+                StreamOps.tsOfUs(ts.last), (ts.last - ts.head) / 1000L)
+            }
+          }
+        }
+      }
+    done.update(isDone)
+    if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+    val at = math.max(lastMs, timers.getCurrentWatermarkInMs() + 1L) + ttlMs
+    getHandle.registerTimer(at)
+    armedAt.update(at)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Conversion] = {
+    times.clear(); done.clear(); armedAt.clear()
+    Iterator.empty
   }
 }
 

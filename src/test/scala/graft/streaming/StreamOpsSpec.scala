@@ -1910,4 +1910,99 @@ class StreamOpsSpec extends SparkSpec {
         case None => spark.conf.unset(key) }
     }
   }
+
+  test("TWS funnel twin: conversions bit-identical to the fMGWS twin on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().sortBy(e => (e.ts.getTime, e.user_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    def run(twin: org.apache.spark.sql.Dataset[StreamEvent] =>
+        org.apache.spark.sql.Dataset[Conversion], name: String): Set[(Long, Long, Long, Long)] = {
+      val in = MemoryStream[StreamEvent]
+      val q = twin(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        in.addData(b2.toIndexedSeq); q.processAllAvailable()
+        spark.sql(s"SELECT user_id, first_step_ts, last_step_ts, duration_ms FROM $name")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+            r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      } finally q.stop()
+    }
+    try {
+      val tws = run(ds => StreamOps.funnelTws(ds), "twsfunl")
+      val legacy = run(ds => StreamOps.funnel(ds), "legfunl")
+      assert(tws.nonEmpty && tws == legacy,
+        s"TWS/fMGWS funnel divergence (missing: ${(legacy -- tws).take(3)}, " +
+          s"extra: ${(tws -- legacy).take(3)})")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS funnel TTL: dormancy eviction fires across a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsfunttl").toString
+    val in = MemoryStream[StreamEvent]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(): Unit = {
+      val committed = commits()
+      val q = StreamOps.funnelTws(in.toDS(), lateness = "1 minute", ttlHours = 1L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Conversion], _: Long) =>
+          rows.synchronized { rows ++= ds.collect().map(c =>
+            (c.user_id, c.duration_ms)) }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while (commits() <= committed && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    try {
+      // run 1: user 1 signs up and clicks, then the query SHUTS DOWN with
+      // the dormancy timer armed in the checkpointed store
+      in.addData(StreamEvent(1, "signup", 0, hts(0)), StreamEvent(1, "click", 0, hts(1)))
+      runBatch()
+      assert(rows.synchronized(rows.isEmpty))
+      // run 2 (fresh query, same checkpoint): 3 h of watermark advance
+      // fires the restored timer -> user 1's prefix is GONE; their
+      // purchase alone must NOT convert (a fresh funnel starts at signup)
+      in.addData(StreamEvent(99, "signup", 0, hts(180)))
+      runBatch()
+      in.addData(StreamEvent(99, "click", 0, hts(181)))
+      runBatch()
+      in.addData(StreamEvent(1, "purchase", 0, hts(182)))
+      runBatch()
+      assert(rows.synchronized(rows.isEmpty),
+        s"evicted prefix must not bridge to a conversion, got ${rows.toList}")
+      // the re-admitted user completes a FRESH funnel end-to-end
+      in.addData(StreamEvent(1, "signup", 0, hts(183)), StreamEvent(1, "click", 0, hts(184)),
+        StreamEvent(1, "purchase", 0, hts(185)))
+      runBatch()
+      assert(rows.synchronized(rows.toList) == List((1L, 120000L)),
+        s"fresh funnel must convert once, got ${rows.toList}")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
