@@ -104,6 +104,7 @@ object SparkEntry {
     "ev_range_join" -> ((s, d) => Joins.rangeJoin(s, d)),
     "ev_skew_join_salted" -> ((s, d) => Joins.skewJoinSalted(s, d)),
     "ev_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "ev_funnel_steps" -> ((s, d) => Events.funnelSteps(s, d)),
     "ev_retention" -> ((s, d) => Events.retention(s, d)),
     "ev_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     "ev_user_paths" -> ((s, d) => Events.userPaths(s, d)),
@@ -567,6 +568,7 @@ object SparkEntry {
     "ev_range_join" -> Joins.rangeJoinOracle,
     "ev_skew_join_salted" -> Joins.skewJoinSaltedOracle,
     "ev_funnel" -> Events.funnelOracle,
+    "ev_funnel_steps" -> Events.funnelStepsOracle,
     "ev_retention" -> Events.retentionOracle,
     "ev_anomalies" -> Events.anomaliesOracle,
     "ev_user_paths" -> Events.userPathsOracle,

@@ -407,6 +407,82 @@ object Events {
       |LEFT JOIN pu ON su.user_id = pu.user_id
       |ORDER BY su.user_id""".stripMargin
 
+  /** Funnel drop-off table (`ev_funnel_steps`) — the product-analytics
+    * view OVER the per-user [[funnel]] chain: one row per step with
+    * survivors, share vs step 1 (bp), conversion vs the previous step
+    * (bp), and the mean wait from the previous step (integer seconds,
+    * truncating div — all counts and epoch-seconds, so the table is exact
+    * cross-engine). One corpus pass builds the per-user frame (the same
+    * three conditional-min shuffles as the funnel row), then ONE one-row
+    * aggregate computes every cell and explodes to the 3-row report —
+    * constant-size output at any corpus scale. */
+  def funnelSteps(spark: SparkSession, d: String): DataFrame = {
+    funnel(spark, d)
+      .agg(count(col("t_signup")).as("n1"), count(col("t_click")).as("n2"),
+        count(col("t_purchase")).as("n3"),
+        coalesce(sum(col("t_click") - col("t_signup")), lit(0L)).as("w2"),
+        coalesce(sum(col("t_purchase") - col("t_click")), lit(0L)).as("w3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("step_name"),
+          col("n1").as("n_users"), lit(10000L).as("share_bp"),
+          lit(10000L).as("conv_bp"), lit(0L).as("mean_wait_sec")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"),
+          col("n2").as("n_users"),
+          expr("CASE WHEN n1 = 0 THEN 0L ELSE n2 * 10000 div n1 END").as("share_bp"),
+          expr("CASE WHEN n1 = 0 THEN 0L ELSE n2 * 10000 div n1 END").as("conv_bp"),
+          expr("CASE WHEN n2 = 0 THEN 0L ELSE w2 div n2 END").as("mean_wait_sec")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+          col("n3").as("n_users"),
+          expr("CASE WHEN n1 = 0 THEN 0L ELSE n3 * 10000 div n1 END").as("share_bp"),
+          expr("CASE WHEN n2 = 0 THEN 0L ELSE n3 * 10000 div n2 END").as("conv_bp"),
+          expr("CASE WHEN n3 = 0 THEN 0L ELSE w3 div n3 END").as("mean_wait_sec"))))
+        .as("s"))
+      .select(col("s.step"), col("s.step_name"), col("s.n_users"),
+        col("s.share_bp"), col("s.conv_bp"), col("s.mean_wait_sec"))
+      .orderBy(col("step"))
+  }
+
+  val funnelStepsOracle: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    cast(floor(epoch(ts)) AS bigint) AS tsec FROM events),
+      |su AS (
+      |  SELECT user_id, min(CASE WHEN event_type='signup' THEN tsec END) AS t_signup
+      |  FROM ev GROUP BY 1 HAVING t_signup IS NOT NULL),
+      |cu AS (
+      |  SELECT ev.user_id, min(tsec) AS t_click
+      |  FROM ev JOIN su ON ev.user_id = su.user_id
+      |  WHERE event_type='click' AND tsec > t_signup GROUP BY 1),
+      |pu AS (
+      |  SELECT ev.user_id, min(tsec) AS t_purchase
+      |  FROM ev JOIN cu ON ev.user_id = cu.user_id
+      |  WHERE event_type='purchase' AND tsec > t_click GROUP BY 1),
+      |f AS (
+      |  SELECT su.user_id, t_signup, t_click, t_purchase
+      |  FROM su LEFT JOIN cu ON su.user_id = cu.user_id
+      |  LEFT JOIN pu ON su.user_id = pu.user_id),
+      |a AS (
+      |  SELECT cast(count(t_signup) AS bigint) AS n1,
+      |    cast(count(t_click) AS bigint) AS n2,
+      |    cast(count(t_purchase) AS bigint) AS n3,
+      |    cast(coalesce(sum(t_click - t_signup), 0) AS bigint) AS w2,
+      |    cast(coalesce(sum(t_purchase - t_click), 0) AS bigint) AS w3
+      |  FROM f)
+      |SELECT * FROM (
+      |  SELECT cast(1 AS bigint) AS step, 'signup' AS step_name, n1 AS n_users,
+      |    cast(10000 AS bigint) AS share_bp, cast(10000 AS bigint) AS conv_bp,
+      |    cast(0 AS bigint) AS mean_wait_sec FROM a
+      |  UNION ALL
+      |  SELECT 2, 'click', n2,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE n2 * 10000 // n1 END,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE n2 * 10000 // n1 END,
+      |    CASE WHEN n2 = 0 THEN 0 ELSE w2 // n2 END FROM a
+      |  UNION ALL
+      |  SELECT 3, 'purchase', n3,
+      |    CASE WHEN n1 = 0 THEN 0 ELSE n3 * 10000 // n1 END,
+      |    CASE WHEN n2 = 0 THEN 0 ELSE n3 * 10000 // n2 END,
+      |    CASE WHEN n3 = 0 THEN 0 ELSE w3 // n3 END FROM a)
+      |ORDER BY step""".stripMargin
+
   /** Cohort retention: users per (first-active week, week offset). Weeks
     * are epoch-seconds div 604800 — pure integer arithmetic. */
   def retention(spark: SparkSession, d: String): DataFrame = {
