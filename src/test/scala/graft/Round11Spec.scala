@@ -352,4 +352,27 @@ class Round11Spec extends SparkSpec {
     assert(got.exists(r => r._2 == 1 && r._4 > r._3),
       s"cut mass must redistribute to single chars: $got")
   }
+
+  test("text_unigram_em property: Spark DP == plain-Scala reference on 12 random corpora") {
+    import spark.implicits._
+    // seeded random corpora over a tiny alphabet maximize piece-score
+    // collisions (the tie-rule stressor) and run-heavy words (the
+    // overlap stressor)
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val alphabet = "abcd"
+      def word(): String =
+        (0 until (1 + rnd.nextInt(11))).map(_ => alphabet(rnd.nextInt(4))).mkString
+      val vocabWords = (0 until (4 + rnd.nextInt(8))).map(_ => word())
+      val corpus = (0 until (6 + rnd.nextInt(10)))
+        .map(_ => (0 until (1 + rnd.nextInt(5)))
+          .map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+      val got = TextAnalysis.unigramEmOver(corpus.toDF("text")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val want = refUnigramEm(corpus)
+      assert(got == want,
+        s"seed $seed divergence: first diff ${got.zip(want).find(x => x._1 != x._2)}" +
+          s" (sizes ${got.size}/${want.size})\ncorpus=$corpus")
+    }
+  }
 }
