@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
     "docs_softdedup_neardup" -> ((s, d) => Dedup.softDedupNearDup(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "dedup_winnow_stats" -> ((s, d) => Dedup.winnowStats(s, d)),
     "dedup_apply" -> ((s, d) => Dedup.dedupApply(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "shingle_stats" -> ((s, d) => Dedup.shingleStats(s, d)),
@@ -632,6 +633,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
     "docs_softdedup_neardup" -> Dedup.softDedupNearDupOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
+    "dedup_winnow_stats" -> Dedup.winnowStatsOracle,
     "dedup_apply" -> Dedup.dedupApplyOracle,
     "dedup_containment" -> Dedup.containmentOracle,
     "shingle_stats" -> Dedup.shingleStatsOracle,

@@ -888,6 +888,17 @@ object Dedup {
     * ceiling as every index self-join (cost Σdf² ≤ maxDf·\|index\|, never
     * all-pairs); pairs score overlap = shared fps / min fps — containment
     * semantics robust to length mismatch. */
+  /** COVERAGE CONTRACT (r11 sf0.1 finding): a pair is detectable here iff
+    * it shares at least one fingerprint with df ≤ [[MaxShingleDf]] —
+    * i.e. some shared material that is RARE corpus-wide. At sf0.1 the
+    * planted duplicate families grow so large (median shared-fp df ≈ 300,
+    * max 3800) that every shared fingerprint of the sf0.01-detected pairs
+    * exceeds the cap and the pair report empties — those docs are no
+    * longer "a near-dup pair" but members of a corpus-common duplication
+    * FAMILY, which is the cluster path's job (exact dedup for verbatim
+    * copies, MinHash-LSH + BSP components for families). The drop is
+    * visible in the audited channel: [[winnowStats]]'s ledger publishes
+    * how much of the shared-fingerprint mass the cap excluded. */
   def winnowPairs(spark: SparkSession, d: String, minOverlapBp: Long = 5000L): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     // the pair path computes grams and window minima DISTRIBUTED: explode
@@ -969,6 +980,81 @@ object Dedup {
        |       JOIN cnt cb ON p.doc_b = cb.doc_id
        |WHERE n_shared * 10000 // least(ca.n_fps, cb.n_fps) >= 5000
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Winnow fingerprint-index ledger (`dedup_winnow_stats`) — the audited
+    * channel behind [[winnowPairs]]' df cap (the family convention: every
+    * capped self-join publishes its occupancy): distinct fingerprints,
+    * postings, shared fingerprints (df ≥ 2), how many of those the
+    * [[MaxShingleDf]] cap EXCLUDES from the pair index, the max df, and
+    * the excluded share in basis points. At sf0.01 the over-cap share is
+    * small and the pair report is populated; at sf0.1 the planted
+    * duplication families push the shared-material df into the hundreds,
+    * the over-cap share saturates, and the pair report empties BY DESIGN
+    * (see [[winnowPairs]]' coverage contract) — this one-row table is how
+    * that state is observed instead of inferred. One distinct + one df
+    * aggregate over the same fingerprint frame; constant-size output. */
+  def winnowStats(spark: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val rows = Tables.documents(spark, d)
+      .select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), length(col("t")).cast("long") - 7)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Kernels.hash31(
+          col("t").substr(col("pos").cast("int"), lit(8))).as("h"))
+      .withColumn("m", min(col("h")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === 4)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
+    rows.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("df")).as("n_postings"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_over_cap"),
+        max(col("df")).as("max_df"))
+      .select(col("n_fps"), col("n_postings"), col("n_shared_fps"),
+        col("n_over_cap"), col("max_df"),
+        expr("CASE WHEN n_shared_fps = 0 THEN 0L " +
+          "ELSE n_over_cap * 10000 div n_shared_fps END").as("over_cap_share_bp"))
+  }
+
+  val winnowStatsOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    val h = sqlHash31("substr(t, cast(i AS int), 8)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 8
+       |      THEN [$h for i in range(1, length(t) - 6)]
+       |      ELSE [] END AS kh
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kh) >= 4
+       |      THEN list_distinct([list_min(kh[i:i+3]) for i in range(1, len(kh) - 2)])
+       |      ELSE [] END AS fps
+       |  FROM g),
+       |r AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |dfr AS (SELECT fp, count(*) AS df FROM r GROUP BY 1)
+       |SELECT cast(count(*) AS bigint) AS n_fps,
+       |  cast(sum(df) AS bigint) AS n_postings,
+       |  cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_shared_fps,
+       |  cast(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) AS bigint)
+       |    AS n_over_cap,
+       |  cast(max(df) AS bigint) AS max_df,
+       |  CASE WHEN sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) = 0 THEN 0
+       |    ELSE cast(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END) * 10000
+       |      // sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS bigint) END
+       |    AS over_cap_share_bp
+       |FROM dfr""".stripMargin
   }
 
   /** Duplicate-cluster size histogram (`dedup_cluster_stats`): the audit a
