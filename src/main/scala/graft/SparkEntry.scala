@@ -48,6 +48,7 @@ object SparkEntry {
     "q_integrity_audit" -> ((s, d) => Tpch.qIntegrityAudit(s, d)),
     "q_data_profile" -> ((s, d) => Tpch.qDataProfile(s, d)),
     "q_market_basket" -> ((s, d) => Tpch.marketBasket(s, d)),
+    "q_basket_stats" -> ((s, d) => Tpch.basketStats(s, d)),
     "q_triangle_count" -> ((s, d) => Joins.triangleCount(s, d)),
     "q_pareto_bands" -> ((s, d) => Tpch.paretoBands(s, d)),
     "q_segment_migration" -> ((s, d) => Tpch.segmentMigration(s, d)),
@@ -162,6 +163,11 @@ object SparkEntry {
     "ann_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ivfPqSearchTopK(s, d)),
     "ann_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
+    "vec_pq_residual" -> ((s, d) => Similarity.vecPqResidual(s, d)),
+    "vec_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
+    "vec_kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(s, d)),
+    "ann_ivfpq_residual" -> ((s, d) => Similarity.ivfPqResidualSearchTopK(s, d)),
+    "ann_ivfpq_residual_recall" -> ((s, d) => Similarity.ivfPqResidualRecall(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
     "vec_kmeans_step" -> ((s, d) => Similarity.kmeansStep(s, d)),
     "vec_drift" -> ((s, d) => Similarity.drift(s, d)),
@@ -227,10 +233,13 @@ object SparkEntry {
     "text_substr_dup_winnow" -> ((s, d) => TextAnalysis.substrDupWinnow(s, d)),
     "text_substr_apply" -> ((s, d) => TextAnalysis.substrApply(s, d)),
     "text_substr_apply_winnow" -> ((s, d) => TextAnalysis.substrApplyWinnow(s, d)),
+    "text_substr_keep" -> ((s, d) => TextAnalysis.substrKeep(s, d)),
+    "text_substr_keep_winnow" -> ((s, d) => TextAnalysis.substrKeepWinnow(s, d)),
     "text_bpe_curve" -> ((s, d) => TextAnalysis.bpeTrainCurve(s, d)),
     "text_unigram_em" -> ((s, d) => TextAnalysis.unigramEm(s, d)),
     "text_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
     "text_unigram_prune" -> ((s, d) => TextAnalysis.unigramPrune(s, d)),
+    "text_unigram_curve" -> ((s, d) => TextAnalysis.unigramCurve(s, d)),
     "text_code_detect" -> ((s, d) => TextAnalysis.codeDetect(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_js_divergence" -> ((s, d) => TextAnalysis.jsDivergence(s, d)),
@@ -460,6 +469,7 @@ object SparkEntry {
     "q_integrity_audit" -> Tpch.qIntegrityAuditOracle,
     "q_data_profile" -> Tpch.qDataProfileOracle,
     "q_market_basket" -> Tpch.marketBasketOracle,
+    "q_basket_stats" -> Tpch.basketStatsOracle,
     "q_triangle_count" -> Joins.triangleCountOracle,
     "q_pareto_bands" -> Tpch.paretoBandsOracle,
     "q_segment_migration" -> Tpch.segmentMigrationOracle,
@@ -592,6 +602,11 @@ object SparkEntry {
     "ann_mrl_recall" -> Similarity.mrlRecallOracle,
     "ann_ivfpq" -> Similarity.ivfPqSearchTopKOracle,
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallOracle,
+    "vec_pq_residual" -> Similarity.vecPqResidualOracle,
+    "vec_kmeans_train" -> Similarity.kmeansTrainOracle,
+    "vec_kmeans_centroids" -> Similarity.kmeansCentroidsOracle,
+    "ann_ivfpq_residual" -> Similarity.ivfPqResidualSearchTopKOracle,
+    "ann_ivfpq_residual_recall" -> Similarity.ivfPqResidualRecallOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,
     "vec_kmeans_step" -> Similarity.kmeansStepOracle,
     "vec_drift" -> Similarity.driftOracle,
@@ -611,10 +626,13 @@ object SparkEntry {
     "text_substr_dup_winnow" -> TextAnalysis.substrDupWinnowOracle,
     "text_substr_apply" -> TextAnalysis.substrApplyOracle,
     "text_substr_apply_winnow" -> TextAnalysis.substrApplyWinnowOracle,
+    "text_substr_keep" -> TextAnalysis.substrKeepOracle,
+    "text_substr_keep_winnow" -> TextAnalysis.substrKeepWinnowOracle,
     "text_bpe_curve" -> TextAnalysis.bpeTrainCurveOracle,
     "text_unigram_em" -> TextAnalysis.unigramEmOracle,
     "text_unigram_apply" -> TextAnalysis.unigramApplyOracle,
     "text_unigram_prune" -> TextAnalysis.unigramPruneOracle,
+    "text_unigram_curve" -> TextAnalysis.unigramCurveOracle,
     "text_code_detect" -> TextAnalysis.codeDetectOracle,
     "text_readability" -> TextAnalysis.readabilityOracle,
     "text_js_divergence" -> TextAnalysis.jsDivergenceOracle,

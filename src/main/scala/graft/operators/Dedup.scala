@@ -677,25 +677,77 @@ object Dedup {
     * 2-column) label frame, is only consulted at the default `maxIter`
     * (spec hooks passing a custom budget bypass it), and
     * [[clearLabelCache]] drops it (tests / re-ingest). Results are
-    * bit-identical to a fresh run — the oracle SQL is unchanged. */
+    * bit-identical to a fresh run — the oracle SQL is unchanged.
+    *
+    * Cache-consistency contract: the entry is validated on every hit
+    * against a FINGERPRINT of the documents parquet files (path, length,
+    * mtime) — if the dataset under the dir is rewritten mid-session the
+    * stale frame is dropped and recomputed, never served. Entries for a
+    * stopped session are purged by an ApplicationEnd listener registered
+    * at first insert (and by [[clearLabelCache]] in test teardowns), so
+    * they don't outlive the context. The pin is a localCheckpoint: its
+    * lineage is truncated by construction (every BSP superstep already
+    * checkpoints, so there is no recompute path to preserve), and on a
+    * real cluster executor loss invalidates the blocks — callers get a
+    * clear failure, re-enter here, and the fingerprint-validated rebuild
+    * recomputes from the parquet source. */
   def clusterLabels(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame =
-    if (maxIter != 20) computeClusterLabels(spark, d, maxIter)
-    else labelCache.computeIfAbsent((spark, d),
-      _ => computeClusterLabels(spark, d, maxIter).localCheckpoint())
+    if (maxIter != 20 || spark.sparkContext.isStopped)
+      computeClusterLabels(spark, d, maxIter)
+    else {
+      val fp = dataFingerprint(spark, d)
+      labelCache.compute((spark, d), (_, prev) =>
+        if (prev != null && prev._1 == fp) prev
+        else (fp, computeClusterLabels(spark, d, maxIter).localCheckpoint()))._2
+    }
+
+  /** Fingerprint of the documents table's parquet files: (name, length,
+    * mtime) per file, order-independent. A driver-side directory listing —
+    * the same metadata a parquet scan's file index reads — so validation
+    * costs no job. */
+  private def dataFingerprint(spark: SparkSession, d: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var acc = 1125899906842597L
+    while (it.hasNext) {
+      val f = it.next()
+      acc ^= java.util.Objects.hash(f.getPath.getName, f.getLen,
+        f.getModificationTime).toLong * 0x9e3779b97f4a7c15L
+    }
+    acc
+  }
+
+  // keyed by session IDENTITY, valued (fingerprint, frame); entries are
+  // fingerprint-validated on hit and purged when the owning context ends;
+  // the cached value is the tiny two-column label frame, never corpus-sized
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, DataFrame)]()
 
   private def computeClusterLabels(spark: SparkSession, d: String,
       maxIter: Int): DataFrame = {
+    registerCacheCleanup(spark)
     val pairs = minhashLsh(spark, d).select(col("doc_a"), col("doc_b"))
     // edge-induced vertices: the BSP label state is O(dup endpoints), not
     // O(corpus) — docs with no near-dup pair never ride a superstep join
     connectedComponentsOfEdges(pairs, maxIter)
   }
 
-  // keyed by session IDENTITY: a stopped session's entry is dropped by
-  // clearLabelCache (test teardown) or dies with the JVM; the cached value
-  // is the tiny two-column label frame, never corpus-sized
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Purge a session's cache entries when its context ends, so stopped
+    * sessions don't pin label frames for the JVM lifetime. */
+  private def registerCacheCleanup(spark: SparkSession): Unit =
+    if (cleanupRegistered.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            labelCache.keySet.removeIf(_._1 eq spark)
+            cleanupRegistered.remove(spark)
+          }
+        })
 
   /** Drop all cached cluster-label frames (see [[clusterLabels]]). */
   def clearLabelCache(): Unit = labelCache.clear()
@@ -900,32 +952,10 @@ object Dedup {
     * visible in the audited channel: [[winnowStats]]'s ledger publishes
     * how much of the shared-fingerprint mass the cap excluded. */
   def winnowPairs(spark: SparkSession, d: String, minOverlapBp: Long = 5000L): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    // the pair path computes grams and window minima DISTRIBUTED: explode
-    // the gram POSITIONS, hash each gram in a plain Project (codegen'd
-    // md5 — an array lambda referencing the gram array once gets
-    // CollapseProject-inlined and recomputes the whole array per window,
-    // O(n²k) per doc, measured 3 s/doc), then take the sliding min with a
-    // per-doc SQL window
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    val rows = Tables.documents(spark, d)
-      .select(col("doc_id"), norm.as("t"))
-      .filter(length(col("t")) >= 8)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1L), length(col("t")).cast("long") - 7)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        graft.functions.Kernels.hash31(
-          col("t").substr(col("pos").cast("int"), lit(8))).as("h"))
-      .withColumn("m", min(col("h")).over(byDoc))
-      .withColumn("wn", count(lit(1)).over(byDoc))
-      .filter(col("wn") === 4)
-      .select(col("doc_id"), col("m").as("fp"))
-      .distinct()
-      // three consumers read the fingerprint index (df cap, both join
-      // sides, per-doc counts) — pin ONE materialization instead of
-      // recomputing the explode+window stage per branch
-      .localCheckpoint()
+    // three consumers read the fingerprint index (df cap, both join
+    // sides, per-doc counts) — pin ONE materialization instead of
+    // recomputing the explode+window stage per branch
+    val rows = winnowFingerprints(spark, d).localCheckpoint()
     val keep = rows.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("fp"))
     val idx = rows.join(keep, "fp")
@@ -994,11 +1024,34 @@ object Dedup {
     * (see [[winnowPairs]]' coverage contract) — this one-row table is how
     * that state is observed instead of inferred. One distinct + one df
     * aggregate over the same fingerprint frame; constant-size output. */
-  def winnowStats(spark: SparkSession, d: String): DataFrame = {
+  def winnowStats(spark: SparkSession, d: String): DataFrame =
+    winnowFingerprints(spark, d).groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("df")).as("n_postings"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_over_cap"),
+        max(col("df")).as("max_df"))
+      .select(col("n_fps"), col("n_postings"), col("n_shared_fps"),
+        col("n_over_cap"), col("max_df"),
+        expr("CASE WHEN n_shared_fps = 0 THEN 0L " +
+          "ELSE n_over_cap * 10000 div n_shared_fps END").as("over_cap_share_bp"))
+
+  /** The ONE winnowing fingerprint pipeline (normalize → 8-gram hash31 →
+    * w=4 window minima → per-doc distinct), shared by [[winnowPairs]] (the
+    * pair index) and [[winnowStats]] (the ledger auditing it) so a
+    * parameter change can never desynchronize the ledger from the index.
+    *
+    * Grams and window minima are computed DISTRIBUTED: explode the gram
+    * POSITIONS, hash each gram in a plain Project (codegen'd md5 — an
+    * array lambda referencing the gram array once gets
+    * CollapseProject-inlined and recomputes the whole array per window,
+    * O(n²k) per doc, measured 3 s/doc), then take the sliding min with a
+    * per-doc SQL window. */
+  private def winnowFingerprints(spark: SparkSession, d: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
-    val rows = Tables.documents(spark, d)
+    Tables.documents(spark, d)
       .select(col("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= 8)
       .select(col("doc_id"), col("t"),
@@ -1011,16 +1064,6 @@ object Dedup {
       .filter(col("wn") === 4)
       .select(col("doc_id"), col("m").as("fp"))
       .distinct()
-    rows.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("n_fps"),
-        sum(col("df")).as("n_postings"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
-        sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_over_cap"),
-        max(col("df")).as("max_df"))
-      .select(col("n_fps"), col("n_postings"), col("n_shared_fps"),
-        col("n_over_cap"), col("max_df"),
-        expr("CASE WHEN n_shared_fps = 0 THEN 0L " +
-          "ELSE n_over_cap * 10000 div n_shared_fps END").as("over_cap_share_bp"))
   }
 
   val winnowStatsOracle: String = {

@@ -1218,6 +1218,383 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Lloyd steps for [[kmeansTrain]] — fixed so both engines replay the
+    * identical training run (the convergence STOP is a spec-level hook;
+    * the oracle row runs the full budget, and a converged run's trailing
+    * steps are no-ops with n_changed = 0, so fixed-vs-stopped results
+    * agree wherever both emit). */
+  val KmeansTrainSteps = 4
+
+  /** k-means to (near-)convergence (`vec_kmeans_train`) —
+    * [[kmeansStep]]'s one Lloyd iteration driven [[KmeansTrainSteps]]
+    * times from the driver, publishing the per-step convergence curve:
+    * vectors that changed cell and the total inertia Σ‖x − c(x)‖² (in
+    * micro units — per-vector squared distances round at 6 digits BEFORE
+    * the corpus sum, so the bigint total is engine-exact). Assignment is
+    * squared-L2 argmin (the [[vecPq]] codebook convention — textbook
+    * Lloyd, whose inertia is provably non-increasing, which the spec
+    * pins), seeded from the vec_id-mod groups every IVF build here uses.
+    *
+    * 100 TB shape: each step is one map-side assignment against the
+    * one-row broadcast centroid matrix plus one \|cells\|·dims shuffle
+    * for the update; the assigned frame is pinned per step because three
+    * consumers read it (inertia, churn, update — at cluster scale the
+    * same pin is persist()); centroid state stays a \|cells\|·dims long
+    * frame with lineage truncated per step, so N steps never deepen a
+    * plan. Empty cells keep their previous centroid (the standard Lloyd
+    * fallback), relationally a left-join coalesce. */
+  def kmeansTrain(spark: SparkSession, d: String, nCells: Int = 16,
+      steps: Int = KmeansTrainSteps): DataFrame =
+    kmeansChain(spark, d, nCells, steps)._1
+
+  /** Final trained centroids after [[KmeansTrainSteps]] Lloyd steps
+    * (`vec_kmeans_centroids`) — the codebook the curve row trains, in the
+    * (cell, dim, c) long form [[centroids]] publishes. Feeding THIS into
+    * the IVF/PQ/semantic builds is the point of training. */
+  def kmeansCentroids(spark: SparkSession, d: String, nCells: Int = 16,
+      steps: Int = KmeansTrainSteps): DataFrame =
+    kmeansChain(spark, d, nCells, steps)._2.orderBy(col("cell"), col("dim"))
+
+  /** The shared Lloyd chain: per-step (step, n_changed, inertia_micro)
+    * curve plus the final long-form centroids. `stopWhenStable` is the
+    * spec hook for the convergence stop (n_changed == 0 ends the loop);
+    * the oracle rows run the fixed budget. */
+  private[graft] def kmeansChain(spark: SparkSession, d: String, nCells: Int,
+      steps: Int, stopWhenStable: Boolean = false): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    var centsLong = v
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .withColumn("cell", pmod(col("vec_id"), lit(nCells.toLong)).cast("int"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .localCheckpoint()
+    var prevAssign = v.select(col("vec_id"),
+      pmod(col("vec_id"), lit(nCells.toLong)).cast("int").as("cell"))
+    val curve = Seq.newBuilder[(Long, Long, Long)]
+    var k = 1
+    var stable = false
+    while (k <= steps && !(stopWhenStable && stable)) {
+      val cm = centsLong
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+        .select(col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
+        .select(transform(col("cc"), x => x.getField("carr")).as("cents"))
+      // three consumers (inertia, churn, update) read one assignment pass
+      val assigned = v.join(broadcast(cm))
+        .withColumn("cell", nearestCellL2(col("e"), col("cents")))
+        .select(col("vec_id"), col("e"), col("cell"),
+          // per-vector d2 rounds at 6 BEFORE the corpus sum (micro bigint)
+          round(aggregate(
+            zip_with(col("e"),
+              element_at(col("cents"), (col("cell") + 1).cast("int")),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, x) => acc + x), 6).as("d2"))
+        .localCheckpoint()
+      val inertia = assigned
+        .agg(sum(round(col("d2") * 1000000.0).cast("long"))).collect()(0).getLong(0)
+      val nChanged = assigned.as("a")
+        .join(prevAssign.as("p"), "vec_id")
+        .filter(col("a.cell") =!= col("p.cell")).count()
+      val newc = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("nc"))
+      centsLong = centsLong.join(newc, Seq("cell", "dim"), "left")
+        .select(col("cell"), col("dim"), coalesce(col("nc"), col("c")).as("c"))
+        .localCheckpoint()
+      prevAssign = assigned.select(col("vec_id"), col("cell"))
+      curve += ((k.toLong, nChanged, inertia))
+      stable = nChanged == 0L
+      k += 1
+    }
+    (curve.result().toDF("step", "n_changed", "inertia_micro")
+      .orderBy(col("step")), centsLong)
+  }
+
+  private def kmeansChainSqlPrefix(steps: Int): String = {
+    val perStep = (1 to steps).map { k =>
+      s"""dists$k AS (
+         |  SELECT comp.vec_id, c.cell,
+         |    round(sum((comp.x - c.c) * (comp.x - c.c)), 6) AS d2
+         |  FROM comp JOIN cents${k - 1} c ON c.dim = comp.dim
+         |  GROUP BY 1, 2),
+         |a$k AS MATERIALIZED (
+         |  SELECT vec_id, cell, d2 FROM (
+         |    SELECT vec_id, cell, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+         |    FROM dists$k) WHERE r = 1),
+         |newc$k AS (
+         |  SELECT a$k.cell, comp.dim, round(avg(comp.x), 6) AS nc
+         |  FROM comp JOIN a$k ON a$k.vec_id = comp.vec_id
+         |  GROUP BY 1, 2),
+         |cents$k AS MATERIALIZED (
+         |  SELECT p.cell, p.dim, coalesce(n.nc, p.c) AS c
+         |  FROM cents${k - 1} p
+         |  LEFT JOIN newc$k n ON n.cell = p.cell AND n.dim = p.dim),
+         |stat$k AS (
+         |  SELECT cast($k AS bigint) AS step,
+         |    (SELECT count(*) FROM a$k a JOIN a${k - 1} p ON p.vec_id = a.vec_id
+         |     WHERE a.cell != p.cell) AS n_changed,
+         |    (SELECT cast(sum(cast(round(d2 * 1000000) AS bigint)) AS bigint)
+         |     FROM a$k) AS inertia_micro)""".stripMargin
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |comp AS MATERIALIZED (
+       |  SELECT vec_id, cast(j - 1 AS int) AS dim, e[j] AS x
+       |  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v)),
+       |cents0 AS MATERIALIZED (
+       |  SELECT cast(vec_id % 16 AS int) AS cell, dim, round(avg(x), 6) AS c
+       |  FROM comp GROUP BY 1, 2),
+       |a0 AS (SELECT vec_id, cast(vec_id % 16 AS int) AS cell FROM v),
+       |$perStep""".stripMargin
+  }
+
+  val kmeansTrainOracle: String = {
+    val union = (1 to KmeansTrainSteps)
+      .map(k => s"SELECT * FROM stat$k").mkString(" UNION ALL ")
+    s"""WITH ${kmeansChainSqlPrefix(KmeansTrainSteps)}
+       |SELECT step, n_changed, inertia_micro FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  val kmeansCentroidsOracle: String =
+    s"""WITH ${kmeansChainSqlPrefix(KmeansTrainSteps)}
+       |SELECT cell, dim, c FROM cents$KmeansTrainSteps ORDER BY cell, dim""".stripMargin
+
+  /** Every vector's IVF RESIDUAL r = e − centroid(cell) alongside its cell
+    * — the frame the residual-PQ family quantizes. The subtraction is a
+    * map-side `zip_with` against the one-row broadcast centroid matrix
+    * (the same row [[ivfAssignments]] already ships — shared lineage, one
+    * build), so the corpus side stays exchange-free. */
+  private def residualFrame(spark: SparkSession, d: String, nCells: Int): DataFrame =
+    ivfAssignments(spark, d, nCells)
+      .join(broadcast(centroidMatrix(spark, d, nCells)))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"),
+          element_at(col("cents"), col("cell").cast("int") + 1),
+          (a, b) => a - b).as("r"))
+
+  /** Residual product quantization (`vec_pq_residual`) — the FAISS IVF-PQ
+    * layout: [[vecPq]] quantizes RAW vectors, but the standard index
+    * encodes the residual x − centroid(cell(x)), whose variance is what's
+    * left AFTER the coarse quantizer explains the cell structure —
+    * strictly tighter codes at the same m·log₂(k) bits
+    * (reference: the encode_residual path in FAISS's IndexIVFPQ; priced
+    * against the raw layout by [[ivfPqResidualRecall]] vs
+    * [[ivfPqRecall]]). Same scale shape as [[vecPq]]: residuals are
+    * map-side zip_with against the broadcast centroid matrix, the
+    * residual codebook rides one broadcast row, and all m assignments
+    * are codegen'd [[graft.functions.NearestCell]] L2 argmins — zero
+    * corpus-side exchange. */
+  def vecPqResidual(spark: SparkSession, d: String, m: Int = 4, k: Int = 16,
+      dims: Int = 64, nCells: Int = 16): DataFrame = {
+    val sw = dims / m
+    val res = residualFrame(spark, d, nCells)
+    val cbLong = pqCodebookLongOn(
+      res.select(col("vec_id"), col("r").as("e")), m, k, dims)
+    val base = res.join(broadcast(pqCodebook(cbLong)))
+    val coded = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("r"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }
+    coded.select(col("vec_id") +: col("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-PQ search over RESIDUAL codes (`ann_ivfpq_residual`) — the exact
+    * [[ivfPqSearchTopK]] plan (chained one-row broadcasts, map-side
+    * assignments, corpus shuffles only at the per-query top-k) with both
+    * sides in residual space: corpus codes come from [[vecPqResidual]]'s
+    * codebook, and each query's ADC tables are built from ITS residual
+    * against its own cell's centroid — inside one probed cell both sides
+    * subtract the same centroid, so ADC distances approximate the true
+    * within-cell L2 geometry. Same round-6 / integer-micro / left-assoc
+    * conventions, so adist is oracle-exact. */
+  def ivfPqResidualSearchTopK(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64,
+      nCells: Int = 16, sampleMod: Int = 1): DataFrame = {
+    val sw = dims / m
+    val res = residualFrame(spark, d, nCells)
+    val cbLong = pqCodebookLongOn(
+      res.select(col("vec_id"), col("r").as("e")), m, kCells, dims)
+    val withCb = res.join(broadcast(pqCodebook(cbLong)))
+    val corpus = (0 until m).foldLeft(withCb) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("r"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }.select(col("vec_id") +: col("cell") +: (0 until m).map(s => col(s"code_$s")): _*)
+    val qres = res.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("r").as("e"))
+    val qcells = res.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+    val qdt = pqDistTablesOn(qres, sw, cbLong).join(qcells, "query_id")
+    corpusSample(corpus, nQueries, sampleMod).join(broadcast(qdt),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adistMicroExpr(m).as("adist_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adist_micro"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@k of the residual IVF-PQ index vs exact squared-L2 truth
+    * (`ann_ivfpq_residual_recall`) — read next to [[ivfPqRecall]]: equal
+    * m, kCells, nprobe and the same truth sample, so the delta prices the
+    * residual encoding alone. */
+  def ivfPqResidualRecall(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, truthSample: Int = 1): DataFrame = {
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val truth = corpusSample(v, nQueries, truthSample)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfPqResidualSearchTopK(spark, d, nQueries, k, sampleMod = truthSample)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Mean squared reconstruction error of the PQ coding, raw or residual —
+    * the spec hook behind the residual claim: at equal m·log₂(k) bits the
+    * residual codebook must reconstruct tighter than the raw one (the
+    * coarse quantizer has already explained the cell structure, so the
+    * codebook spends its bits on what remains). One corpus pass, codes and
+    * errors both map-side against the broadcast codebook. */
+  private[graft] def pqMse(spark: SparkSession, d: String, residual: Boolean,
+      m: Int = 4, k: Int = 16, dims: Int = 64, nCells: Int = 16): Double = {
+    val sw = dims / m
+    val v =
+      if (residual) residualFrame(spark, d, nCells)
+        .select(col("vec_id"), col("r").as("e"))
+      else Tables.embeddings(spark, d)
+        .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val cbLong = pqCodebookLongOn(v, m, k, dims)
+    val base = v.join(broadcast(pqCodebook(cbLong)))
+    val withCodes = (0 until m).foldLeft(base) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }
+    val err = (0 until m).map { s =>
+      aggregate(
+        zip_with(slice(col("e"), s * sw + 1, sw),
+          element_at(element_at(col("cb"), s + 1), col(s"code_$s").cast("int") + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    withCodes.agg(avg(err)).collect()(0).getDouble(0)
+  }
+
+  /** The residual twin of the PQ training/assignment SQL: the shared CTE
+    * prefix building residuals, the residual codebook, codes, and the IVF
+    * assignment — reused by all three residual oracle strings. */
+  private val residualCtePrefix: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+      |icents AS (
+      |  SELECT vec_id % 16 AS icell, j AS cj, round(avg(e[j]), 6) AS c
+      |  FROM x GROUP BY 1, 2),
+      |icnorms AS (SELECT icell, sqrt(sum(c*c)) AS cnorm FROM icents GROUP BY 1),
+      |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+      |idots AS (
+      |  SELECT x.vec_id, icents.icell, sum(e[j] * c) AS dot
+      |  FROM x JOIN icents ON x.j = icents.cj GROUP BY 1, 2),
+      |iassigned AS (
+      |  SELECT vec_id, icell FROM (
+      |    SELECT d.vec_id, d.icell,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.icell) AS arank
+      |    FROM idots d JOIN icnorms cn ON d.icell = cn.icell
+      |    JOIN vnorms vn ON d.vec_id = vn.vec_id)
+      |  WHERE arank = 1),
+      |comp AS (
+      |  SELECT x.vec_id, (x.j - 1) // 16 AS sub, (x.j - 1) % 16 AS sd,
+      |    x.e[x.j] - ic.c AS val
+      |  FROM x JOIN iassigned ia ON ia.vec_id = x.vec_id
+      |         JOIN icents ic ON ic.icell = ia.icell AND ic.cj = x.j),
+      |cents AS (
+      |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+      |  FROM comp GROUP BY 1, 2, 3),
+      |dists AS (
+      |  SELECT comp.vec_id, comp.sub, cents.cell,
+      |    round(sum((val - c) * (val - c)), 6) AS d2
+      |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+      |    FROM dists) WHERE r = 1)""".stripMargin
+
+  val vecPqResidualOracle: String =
+    s"""WITH $residualCtePrefix
+      |SELECT c.vec_id, cast(ia.icell AS int) AS cell,
+      |  max(CASE WHEN sub = 0 THEN c.cell END) AS code_0,
+      |  max(CASE WHEN sub = 1 THEN c.cell END) AS code_1,
+      |  max(CASE WHEN sub = 2 THEN c.cell END) AS code_2,
+      |  max(CASE WHEN sub = 3 THEN c.cell END) AS code_3
+      |FROM codes c JOIN iassigned ia ON ia.vec_id = c.vec_id
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  val ivfPqResidualSearchTopKOracle: String =
+    s"""WITH $residualCtePrefix,
+      |qdt AS (
+      |  SELECT vec_id AS query_id, sub, cell, d2 FROM dists WHERE vec_id < 10),
+      |persub AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.sub,
+      |    cast(round(q.d2 * 1000000) AS bigint) AS d2u
+      |  FROM codes c
+      |  JOIN iassigned ia ON ia.vec_id = c.vec_id
+      |  JOIN qdt q ON c.sub = q.sub AND c.cell = q.cell
+      |  JOIN iassigned qa ON qa.vec_id = q.query_id AND qa.icell = ia.icell
+      |  WHERE c.vec_id != q.query_id),
+      |tot AS (
+      |  SELECT query_id, neighbor_id,
+      |    (((max(CASE WHEN sub = 0 THEN d2u END)
+      |      + max(CASE WHEN sub = 1 THEN d2u END))
+      |      + max(CASE WHEN sub = 2 THEN d2u END))
+      |      + max(CASE WHEN sub = 3 THEN d2u END)) AS adist_micro
+      |  FROM persub GROUP BY 1, 2),
+      |r AS (SELECT *, cast(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS int) AS rank
+      |  FROM tot)
+      |SELECT query_id, neighbor_id, adist_micro, rank FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val ivfPqResidualRecallOracle: String =
+    s"""WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qq AS (SELECT vec_id AS query_id, e AS qe FROM vv WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, vv.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(vv.e, vv.e)
+       |      - 2 * list_dot_product(qe, vv.e), 4) AS d2
+       |  FROM qq, vv WHERE vv.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY d2, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5),
+       |approx AS (SELECT query_id, neighbor_id
+       |  FROM ($ivfPqResidualSearchTopKOracle) s)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MIPS on the compressed index (`ann_mips_ivfpq`) — the 100 TB scale
     * path [[mipsTopK]] documents, now implemented: the classic
     * norm-augmentation reduction (Bachrach et al. 2014) appends
@@ -1499,7 +1876,17 @@ object Similarity {
     val v0 = normed(spark, d)
       .select(col("vec_id"), col("e"), col("norm"))
       .withColumn("bucket", lshBucketN(col("e"), planes))
+    // the cap's drop accounting ALSO rides the plan itself as observed
+    // metrics (CollectMetrics over the occupancy histogram the cap already
+    // computes — zero extra pass): every action on this frame reports
+    // graft.knn_join.drops {n_dropped_vectors, n_capped_buckets} to
+    // QueryExecutionListeners, so a monitoring harness sees the drop even
+    // when nobody runs the knn_bucket_stats ledger query
     val keep = v0.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .observe("graft.knn_join.drops",
+        sum(when(col("c") > maxBucket, col("c")).otherwise(0L))
+          .as("n_dropped_vectors"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("n_capped_buckets"))
       .filter(col("c") <= maxBucket).select(col("bucket"))
     val v = v0.join(broadcast(keep), "bucket")
     val scored = v.as("x").join(v.as("y"),

@@ -886,7 +886,8 @@ object TextAnalysis {
     * it has a digest appearing in ≥2 DISTINCT documents (every occurrence
     * cut — the deduplicate-text-datasets convention, which drops all
     * copies of a cross-document passage rather than electing a keeper;
-    * electing one would need a global per-digest anchor pass).
+    * [[substrKeep]] is the keep-one variant with the global per-digest
+    * anchor pass).
     *
     * The cut is an exact interval union computed relationally: shared
     * window positions sort per doc, and position i contributes
@@ -978,27 +979,8 @@ object TextAnalysis {
   def substrApplyWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
     substrApplyWinnowOn(Tables.documents(spark, d), w)
 
-  def substrApplyWinnowOn(docs: DataFrame, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = docs
-      .filter(length(col("text")) >= 40)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
-        col("text"))
-      .select(col("doc_id"), col("i"),
-        hash60(expr("substring(text, i, 40)")).as("h0"))
-      .withColumn("m", min(col("h0")).over(byDoc))
-      .withColumn("wn", count(lit(1)).over(byDoc))
-      .filter(col("wn") === w)
-      .select(col("doc_id"), col("m").as("fp"))
-      .distinct()
-    val sharedFp = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2).select(col("fp"))
-    val candidates = fps.join(sharedFp, "fp").select(col("doc_id")).distinct()
-    substrApplyOn(docs.join(candidates, "doc_id"))
-  }
+  def substrApplyWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
+    substrApplyOn(docs.join(winnowCandidates(docs, w), "doc_id"))
 
   val substrApplyWinnowOracle: String = {
     import graft.functions.Kernels.sqlHash60
@@ -1039,6 +1021,206 @@ object TextAnalysis {
        |  len(d.text) - a.chars_cut AS chars_kept,
        |  (len(d.text) - a.chars_cut) * 10000 // len(d.text) AS kept_bp
        |FROM agg a JOIN d USING (doc_id) ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** ExactSubstr KEEP-ONE apply (`text_substr_keep`) — Lee et al.'s
+    * default convention: a duplicated passage keeps ONE canonical copy
+    * and every other occurrence is cut ([[substrApply]] implements the
+    * drop-all-copies variant; this row adds the keeper election its doc
+    * names as the missing piece). Election is per shared digest: the
+    * anchor is the global minimum occurrence key doc_id·2²⁴ + i (a pure
+    * bigint min — one partial aggregate, bit-exact on both engines;
+    * 2²⁴ > any document length, doc ids < 2³⁰, so the key is collision-
+    * free and orders lexicographically by (doc_id, i)). A window
+    * occurrence is cut iff its digest is shared (df ≥ 2 distinct docs)
+    * and it is not the anchor; the cut is the same exact interval union
+    * as [[substrApply]] (per-doc `lead` over CUT positions only).
+    *
+    * Scale shape: the stride-1 digest pass is unchanged; the df
+    * aggregate, the anchor min-aggregate, and the shared-occurrence join
+    * all hash on the digest — one exchange, reused. Per affected doc
+    * (≥ 1 shared occurrence) the report shows how many of its shared
+    * windows were elected keepers vs cut, and the char accounting; a doc
+    * whose occurrences are all anchors survives whole (kept_bp = 10000),
+    * which is how "exactly one copy survives" reads in the output. */
+  def substrKeep(spark: SparkSession, d: String): DataFrame =
+    substrKeepOn(Tables.documents(spark, d))
+
+  /** The [[substrKeep]] kernel over any (doc_id, source, text) relation —
+    * public so specs can plant cross-document passages at any alignment. */
+  def substrKeepOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = docs
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        hash60(expr("substring(text, i, 40)")).as("h"))
+    val sharedH = win.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val sh = win.join(sharedH, "h")
+    // the global per-digest anchor: min (doc_id, i) as one bigint key
+    val anchors = sh.groupBy(col("h"))
+      .agg(min(col("doc_id") * lit(16777216L) + col("i")).as("akey"))
+    val flagged = sh.join(anchors, "h")
+      .withColumn("is_anchor",
+        col("doc_id") * lit(16777216L) + col("i") === col("akey"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val cuts = flagged.filter(!col("is_anchor"))
+      .withColumn("next_i", lead(col("i"), 1).over(byDoc))
+      .withColumn("cut",
+        least(lit(40L), coalesce(col("next_i") - col("i"), lit(40L))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut_windows"), sum(col("cut")).as("chars_cut"))
+    val kept = flagged.filter(col("is_anchor"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_anchor_windows"))
+    cuts.join(kept, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("n_cut_windows"), lit(0L)).as("n_cut_windows"),
+        coalesce(col("n_anchor_windows"), lit(0L)).as("n_anchor_windows"),
+        coalesce(col("chars_cut"), lit(0L)).as("chars_cut"))
+      .join(docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("chars_total")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_cut_windows"),
+        col("n_anchor_windows"), col("chars_total"), col("chars_cut"),
+        (col("chars_total") - col("chars_cut")).as("chars_kept"),
+        expr("(chars_total - chars_cut) * 10000 div chars_total").as("kept_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substrKeepOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    s"""WITH w AS (
+       |  SELECT doc_id, i, ${sqlHash60("substr(text, cast(i AS int), 40)")} AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - 39)) AS i
+       |        FROM documents WHERE len(text) >= 40)),
+       |df AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |s AS (SELECT w.* FROM w JOIN df USING (h)),
+       |a AS (SELECT h, min(doc_id * 16777216 + i) AS akey FROM s GROUP BY 1),
+       |f AS (
+       |  SELECT s.doc_id, s.i,
+       |    s.doc_id * 16777216 + s.i = a.akey AS is_anchor
+       |  FROM s JOIN a USING (h)),
+       |c AS (
+       |  SELECT doc_id, i,
+       |    least(40, coalesce(
+       |      lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 40)) AS cut
+       |  FROM f WHERE NOT is_anchor),
+       |cagg AS (
+       |  SELECT doc_id, count(*) AS n_cut_windows,
+       |    cast(sum(cut) AS bigint) AS chars_cut
+       |  FROM c GROUP BY 1),
+       |kagg AS (
+       |  SELECT doc_id, count(*) AS n_anchor_windows
+       |  FROM f WHERE is_anchor GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(cagg.doc_id, kagg.doc_id) AS doc_id,
+       |    coalesce(n_cut_windows, 0) AS n_cut_windows,
+       |    coalesce(n_anchor_windows, 0) AS n_anchor_windows,
+       |    coalesce(chars_cut, 0) AS chars_cut
+       |  FROM cagg FULL JOIN kagg USING (doc_id))
+       |SELECT per.doc_id, d.source, per.n_cut_windows, per.n_anchor_windows,
+       |  cast(len(d.text) AS bigint) AS chars_total, per.chars_cut,
+       |  len(d.text) - per.chars_cut AS chars_kept,
+       |  (len(d.text) - per.chars_cut) * 10000 // len(d.text) AS kept_bp
+       |FROM per JOIN documents d ON per.doc_id = d.doc_id
+       |ORDER BY per.doc_id""".stripMargin
+  }
+
+  /** The 100 TB path for [[substrKeep]] — the same winnowed-fingerprint
+    * candidate prefilter as [[substrApplyWinnow]] (and the same bounded
+    * <47-char recall contract: election and df are recomputed over the
+    * candidate subset, so both sides of the loss obey the winnowing
+    * guarantee); only candidate docs pay the stride-1 election pass. */
+  def substrKeepWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
+    substrKeepWinnowOn(Tables.documents(spark, d), w)
+
+  def substrKeepWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
+    substrKeepOn(docs.join(winnowCandidates(docs, w), "doc_id"))
+
+  /** Candidate docs under the winnowed fingerprint prefilter — shared by
+    * [[substrApplyWinnowOn]] and [[substrKeepWinnowOn]] so the two apply
+    * variants can never desynchronize from the index that gates them. */
+  private def winnowCandidates(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = docs
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 39)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        hash60(expr("substring(text, i, 40)")).as("h0"))
+      .withColumn("m", min(col("h0")).over(byDoc))
+      .withColumn("wn", count(lit(1)).over(byDoc))
+      .filter(col("wn") === w)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
+    val sharedFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2).select(col("fp"))
+    fps.join(sharedFp, "fp").select(col("doc_id")).distinct()
+  }
+
+  val substrKeepWinnowOracle: String = {
+    import graft.functions.Kernels.sqlHash60
+    val h = sqlHash60("substr(text, cast(i AS int), 40)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents WHERE len(text) >= 40),
+       |g AS (
+       |  SELECT doc_id, [$h for i in range(1, len(text) - 38)] AS kh FROM d),
+       |fwin AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(kh) >= 8
+       |      THEN list_distinct([list_min(kh[i:i+7]) for i in range(1, len(kh) - 6)])
+       |      ELSE [] END AS fps
+       |  FROM g),
+       |fp AS (SELECT doc_id, unnest(fps) AS h FROM fwin),
+       |fdf AS (SELECT h FROM fp GROUP BY h HAVING count(*) >= 2),
+       |cand AS (SELECT DISTINCT doc_id FROM fp JOIN fdf USING (h)),
+       |w AS (
+       |  SELECT doc_id, i, ${sqlHash60("substr(text, cast(i AS int), 40)")} AS h
+       |  FROM (SELECT d.doc_id, d.text,
+       |          unnest(generate_series(1, len(text) - 39)) AS i
+       |        FROM d JOIN cand USING (doc_id))),
+       |df2 AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |s AS (SELECT w.* FROM w JOIN df2 USING (h)),
+       |a AS (SELECT h, min(doc_id * 16777216 + i) AS akey FROM s GROUP BY 1),
+       |f AS (
+       |  SELECT s.doc_id, s.i,
+       |    s.doc_id * 16777216 + s.i = a.akey AS is_anchor
+       |  FROM s JOIN a USING (h)),
+       |c AS (
+       |  SELECT doc_id, i,
+       |    least(40, coalesce(
+       |      lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, 40)) AS cut
+       |  FROM f WHERE NOT is_anchor),
+       |cagg AS (
+       |  SELECT doc_id, count(*) AS n_cut_windows,
+       |    cast(sum(cut) AS bigint) AS chars_cut
+       |  FROM c GROUP BY 1),
+       |kagg AS (
+       |  SELECT doc_id, count(*) AS n_anchor_windows
+       |  FROM f WHERE is_anchor GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(cagg.doc_id, kagg.doc_id) AS doc_id,
+       |    coalesce(n_cut_windows, 0) AS n_cut_windows,
+       |    coalesce(n_anchor_windows, 0) AS n_anchor_windows,
+       |    coalesce(chars_cut, 0) AS chars_cut
+       |  FROM cagg FULL JOIN kagg USING (doc_id))
+       |SELECT per.doc_id, d.source, per.n_cut_windows, per.n_anchor_windows,
+       |  cast(len(d.text) AS bigint) AS chars_total, per.chars_cut,
+       |  len(d.text) - per.chars_cut AS chars_kept,
+       |  (len(d.text) - per.chars_cut) * 10000 // len(d.text) AS kept_bp
+       |FROM per JOIN d USING (doc_id)
+       |ORDER BY per.doc_id""".stripMargin
   }
 
   /** Pairwise source divergence (`text_js_divergence`) — the
@@ -1697,7 +1879,15 @@ object TextAnalysis {
     val NEG = lit(UnigramNeg)
     def cand(st: Column, w: Column, i: Column, len: Int): Column = {
       val reg = st.getField(s"d$len")
-      reg + coalesce(element_at(col("lpm"), w.substr(i - (len - 1), lit(len))), NEG)
+      val v = reg +
+        coalesce(element_at(col("lpm"), w.substr(i - (len - 1), lit(len))), NEG)
+      // guard i < len explicitly: unguarded, the len-2/len-3 candidates at
+      // i=1/i=2 evaluate substr at pos <= 0 (Spark clamps to 1) and add a
+      // REAL piece lp onto the sentinel register — never the argmax while
+      // UnigramNeg dominates, but the DuckDB twin guards with i >= len
+      // joins, so both engines must compute identical candidate VALUES,
+      // not just identical argmaxes
+      if (len == 1) v else when(i >= len, v).otherwise(NEG)
     }
     words.crossJoin(broadcast(lpMap))
       .withColumn("bl", aggregate(
@@ -1886,6 +2076,168 @@ object TextAnalysis {
        |  cast(k.e1 AS bigint) AS e1_count, e2.e2_count, l.lp AS lp2_milli
        |FROM kept k JOIN lp2 l ON l.p = k.p JOIN e2 ON e2.p = k.p
        |ORDER BY e2.e2_count DESC, k.p""".stripMargin
+  }
+
+  /** Rounds for [[unigramCurve]] and the per-round multi-char keep
+    * schedule (100 → 60 → 20): SentencePiece's shrink-the-inventory
+    * loop, fixed so both engines replay the identical training run. */
+  val UnigramCurveRounds = 3
+  def unigramCurveKeepN(round: Int): Int =
+    math.max(20, UnigramKeepNgrams - 40 * (round - 1))
+
+  /** Unigram-LM trainer curve (`text_unigram_curve`) — [[unigramEm]]'s
+    * E-step and [[unigramPrune]]'s shrink composed over
+    * [[UnigramCurveRounds]] driver-driven rounds, the exact twin of
+    * `text_bpe_curve` for the SentencePiece-style trainer: each round
+    * re-estimates piece log-probs from the previous round's usage
+    * (`lnq(max(e,1)) − lnq(Σ max(e,1))` — the prune convention), Viterbi-
+    * segments the corpus under them ([[vitPieceUses]] — the 3-register
+    * fold), then prunes the inventory to every single char + the
+    * top-[[unigramCurveKeepN]] multi-char pieces by usage. Emits one
+    * checkpoint row per round: inventory size before/after the prune,
+    * pieces emitted by the segmentation, and the char-level compression
+    * in basis points — the "is the trained tokenizer getting better per
+    * unit of vocabulary" readout.
+    *
+    * 100 TB shape: the corpus collapses to the (word, freq) vocab once
+    * (localCheckpoint-pinned — lineage depth stays 1 at any round
+    * count); every per-round frame is model-sized, the inventory rides a
+    * one-row broadcast map into the DP, and the driver reads only
+    * bounded model artifacts per round (two counts + a one-row sum — the
+    * accepted `text_bpe_curve` pattern). The DuckDB twin replays all
+    * rounds as a chain of MATERIALIZED CTEs (recursive-DP per round). */
+  def unigramCurve(spark: SparkSession, d: String): DataFrame =
+    unigramCurveOver(Tables.documents(spark, d).select(col("text")))
+
+  /** [[unigramCurve]] over an explicit docs frame (spec hook). */
+  def unigramCurveOver(docs: DataFrame,
+      rounds: Int = UnigramCurveRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = unigramWordsOf(docs).localCheckpoint()
+    val charsTotal = words
+      .agg(sum(length(col("w")).cast("long") * col("freq")))
+      .collect()(0).getLong(0)
+    // inventory state: (p, score); round 1 scores are the seed counts
+    var inv = unigramSeedsOf(words)
+      .select(col("p"), col("cnt").as("score")).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    for (k <- 1 to rounds) {
+      val vocabBefore = inv.count()
+      val tot = inv.agg(sum(greatest(col("score"), lit(1L))).as("t"))
+      val lp = inv.crossJoin(broadcast(tot))
+        .select(col("p"),
+          (lnqU(greatest(col("score"), lit(1L))) - lnqU(col("t"))).as("lp"))
+      val e = vitPieceUses(words, unigramLpMap(lp))
+        .groupBy(col("p")).agg(sum(col("freq")).as("e"))
+        .localCheckpoint() // model-sized; read twice (emitted + prune)
+      val emitted = e.agg(sum(col("e"))).collect()(0).getLong(0)
+      val se = inv.join(e, Seq("p"), "left")
+        .select(col("p"), coalesce(col("e"), lit(0L)).as("e"))
+      val chars = se.filter(length(col("p")) === 1)
+      val multi = se.filter(length(col("p")) > 1 && col("e") > 0)
+        .orderBy(col("e").desc, col("p")).limit(unigramCurveKeepN(k))
+      inv = chars.unionAll(multi)
+        .select(col("p"), col("e").as("score")).localCheckpoint()
+      out += ((k.toLong, vocabBefore, inv.count(), emitted,
+        emitted * 10000L / charsTotal))
+    }
+    out.result()
+      .toDF("round", "vocab_before", "vocab_after", "pieces_emitted",
+        "compression_bp")
+      .orderBy(col("round"))
+  }
+
+  val unigramCurveOracle: String = {
+    def dpBt(k: Int, lpT: String): String =
+      s"""dp$k AS (
+         |  SELECT w, freq, len(w) AS L, 0 AS i,
+         |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
+         |    cast($UnigramNeg AS bigint) AS d3, cast([] AS int[]) AS bl
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w, freq, L, i + 1,
+         |    greatest(c1, c2, c3), d1, d2,
+         |    list_append(bl, CASE WHEN c3 = greatest(c1, c2, c3) THEN 3
+         |                         WHEN c2 = greatest(c1, c2, c3) THEN 2
+         |                         ELSE 1 END)
+         |  FROM (
+         |    SELECT dp$k.w, dp$k.freq, dp$k.L, dp$k.i,
+         |      dp$k.d1, dp$k.d2, dp$k.d3, dp$k.bl,
+         |      dp$k.d1 + coalesce(l1.lp, $UnigramNeg) AS c1,
+         |      dp$k.d2 + coalesce(l2.lp, $UnigramNeg) AS c2,
+         |      dp$k.d3 + coalesce(l3.lp, $UnigramNeg) AS c3
+         |    FROM dp$k
+         |    LEFT JOIN $lpT l1 ON l1.p = substr(dp$k.w, dp$k.i + 1, 1)
+         |    LEFT JOIN $lpT l2 ON dp$k.i >= 1 AND l2.p = substr(dp$k.w, dp$k.i, 2)
+         |    LEFT JOIN $lpT l3 ON dp$k.i >= 2 AND l3.p = substr(dp$k.w, dp$k.i - 1, 3)
+         |    WHERE dp$k.i < dp$k.L) s),
+         |bt$k AS (
+         |  SELECT w, freq, bl, L AS expect, cast(NULL AS varchar) AS piece
+         |  FROM dp$k WHERE i = L
+         |  UNION ALL
+         |  SELECT w, freq, bl, expect - bl[expect],
+         |    substr(w, expect - bl[expect] + 1, bl[expect])
+         |  FROM bt$k WHERE expect > 0)""".stripMargin
+    val lnq = (x: String) =>
+      s"cast(floor(ln(cast($x AS double)) * 1000 + 0.5) AS bigint)"
+    val roundsSql = (1 to UnigramCurveRounds).map { k =>
+      s"""lp$k AS MATERIALIZED (
+         |  SELECT p, ${lnq("greatest(score, 1)")}
+         |    - ${lnq(s"(SELECT sum(greatest(score, 1)) FROM inv${k - 1})")} AS lp
+         |  FROM inv${k - 1}),
+         |${dpBt(k, s"lp$k")},
+         |e$k AS MATERIALIZED (
+         |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e
+         |  FROM bt$k WHERE piece IS NOT NULL GROUP BY 1),
+         |se$k AS MATERIALIZED (
+         |  SELECT s.p, coalesce(e$k.e, 0) AS e
+         |  FROM inv${k - 1} s LEFT JOIN e$k ON e$k.p = s.p),
+         |multi$k AS MATERIALIZED (
+         |  SELECT p, e FROM se$k WHERE length(p) > 1 AND e > 0
+         |  ORDER BY e DESC, p LIMIT ${unigramCurveKeepN(k)}),
+         |inv$k AS MATERIALIZED (
+         |  SELECT p, e AS score FROM se$k WHERE length(p) = 1
+         |  UNION ALL SELECT p, e FROM multi$k),
+         |stat$k AS (
+         |  SELECT cast($k AS bigint) AS round,
+         |    (SELECT count(*) FROM inv${k - 1}) AS vocab_before,
+         |    (SELECT count(*) FROM inv$k) AS vocab_after,
+         |    (SELECT cast(sum(freq) AS bigint) FROM bt$k
+         |     WHERE piece IS NOT NULL) AS pieces_emitted)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to UnigramCurveRounds)
+      .map(k => s"SELECT * FROM stat$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1),
+       |g1 AS (
+       |  SELECT substr(w, cast(i AS int), 1) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS i
+       |        FROM words) GROUP BY 1),
+       |g2 AS (
+       |  SELECT substr(w, cast(i AS int), 2) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM words WHERE len(w) >= 2) GROUP BY 1),
+       |g3 AS (
+       |  SELECT substr(w, cast(i AS int), 3) AS p, sum(freq) AS cnt
+       |  FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 2)) AS i
+       |        FROM words WHERE len(w) >= 3) GROUP BY 1),
+       |s2 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g2)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |s3 AS (SELECT p, cnt FROM (
+       |  SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS r FROM g3)
+       |  WHERE r <= $UnigramSeedNgrams),
+       |inv0 AS MATERIALIZED (
+       |  SELECT p, cnt AS score FROM g1 UNION ALL
+       |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |$roundsSql
+       |SELECT round, vocab_before, vocab_after, pieces_emitted,
+       |  pieces_emitted * 10000 //
+       |    (SELECT sum(len(w) * freq) FROM words) AS compression_bp
+       |FROM ($union) ORDER BY round""".stripMargin
   }
 
   /** Trained-tokenizer application (`text_unigram_apply`) — the unigram

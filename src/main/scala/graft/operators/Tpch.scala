@@ -1020,6 +1020,46 @@ object Tpch {
       |  count(DISTINCT date_sec), min(date_sec), max(date_sec) FROM o
       |ORDER BY 1""".stripMargin
 
+  /** Per-order item ceiling for [[marketBasket]]'s pair self-join — see
+    * the cap note there; [[basketStats]] is the audited channel. TPC-H
+    * baskets hold ≤ 7 distinct parts at every SF, so 64 never bites on
+    * gate data. */
+  val MaxBasketItems = 64
+
+  /** Basket-size ledger (`q_basket_stats`) — the audited channel behind
+    * [[marketBasket]]'s [[MaxBasketItems]] ceiling (the family convention:
+    * every capped self-join publishes its occupancy): orders and items
+    * total, orders/items the cap excludes, the largest basket, and
+    * Σ C(items,2) over kept orders — the exact pair budget the capped
+    * self-join pays, provably ≤ maxBasket·items/2. One distinct + one
+    * per-order partial aggregate; constant-size output. */
+  def basketStats(spark: SparkSession, d: String,
+      maxBasket: Int = MaxBasketItems): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c")).as("n_items"),
+        sum(when(col("c") > maxBasket, 1L).otherwise(0L)).as("n_capped_orders"),
+        sum(when(col("c") > maxBasket, col("c")).otherwise(0L)).as("n_dropped_items"),
+        max(col("c")).as("max_basket"),
+        sum(when(col("c") <= maxBasket, expr("c * (c - 1) div 2"))
+          .otherwise(0L)).as("kept_pair_budget"))
+
+  val basketStatsOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |h AS (SELECT l_orderkey, count(*) AS c FROM li GROUP BY 1)
+       |SELECT count(*) AS n_orders,
+       |  cast(sum(c) AS bigint) AS n_items,
+       |  cast(sum(CASE WHEN c > $MaxBasketItems THEN 1 ELSE 0 END) AS bigint)
+       |    AS n_capped_orders,
+       |  cast(sum(CASE WHEN c > $MaxBasketItems THEN c ELSE 0 END) AS bigint)
+       |    AS n_dropped_items,
+       |  max(c) AS max_basket,
+       |  cast(sum(CASE WHEN c <= $MaxBasketItems THEN c * (c - 1) // 2
+       |    ELSE 0 END) AS bigint) AS kept_pair_budget
+       |FROM h""".stripMargin
+
   /** Market-basket affinity (`q_market_basket`) — the top co-purchased part
     * pairs with support and lift: the classic association-rule readout a
     * retail analytics engine serves ("customers who bought A also bought
@@ -1035,9 +1075,22 @@ object Tpch {
     * \|parts\|-sized dimension aggregate, the one-row order total is a
     * broadcast, and the global top-20 plans as TakeOrderedAndProject
     * (distributed partial top-k). All-integer lift — bit-exact oracle. */
-  def marketBasket(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val li = Tables.lineitem(spark, d)
+  def marketBasket(spark: SparkSession, d: String, k: Int = 20,
+      maxBasket: Int = MaxBasketItems): DataFrame = {
+    val li0 = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // per-order item ceiling (the MaxShingleDf/MaxKnnBucket family
+    // convention): the pair explosion is Σ C(items,2) per order — bounded
+    // at ≤7 on TPC-H but a latent |basket|² on arbitrary data, so baskets
+    // above the ceiling are excluded (a 10k-item "basket" is a feed bug or
+    // a bot, not an affinity signal) and the drop is published by the
+    // oracle-checked [[basketStats]] ledger. The keep-join shuffles on
+    // l_orderkey, the same key as the pair self-join — one exchange,
+    // reused. Ceiling sits far above every gate-SF max basket, so gate
+    // results are bit-identical to the uncapped form.
+    val keep = li0.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxBasket).select(col("l_orderkey"))
+    val li = li0.join(keep, "l_orderkey")
     val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val pairs = li.as("a")
@@ -1397,7 +1450,10 @@ object Tpch {
       |FROM cum, tot ORDER BY band DESC""".stripMargin
 
   val marketBasketOracle: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |keep AS (SELECT l_orderkey FROM li0 GROUP BY 1
+      |  HAVING count(*) <= $MaxBasketItems),
+      |li AS (SELECT li0.* FROM li0 JOIN keep USING (l_orderkey)),
       |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
       |pc AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
       |pairs AS (

@@ -365,13 +365,17 @@ final class SseClient(
     * from [[HttpSseEndpoint]], the JDK's `response code: 401`, or the word
     * "unauthorized") — a bare `401` substring also appears in ports, byte
     * counts, and serials like `4010`, and a spurious match here costs a
-    * token-endpoint round trip on every reconnect. */
-  private def isUnauthorizedError(t: Throwable): Boolean =
+    * token-endpoint round trip on every reconnect. Status-LINE phrasings
+    * (`HTTP/1.1 401`, `http/2 401`) are matched too: some stacks surface
+    * the raw status line without the word "unauthorized", and missing it
+    * would reconnect forever on a revoked token instead of refreshing. */
+  private[sse] def isUnauthorizedError(t: Throwable): Boolean =
     causeMessages(t).exists(m =>
       UnauthorizedRe.pattern.matcher(m).find() || m.contains("unauthorized"))
 
   private val UnauthorizedRe =
-    """(?:\bhttp 401\b|response code:? 401\b|\bstatus(?: code)?:? 401\b)""".r
+    ("""(?:\bhttp 401\b|\bhttp/\d(?:\.\d)?\s+401\b|response code:? 401\b""" +
+      """|\bstatus(?: code)?:? 401\b|\b401\s+unauthorized\b)""").r
 
   private def causeMessages(t: Throwable): List[String] = {
     def msgs(x: Throwable, acc: List[String]): List[String] =

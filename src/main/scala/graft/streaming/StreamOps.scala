@@ -725,6 +725,31 @@ object StreamOps {
       }
   }
 
+  /** Gap sessionization on Spark 4's `transformWithState` with EVENT-TIME
+    * TIMERS — the reference-identity stateful op ([[sessionize]]) ported
+    * to the modern API, closing the fMGWS-only gap the funnel/SCD-2/OHLC/
+    * bitmap/transition twins already closed: session state is ONE
+    * `ValueState` per user (n, sum, start-µs, last-µs) and the close is an
+    * engine-managed event-time timer armed at the LAST instant any event
+    * could still merge under the batch floor-second gap rule,
+    * (⌊last⌋ + gap + 1) s — exactly [[sessionize]]'s
+    * `setTimeoutTimestamp` instant, now re-armed via the
+    * [[Scd2Processor]] one-timer-per-key delete/register pattern. Same
+    * semantics contract: µs-sorted intra-batch fold, floor-second gap
+    * compare (a raw-ms gap would split sessions the batch merges), closed
+    * sessions in append mode with full-µs boundaries. Timers live in the
+    * checkpointed RocksDB store, so a close armed before a shutdown fires
+    * after the restart — the spec drives exactly that. */
+  def sessionizeTws(events: Dataset[StreamEvent], gapSec: Long = 1800L,
+      lateness: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** SCD-2 compaction on Spark 4's `transformWithState` with EVENT-TIME
     * TIMERS — the same closed-interval semantics as [[scd2Stream]] (one
     * open interval per user, O(1) state, closed rows byte-identical to the
@@ -779,7 +804,13 @@ object StreamOps {
           }
           // emissions read the UNpruned in-batch list (an early hour in a
           // multi-hour batch still sees its own predecessors); only the
-          // carried state trims to the 4 taps any FUTURE hour can reach
+          // carried state trims to the 4 taps any FUTURE hour can reach.
+          // LATE-DATA CONTRACT: an event for an hour older than the carried
+          // 4-tap horizon re-opens that hour with a fresh count — its
+          // already-trimmed predecessors read as 0, so the re-emitted bar
+          // under-weights history rather than crashing or double-counting.
+          // Feeds that can be late beyond the horizon must gate upstream
+          // with a watermark (the parity spec feeds per-key in-order).
           state.update(taps.takeRight(4))
           val byHour = taps.map(_._1).zipWithIndex.toMap
           touched.iterator.flatMap { h =>
@@ -1324,6 +1355,65 @@ private case class LastEvent(event_type: String, us: Long)
   * twin's `hasTimedOut` branch. One timer per key: each batch deletes the
   * previously-armed instant (tracked in its own `ValueState`) before
   * re-arming, so dormant keys carry exactly one pending flush. */
+/** [[StreamOps.sessionizeTws]]'s typed processor: the gap session as one
+  * TWS `ValueState` per user plus the [[Scd2Processor]] one-timer-per-key
+  * close pattern — the timer re-arms at (⌊last-µs⌋ + gap + 1) s on every
+  * batch that touches the user, and fires (emitting the closed session and
+  * clearing the state) once the watermark proves no event can merge. */
+class SessionProcessor(gapSec: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StreamEvent, Session] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+  @transient private var cur: ValueState[SessionState] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    cur = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[Session] = {
+    var s = if (cur.exists()) cur.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    rows.toSeq.sortBy(e => StreamOps.usOf(e.ts)).foreach { e =>
+      val t = StreamOps.usOf(e.ts)
+      s match {
+        case null => s = SessionState(1L, e.value, t, t)
+        case st if Math.floorDiv(t, 1000000L) -
+            Math.floorDiv(st.last, 1000000L) <= gapSec =>
+          s = SessionState(st.n + 1, st.sum + e.value, st.start, math.max(st.last, t))
+        case st => // gap exceeded: close previous, open new
+          out += Session(uid, st.n, st.sum,
+            StreamOps.tsOfUs(st.start), StreamOps.tsOfUs(st.last))
+          s = SessionState(1L, e.value, t, t)
+      }
+    }
+    if (s != null) {
+      cur.update(s)
+      if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+      val at = (Math.floorDiv(s.last, 1000000L) + gapSec + 1L) * 1000L
+      getHandle.registerTimer(at)
+      armedAt.update(at)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Session] = {
+    if (!cur.exists()) { armedAt.clear(); Iterator.empty }
+    else {
+      val st = cur.get()
+      cur.clear()
+      armedAt.clear()
+      Iterator.single(Session(uid, st.n, st.sum,
+        StreamOps.tsOfUs(st.start), StreamOps.tsOfUs(st.last)))
+    }
+  }
+}
+
 class Scd2Processor(ttlMs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, Scd2Interval] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the basket pair self-join runs on the item-count-capped order set") {
+    // Same guard at basket granularity: the pair explosion is Σ C(items,2)
+    // per order — bounded on TPC-H but a latent |basket|² on arbitrary
+    // data, so the plan must carry the per-order ceiling filter.
+    val cap = Tpch.MaxBasketItems
+    val s = fmt(Tpch.marketBasket(spark, Sf))
+    assert(s"""c#\\d+L? <= $cap""".r.findFirstIn(s).isDefined,
+      s"q_market_basket plan lacks the basket-size ceiling filter (c <= $cap)")
+  }
+
   test("banded Hamming self-joins run on the occupancy-capped bucket set") {
     // The same guard at band granularity: an exact-dup family lands whole
     // in one (band, value) bucket, so without the ceiling the candidate

@@ -147,7 +147,9 @@ class Round11Spec extends SparkSpec {
     val b = Dedup.clusterLabels(spark, Sf)
     val warmMs = (System.nanoTime() - t1) / 1e6
     assert(a eq b, "the four consumers must read ONE materialized label frame")
-    assert(warmMs < math.max(50.0, coldMs / 2),
+    // identity (`a eq b`) is the cache proof; the timing bound is only a
+    // sanity backstop loose enough to survive a GC pause on a loaded box
+    assert(warmMs < coldMs,
       s"cached call must skip the BSP chain: cold=${coldMs}ms warm=${warmMs}ms")
     // a custom superstep budget is a spec hook, never served from cache
     val c = Dedup.clusterLabels(spark, Sf, maxIter = 19)

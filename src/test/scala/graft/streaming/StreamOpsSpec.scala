@@ -546,6 +546,107 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TWS sessionizer: sessions match batch ev_sessionize session-for-session on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evRows = graft.Tables.events(spark, Sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+      .sortBy(e => StreamOps.usOf(e.ts))
+    // mid-stream split: sessions spanning the boundary must merge from
+    // checkpointed ValueState, and timers must re-arm across batches
+    val (b1, b2) = evRows.splitAt(evRows.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionizeTws(in.toDS())
+      .writeStream.format("memory").queryName("sesstws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val sentinel = StreamEvent(999999L, "x", 0.0,
+        new Timestamp(evRows.map(_.ts.getTime).max + 86400000L))
+      in.addData(sentinel); q.processAllAvailable()
+      in.addData(sentinel); q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, n_events, round(sum_value, 2),
+          |  unix_timestamp(session_start), unix_timestamp(session_end)
+          |FROM sesstws WHERE user_id < 20""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.Events.sessionize(spark, Sf)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("n_events"), col("sum_value"),
+          col("session_start"), col("session_end")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got.nonEmpty && got == batch,
+        s"TWS stream/batch session divergence (missing: ${(batch -- got).take(3)}, " +
+          s"extra: ${(got -- batch).take(3)})")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS sessionizer timers: the session close fires across a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("twssesstimer").toString
+    val in = MemoryStream[StreamEvent]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long, Long)]
+    def commits(): Int = {
+      val d = new java.io.File(ckpt, "commits")
+      if (d.exists()) d.listFiles().count(!_.getName.startsWith(".")) else 0
+    }
+    def runBatch(expected: Int): Unit = {
+      val committed = commits()
+      val q = StreamOps.sessionizeTws(in.toDS(), gapSec = 1800L, lateness = "1 minute")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          rows.synchronized {
+            rows ++= ds.collect().map(s => (s.user_id, s.n_events, s.sum_value,
+              s.session_start.getTime / 1000, s.session_end.getTime / 1000))
+          }: Unit
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 60000
+        while ((rows.synchronized(rows.size) < expected ||
+            commits() <= committed) && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+    }
+    try {
+      // run 1: user 1's two-event session; timer armed at ts+gap+1 —
+      // shutdown BEFORE the watermark reaches it
+      in.addData(StreamEvent(1, "click", 1.5, hts(0)), StreamEvent(1, "view", 2.5, hts(1)))
+      runBatch(expected = 0)
+      assert(rows.synchronized(rows.isEmpty), s"no closed session yet, got $rows")
+      // run 2 (fresh query, same checkpoint): user 99 pushes the watermark
+      // hours forward; the engine fires user 1's RESTORED timer → close
+      in.addData(StreamEvent(99, "x", 0.0, hts(240)))
+      runBatch(expected = 0)
+      in.addData(StreamEvent(99, "x", 0.0, hts(241)))
+      runBatch(expected = 1)
+      val closed = rows.synchronized(rows.filter(_._1 == 1L).toList)
+      assert(closed == List((1L, 2L, 4.0, hts(0).getTime / 1000, hts(1).getTime / 1000)),
+        s"restored timer must close user 1's session at its boundaries, got $closed")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming quantile sketch merges bucket counts across batches; estimate follows the batch rank rule") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
