@@ -15,6 +15,20 @@ case class Session(user_id: Long, n_events: Long, sum_value: Double,
 
 private case class SessionState(n: Long, sum: Double, start: Long, last: Long)
 
+/** A doc after the stateless funnel stages, carrying its dedup keys. */
+case class StagedDoc(doc_id: Long, source: String, stage0: String,
+    digest: String, sig: Seq[Long])
+
+/** A doc fanned out to an LSH band (band = −1 is the verdict row). */
+case class BandRow(doc_id: Long, source: String, stage: String,
+    band: Int, bkey: String, sig: Seq[Long])
+
+/** The full funnel's output: per-doc verdict rows (band = −1) plus
+  * `neardup` flag rows per flagged band. */
+case class FunnelRow(doc_id: Long, source: String, stage: String, band: Int)
+
+private case class BandClaim(doc_id: Long, sig: Seq[Long])
+
 /** Structured Streaming transforms over the SSE event stream — the
   * streaming-native form of the batch operators in graft.operators.Events.
   * The reference connector only forwards events; these are the stateful
@@ -1014,6 +1028,39 @@ object StreamOps {
     * universe). */
   def ingestFunnelStream(docs: DataFrame, filterWords: Seq[Long],
       bucketWeights: Seq[Double], mBits: Int = 65536): DataFrame = {
+    funnelStages(docs, filterWords, bucketWeights, mBits)
+      .select(col("doc_id"), col("source"), col("stage"),
+        col("nw"), col("n_sh"), col("n_flagged"), col("dsir_score"),
+        col("clf_band"))
+  }
+
+  /** The stateless funnel verdicts plus the two dedup keys (md5 digest,
+    * 32-hash MinHash signature) — the [[ingestFunnelFullStream]] input
+    * frame, package-visible so the parity spec can run the SAME
+    * projection in batch mode and replay the claim logic exactly. */
+  private[streaming] def funnelStagedDocs(docs: DataFrame,
+      filterWords: Seq[Long], bucketWeights: Seq[Double],
+      mBits: Int): Dataset[StagedDoc] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Kernels.{shingles3, tokens}
+    val sh = array_distinct(shingles3(tokens(col("text"))))
+    val sigExpr = when(size(sh) > 0,
+      transform(sequence(lit(0), lit(31)), k =>
+        array_min(transform(sh, s => graft.functions.Kernels.hash31(
+          concat(k.cast("string"), lit(" "), s))))))
+      .otherwise(array().cast("array<long>"))
+    funnelStages(docs, filterWords, bucketWeights, mBits)
+      .select(col("doc_id"), col("source"), col("stage").as("stage0"),
+        md5(col("text")).as("digest"), sigExpr.as("sig"))
+      .as[StagedDoc]
+  }
+
+  /** The stateless funnel verdict columns, appended WITHOUT dropping the
+    * caller's others — shared by [[ingestFunnelStream]] (which selects its
+    * published contract) and [[ingestFunnelFullStream]] (which also needs
+    * the dedup keys). */
+  private def funnelStages(docs: DataFrame, filterWords: Seq[Long],
+      bucketWeights: Seq[Double], mBits: Int): DataFrame = {
     import graft.functions.Kernels.{bloomContains, shingles3, tokens}
     val nB = bucketWeights.size
     val t = tokens(col("text"))
@@ -1042,13 +1089,74 @@ object StreamOps {
           w => (conv(substring(md5(w), 1, 8), 16, 10).cast("long")
             % graft.operators.Pipeline.ClassifierBuckets) * 2654435761L % 2048L),
         lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         when(!col("kept_q"), "quality")
           .when(col("contaminated"), "contam")
           .otherwise("kept").as("stage"),
         col("nw"), col("n_sh"), col("n_flagged"), col("dsir_score"),
         when(col("nw") > 0, expr("(10 * clf_s) div (2048 * nw)"))
           .otherwise(lit(null)).as("clf_band"))
+  }
+
+  /** The FULL ingest funnel in-flight (`ingestFunnelFullStream`) —
+    * [[ingestFunnelStream]]'s stateless stages composed with the two
+    * deliberately-downstream STATEFUL stages, so every verdict of the
+    * batch `docs_pipeline_full` contract (quality | exact | neardup |
+    * contam | kept) is adjudicated on the stream:
+    *
+    *  1. stateless funnel (quality gate, Bloom contamination probe) — one
+    *     projection, plus the md5 text digest and a 32-hash MinHash
+    *     signature computed map-side (array lambdas — no explode, no
+    *     shuffle).
+    *  2. EXACT stage: [[ExactClaimProcessor]] keyed by the digest — the
+    *     LABELING twin of [[dedupWithinWatermark]]: the first arrival
+    *     claims the digest and keeps its verdict, every later copy is
+    *     emitted labeled `exact` (dropDuplicatesWithinWatermark would
+    *     silently drop them; a funnel must account). Bounded state via
+    *     native TWS TTL, the [[TransitionProcessor]] dimension.
+    *  3. NEAR-DUP probe: each surviving doc fans out to 8 LSH bands
+    *     (4 signature hashes each); [[BandClaimProcessor]] keyed by
+    *     (band, band-hash) lets the first doc claim the bucket with its
+    *     full signature, and flags any later collider whose
+    *     signature-estimated Jaccard (matching positions / 32) ≥ 1/2 —
+    *     state per bucket is one doc_id + 32 longs, never a shingle set.
+    *
+    * Output: per-doc verdict rows (band = −1) plus `neardup` flag rows
+    * (band = k) for flagged colliders; the consumer's reduction is
+    * "any neardup row overrides the doc's verdict row" with the batch
+    * precedence quality > exact > neardup > contam > kept (the split-feed
+    * spec pins label-for-label parity against `docs_pipeline_full` on the
+    * planted-family corpus). Arrival order is canonical order — feed in
+    * doc_id order to reproduce the batch's min-id canonicals. At 100 TB/
+    * day the stateless stages ride the ingest map stage; the two keyed
+    * stages shuffle once each on model-free keys with TTL-bounded
+    * stores. */
+  def ingestFunnelFullStream(docs: DataFrame, filterWords: Seq[Long],
+      bucketWeights: Seq[Double], mBits: Int = 65536,
+      ttl: java.time.Duration = null): Dataset[FunnelRow] = {
+    import docs.sparkSession.implicits._
+    val afterExact = funnelStagedDocs(docs, filterWords, bucketWeights, mBits)
+      .groupByKey(_.digest)
+      .transformWithState(new ExactClaimProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+    afterExact
+      .flatMap { d =>
+        // verdict rows key on the doc id itself — unique per doc, so the
+        // passthrough branch never concentrates on one hot key
+        val base = BandRow(d.doc_id, d.source, d.stage0, -1,
+          d.doc_id.toString, Seq.empty)
+        if (d.stage0 == "quality" || d.stage0 == "exact" || d.sig.isEmpty)
+          Seq(base)
+        else base +: (0 until 8).map { b =>
+          val bkey = d.sig.slice(b * 4, b * 4 + 4).mkString(",")
+          BandRow(d.doc_id, d.source, d.stage0, b, bkey, d.sig)
+        }
+      }
+      .groupByKey(r => (r.band, r.bkey))
+      .transformWithState(new BandClaimProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** Streaming CUSUM change-point monitor — the in-flight twin of the batch
@@ -1355,6 +1463,78 @@ private case class LastEvent(event_type: String, us: Long)
   * twin's `hasTimedOut` branch. One timer per key: each batch deletes the
   * previously-armed instant (tracked in its own `ValueState`) before
   * re-arming, so dormant keys carry exactly one pending flush. */
+/** [[StreamOps.ingestFunnelFullStream]]'s EXACT stage: keyed by the md5
+  * text digest, the first arrival (in doc_id order within a batch — feed
+  * order across batches) claims the digest and keeps its stateless
+  * verdict; every later copy is re-labeled `exact`. The LABELING twin of
+  * [[StreamOps.dedupWithinWatermark]] — same bounded-state contract, but
+  * dropped copies are emitted with their verdict instead of vanishing
+  * (a funnel must account). Quality-failed docs pass through without
+  * claiming (the batch funnel dedups quality survivors only). State is
+  * one long per live digest, TTL-bounded (native TWS TTL — the
+  * [[TransitionProcessor]] dimension). */
+class ExactClaimProcessor(ttl: java.time.Duration = null)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StagedDoc, StagedDoc] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var claimed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    claimed = getHandle.getValueState[Long]("claimed",
+      org.apache.spark.sql.Encoders.scalaLong,
+      if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+  override def handleInputRows(digest: String, rows: Iterator[StagedDoc],
+      timers: TimerValues): Iterator[StagedDoc] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[StagedDoc]
+    rows.toSeq.sortBy(_.doc_id).foreach { d =>
+      if (d.stage0 == "quality") out += d
+      else if (!claimed.exists()) { claimed.update(d.doc_id); out += d }
+      else if (claimed.get() == d.doc_id) out += d // replay-idempotent
+      else out += d.copy(stage0 = "exact")
+    }
+    out.iterator
+  }
+}
+
+/** [[StreamOps.ingestFunnelFullStream]]'s NEAR-DUP probe: keyed by
+  * (band, band-hash), the first doc claims the bucket with its full
+  * 32-hash MinHash signature; a later collider whose signature-estimated
+  * Jaccard (matching positions / 32) ≥ 1/2 is flagged with a `neardup`
+  * row. Bucket state is one doc_id + 32 longs — never a shingle set —
+  * TTL-bounded. Verdict rows (band = −1, key unique per doc) pass
+  * through stateless. */
+class BandClaimProcessor(ttl: java.time.Duration = null)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, String), BandRow, FunnelRow] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var claim: ValueState[BandClaim] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    claim = getHandle.getValueState[BandClaim]("claim",
+      org.apache.spark.sql.Encoders.product[BandClaim],
+      if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+  override def handleInputRows(key: (Int, String), rows: Iterator[BandRow],
+      timers: TimerValues): Iterator[FunnelRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+    if (key._1 == -1)
+      rows.foreach(r => out += FunnelRow(r.doc_id, r.source, r.stage, -1))
+    else rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (!claim.exists()) claim.update(BandClaim(r.doc_id, r.sig))
+      else {
+        val c = claim.get()
+        if (c.doc_id != r.doc_id) {
+          val matches = c.sig.zip(r.sig).count { case (a, b) => a == b }
+          if (matches * 2 >= 32)
+            out += FunnelRow(r.doc_id, r.source, "neardup", key._1)
+        }
+      }
+    }
+    out.iterator
+  }
+}
+
 /** [[StreamOps.sessionizeTws]]'s typed processor: the gap session as one
   * TWS `ValueState` per user plus the [[Scd2Processor]] one-timer-per-key
   * close pattern — the timer re-arms at (⌊last-µs⌋ + gap + 1) s on every
