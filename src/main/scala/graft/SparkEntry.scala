@@ -64,6 +64,7 @@ object SparkEntry {
     "sse_route" -> ((s, d) => Events.sseRoute(s, d)),
     "sse_project" -> ((s, d) => Events.sseProject(s, d)),
     "sse_extract_field" -> ((s, d) => Events.sseExtractField(s, d)),
+    "sse_xml_extract" -> ((s, d) => Events.xmlExtract(s, d)),
     "sse_schema_infer" -> ((s, d) => Events.schemaInfer(s, d)),
     "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
     "ev_metrics" -> ((s, d) => Events.metrics(s, d)),
@@ -532,6 +533,7 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "sse_project" -> Events.sseProjectOracle,
     "sse_extract_field" -> Events.sseExtractFieldOracle,
+    "sse_xml_extract" -> Events.xmlExtractOracle,
     "ev_json_extract" ->
       """SELECT cast(regexp_extract(props,'[0-9]+') AS bigint) % 10 AS k_bucket,
         | count(*) AS n_events, round(avg(value),4) AS avg_value

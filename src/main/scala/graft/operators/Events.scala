@@ -357,6 +357,68 @@ object Events {
       | count(DISTINCT cast(regexp_extract(props,'[0-9]+') AS bigint)) AS n_keys
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  /** XML payload decode (`sse_xml_extract`) — the reference roadmap's
+    * Step-10 "content types: JSON, XML, etc." (reference
+    * IMPROVEMENT_PLAN.md:65-68; the JSON half is `sse_project` /
+    * `sse_extract_field` / `sse_schema_infer`): events re-encoded as XML
+    * envelopes (the variant-corpus convention — the corpus IS the test
+    * vector) and decoded back with Spark's NATIVE xpath expressions —
+    * element text (`/event/type`, `/event/cents`) and attributes
+    * (`/event/@id`, `/event/user/@uid`) — then rolled up per type, so a
+    * value mismatch anywhere in the encode→parse→aggregate loop fails
+    * the oracle. Cents ride the `floor(x·100 + 0.5)` integer convention
+    * (bit-exact both engines). Decode is Spark 4's NATIVE `from_xml` —
+    * ONE StaxXmlParser pass per document into a typed struct (attributes
+    * via the `_` prefix), the same ship-a-schema contract as
+    * `sse_project`'s from_json; the xpath_* route was measured 4× slower
+    * here because each of the four xpath calls re-parses the document.
+    * The decode is the pipeline's one non-codegen expression (the WHATWG-
+    * parser rule: decode operators own that cost); everything downstream
+    * is one partial agg. The DuckDB twin decodes the same constrained
+    * envelopes with anchored regexp_extract — equivalent on
+    * attribute-quoted, entity-free XML by construction. */
+  def xmlExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(concat(
+        lit("<event id=\""), col("event_id"), lit("\"><type>"),
+        col("event_type"), lit("</type><user uid=\""), col("user_id"),
+        lit("\"/><cents>"), floor(col("value") * 100 + 0.5).cast("long"),
+        lit("</cents></event>")).as("p"))
+      .select(expr(
+        "from_xml(p, '_id BIGINT, type STRING, user STRUCT<_uid: BIGINT>, cents BIGINT')")
+        .as("e"))
+      .select(
+        col("e.type").as("event_type"),
+        col("e._id").as("event_id"),
+        col("e.user._uid").as("user_id"),
+        col("e.cents").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("event_type"))
+
+  val xmlExtractOracle: String =
+    """WITH x AS (
+      |  SELECT '<event id="' || cast(event_id AS varchar) || '"><type>' ||
+      |    event_type || '</type><user uid="' || cast(user_id AS varchar) ||
+      |    '"/><cents>' || cast(cast(floor(value*100 + 0.5) AS bigint) AS varchar) ||
+      |    '</cents></event>' AS p
+      |  FROM events),
+      |d AS (
+      |  SELECT regexp_extract(p, '<type>([^<]*)</type>', 1) AS event_type,
+      |    cast(regexp_extract(p, '<event id="(\d+)"', 1) AS bigint) AS event_id,
+      |    cast(regexp_extract(p, 'uid="(\d+)"', 1) AS bigint) AS user_id,
+      |    cast(regexp_extract(p, '<cents>(-?\d+)</cents>', 1) AS bigint) AS cents
+      |  FROM x)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  cast(sum(cents) AS bigint) AS sum_cents,
+      |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-N users by purchase value (rank over aggregated totals). */
   def topNUsers(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
     Tables.events(spark, d)

@@ -184,6 +184,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ: residual subtraction and code assignment stay map-side off chained broadcasts") {
+    // the residual layout chains TWO one-row broadcasts (centroid matrix
+    // for the subtraction, codebook for the codes) — the CORPUS side must
+    // never exchange before the per-query top-k; shuffles under a
+    // BroadcastExchange are the model builds (|cells|·dims-sized), allowed
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    var joins = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case j: BroadcastNestedLoopJoinExec =>
+          joins += 1
+          val streamed = if (j.buildSide == BuildRight) j.left else j.right
+          def noShuffle(q: SparkPlan): Unit = q match {
+            case _: BroadcastExchangeExec => () // model build — don't descend
+            case s: ShuffleExchangeExec =>
+              fail(s"the corpus side of the residual coding must not shuffle: $s")
+            case other => other.children.foreach(noShuffle)
+          }
+          noShuffle(streamed)
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(Similarity.vecPqResidual(spark, Sf)))
+    assert(joins >= 2, "expected the chained centroid-matrix + codebook broadcasts")
+    val s = physical(Similarity.vecPqResidual(spark, Sf)).toString.toLowerCase
+    assert(s.contains("nearestcell"), "codes must be native NearestCell argmins")
+  }
+
   test("pq ADC search: corpus-side shuffles only at the per-query top-k; tables ride broadcasts") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val df = Similarity.pqSearchTopK(spark, Sf)
