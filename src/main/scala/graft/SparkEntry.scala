@@ -167,6 +167,7 @@ object SparkEntry {
     "vec_pq_residual" -> ((s, d) => Similarity.vecPqResidual(s, d)),
     "vec_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
     "vec_kmeans_centroids" -> ((s, d) => Similarity.kmeansCentroids(s, d)),
+    "ann_ivf_trained_recall" -> ((s, d) => Similarity.ivfTrainedRecall(s, d)),
     "ann_ivfpq_residual" -> ((s, d) => Similarity.ivfPqResidualSearchTopK(s, d)),
     "ann_ivfpq_residual_recall" -> ((s, d) => Similarity.ivfPqResidualRecall(s, d)),
     "ann_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
@@ -607,6 +608,7 @@ object SparkEntry {
     "vec_pq_residual" -> Similarity.vecPqResidualOracle,
     "vec_kmeans_train" -> Similarity.kmeansTrainOracle,
     "vec_kmeans_centroids" -> Similarity.kmeansCentroidsOracle,
+    "ann_ivf_trained_recall" -> Similarity.ivfTrainedRecallOracle,
     "ann_ivfpq_residual" -> Similarity.ivfPqResidualSearchTopKOracle,
     "ann_ivfpq_residual_recall" -> Similarity.ivfPqResidualRecallOracle,
     "ann_pq_recall" -> Similarity.pqRecallOracle,

@@ -1315,6 +1315,99 @@ object Similarity {
       .orderBy(col("step")), centsLong)
   }
 
+  /** IVF recall on the TRAINED codebook (`ann_ivf_trained_recall`) —
+    * the composition [[kmeansTrain]] exists for: assign the corpus to the
+    * 4-step Lloyd centroids ([[kmeansCentroids]]) by squared-L2 argmin
+    * (the training metric), answer queries inside their own cell, and
+    * measure recall@k against exact squared-L2 truth — read next to
+    * `ann_ivf_recall` (seed centroids) to price what training buys the
+    * coarse quantizer. Same shapes as every IVF row: the trained matrix
+    * is a one-row broadcast, assignment is a codegen'd map-side argmin,
+    * the corpus shuffles only at the per-query top-k; the truth side
+    * follows the family's `truthSample` contract. */
+  def ivfTrainedRecall(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, truthSample: Int = 1): DataFrame = {
+    val cm = kmeansChain(spark, d, nCells, KmeansTrainSteps)._2
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("cell"), transform(col("dc"), x => x.getField("c")).as("carr"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cell"), col("carr")))).as("cc"))
+      .select(transform(col("cc"), x => x.getField("carr")).as("cents"))
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val assigned = v.join(broadcast(cm))
+      .withColumn("cell", nearestCellL2(col("e"), col("cents")))
+      .select(col("vec_id"), col("e"), col("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("cell").as("qcell"))
+    val approx = corpusSample(assigned, nQueries, truthSample)
+      .join(broadcast(q), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val truth = corpusSample(v, nQueries, truthSample)
+      .join(broadcast(q.select(col("query_id"), col("qe"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val ivfTrainedRecallOracle: String =
+    s"""WITH ${kmeansChainSqlPrefix(KmeansTrainSteps)},
+       |dt AS (
+       |  SELECT comp.vec_id, c.cell,
+       |    round(sum((comp.x - c.c) * (comp.x - c.c)), 6) AS d2
+       |  FROM comp JOIN cents$KmeansTrainSteps c ON c.dim = comp.dim
+       |  GROUP BY 1, 2),
+       |at AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM dt) WHERE r = 1),
+       |m AS (SELECT v.vec_id, v.e, at.cell
+       |  FROM v JOIN at ON at.vec_id = v.vec_id),
+       |q AS (SELECT vec_id AS query_id, e AS qe, cell AS qcell
+       |  FROM m WHERE vec_id < 10),
+       |s AS (
+       |  SELECT query_id, m.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(m.e, m.e)
+       |      - 2 * list_dot_product(qe, m.e), 4) AS d2
+       |  FROM q JOIN m ON q.qcell = m.cell AND m.vec_id != query_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2, neighbor_id) AS rank FROM s) WHERE rank <= 5),
+       |ts AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(v.e, v.e)
+       |      - 2 * list_dot_product(qe, v.e), 4) AS d2
+       |  FROM q, v WHERE v.vec_id != query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2, neighbor_id) AS rank FROM ts) WHERE rank <= 5)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def kmeansChainSqlPrefix(steps: Int): String = {
     val perStep = (1 to steps).map { k =>
       s"""dists$k AS (
