@@ -235,6 +235,26 @@ class Round12Spec extends SparkSpec {
     assert(trained > 0L, "trained quantizer must land some true neighbors")
   }
 
+  test("clusterLabels cache: rewriting the dataset under the dir invalidates the pin") {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Path}
+    val tmp = Files.createTempDirectory("lblfp")
+    val src = Path.of(Sf, "documents.parquet") // a single parquet FILE here
+    val dst = tmp.resolve("documents.parquet")
+    Files.copy(src, dst)
+    Dedup.clearLabelCache()
+    val a = Dedup.clusterLabels(spark, tmp.toString)
+    assert(Dedup.clusterLabels(spark, tmp.toString) eq a, "hit on unchanged data")
+    // a rewrite shows up as new file mtimes — the fingerprint must evict
+    // the stale frame instead of serving it
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis + 60000))
+    val c = Dedup.clusterLabels(spark, tmp.toString)
+    assert(!(c eq a), "stale labels must not be served after a rewrite")
+    assert(Dedup.clusterLabels(spark, tmp.toString) eq c, "new pin caches")
+    Dedup.clearLabelCache()
+  }
+
   test("knn_join: the cap's drop accounting rides the plan as observed metrics") {
     import scala.collection.mutable
     val seen = mutable.Map.empty[String, Long]
