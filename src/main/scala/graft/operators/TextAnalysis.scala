@@ -2502,6 +2502,266 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Number of unrolled merge steps in [[wordpieceTrain]]. */
+  val WordPieceSteps = 5
+
+  /** WordPiece-style tokenizer training (`text_wordpiece_train`) — the
+    * THIRD trainer family beside BPE ([[bpeTrain]]) and unigram-LM
+    * ([[unigramEm]]): merge-based like BPE but each round picks the pair
+    * maximizing the LIKELIHOOD gain score count(ab) / (count(a)·count(b))
+    * (Schuster & Nakajima 2012; the criterion BERT's tokenizer trains
+    * under), not the raw pair count. Scores are compared in the repo's
+    * exact-integer convention: milli-ln quantized per TERM before the
+    * subtraction — `lnq(count_ab) − lnq(count_a) − lnq(count_b)` — so the
+    * argmax is a bigint comparison identical on both engines; ties break
+    * on pair string order. The merge application reuses [[bpeTrain]]'s
+    * double-space replace encoding (SQL replace's left-to-right
+    * non-overlapping scan IS the greedy pass).
+    *
+    * 100 TB shape: identical to [[bpeTrain]] — ONE corpus pass reduces to
+    * the (word, freq) vocabulary; each round is a vocab-bounded pair count
+    * + a symbol count (model-sized, broadcast into the scoring join) + a
+    * one-row argmax broadcast back onto the vocab. The corpus is never
+    * re-scanned. Emits per step: the chosen pair, its adjacency count, and
+    * the milli-ln likelihood score. */
+  def wordpieceTrain(spark: SparkSession, d: String,
+      steps: Int = WordPieceSteps): DataFrame =
+    wordpieceTrainOver(Tables.documents(spark, d).select(col("text")), steps)
+
+  /** [[wordpieceTrain]] over an explicit docs frame (spec hook). */
+  def wordpieceTrainOver(docs: DataFrame, steps: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val (bests, _) = wordpieceMerges(words, steps)
+    bests.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
+  /** The WordPiece merge loop shared by [[wordpieceTrain]] and
+    * [[wordpieceApply]]: returns (per-step best frames, final vocab).
+    * Training words are the len≥2 vocabulary — single-char words carry no
+    * pair, and (unlike BPE, where they are score-inert) WordPiece's
+    * denominator counts symbols, so the trainer pins its corpus contract
+    * explicitly: both the pair AND symbol statistics come from the len≥2
+    * vocabulary, mirrored in the oracle. */
+  private def wordpieceMerges(words: DataFrame,
+      steps: Int): (List[DataFrame], DataFrame) = {
+    // localCheckpoint per round (the text_bpe_curve discipline): unlike
+    // BPE's 2-reference rounds (where in-plan exchange reuse holds the
+    // chain flat), WordPiece reads each round's vocab THREE times (pair
+    // stats, symbol stats, next vocab) — unpinned, the 5-round lineage
+    // re-executes ~3^5× (measured 50 s at sf0.001; pinned: ~2 s)
+    var vocab = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("freq")).localCheckpoint()
+    var bests = List.empty[DataFrame]
+    for (k <- 1 to steps) {
+      val lists = vocab.select(col("freq"), split(trim(col("s")), "  ").as("l"))
+      val pairStats = lists
+        .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
+        .select(col("freq"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(col("freq"),
+          concat(element_at(col("l"), col("i")), lit(" "),
+            element_at(col("l"), col("i") + 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      // symbol counts over ALL positions (fully-merged 1-symbol words
+      // still contribute) — the likelihood denominator
+      val symStats = lists
+        .select(col("freq"), explode(col("l")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      val scored = pairStats
+        .withColumn("a", expr("split_part(pair, ' ', 1)"))
+        .withColumn("b", expr("split_part(pair, ' ', 2)"))
+        .join(broadcast(symStats.select(col("sym").as("a"), col("cnt").as("ca"))), "a")
+        .join(broadcast(symStats.select(col("sym").as("b"), col("cnt").as("cb"))), "b")
+        .select(col("pair"), col("pair_count"),
+          (lnqU(col("pair_count")) - lnqU(col("ca")) - lnqU(col("cb")))
+            .as("score_milli"))
+      val best = scored.orderBy(col("score_milli").desc, col("pair")).limit(1)
+        .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"),
+          col("score_milli"))
+        .localCheckpoint() // one row; feeds both the emit union and the merge
+      bests :+= best
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(expr(
+          """replace(s,
+            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
+            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
+            .stripMargin).as("s"),
+          col("freq")).localCheckpoint()
+    }
+    (bests, vocab)
+  }
+
+  /** One step of the WordPiece train oracle CTE chain (pair counts, symbol
+    * counts, milli-ln likelihood scoring, argmax, merge). MATERIALIZED
+    * throughout — each round references the previous round's vocab three
+    * times, which would inline exponentially otherwise. */
+  private def wordpieceStepSql(k: Int): String = {
+    val lnq = (x: String) =>
+      s"cast(floor(ln(cast($x AS double)) * 1000 + 0.5) AS bigint)"
+    s"""pair$k AS MATERIALIZED (
+       |  SELECT l[i] || ' ' || l[i+1] AS pair,
+       |    cast(sum(freq) AS bigint) AS pair_count
+       |  FROM (SELECT l, freq, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM (SELECT string_split(trim(s), '  ') AS l, freq
+       |              FROM vocab${k - 1})
+       |        WHERE len(l) >= 2)
+       |  GROUP BY 1),
+       |sym$k AS MATERIALIZED (
+       |  SELECT sym, cast(sum(freq) AS bigint) AS cnt
+       |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS sym, freq
+       |        FROM vocab${k - 1})
+       |  GROUP BY 1),
+       |best$k AS MATERIALIZED (
+       |  SELECT cast($k AS bigint) AS step, p.pair, p.pair_count,
+       |    ${lnq("p.pair_count")} - ${lnq("a.cnt")} - ${lnq("b.cnt")}
+       |      AS score_milli
+       |  FROM pair$k p
+       |  JOIN sym$k a ON a.sym = split_part(p.pair, ' ', 1)
+       |  JOIN sym$k b ON b.sym = split_part(p.pair, ' ', 2)
+       |  ORDER BY score_milli DESC, p.pair LIMIT 1),
+       |vocab$k AS MATERIALIZED (
+       |  SELECT replace(s,
+       |    ' ' || split_part(pair, ' ', 1) || '  ' ||
+       |      split_part(pair, ' ', 2) || ' ',
+       |    ' ' || split_part(pair, ' ', 1) ||
+       |      split_part(pair, ' ', 2) || ' ') AS s, freq
+       |  FROM vocab${k - 1}, best$k)""".stripMargin
+  }
+
+  val wordpieceTrainOracle: String = {
+    val steps = (1 to WordPieceSteps).map(wordpieceStepSql).mkString(",\n")
+    val union = (1 to WordPieceSteps)
+      .map(k => s"SELECT * FROM best$k").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps
+       |$union ORDER BY step""".stripMargin
+  }
+
+  /** WordPiece tokenizer application (`text_wordpiece_apply`) — greedy
+    * LONGEST-MATCH-FIRST segmentation (MaxMatch — the actual WordPiece
+    * INFERENCE algorithm, which unlike BPE's merge replay consults only
+    * the trained vocabulary): at each position take the longest vocabulary
+    * piece that matches, else consume one character. The trained
+    * vocabulary is the corpus alphabet plus the [[WordPieceSteps]] merge
+    * products (max product length [[WordPieceSteps]]+1), so the matcher
+    * tries lengths 6→2 against the one-row merge-product map and falls
+    * through to the single-char consume — single chars match-or-fallback
+    * identically, so only multi-char products need shipping.
+    *
+    * The per-word pass is one `aggregate` fold with a 2-register state
+    * (next unconsumed position, pieces so far): pure fixed-width codegen,
+    * the [[unigramApply]] discipline. Near a word's end `substr(w,i,6)`
+    * truncates to the remainder — the truncated candidate IS the longest
+    * possible match there, so truncation preserves MaxMatch semantics on
+    * both engines (DuckDB substr truncates identically; the oracle's
+    * recursion takes the same CASE 6→2 walk).
+    *
+    * 100 TB shape: corpus scanned once to (source, word) counts; the
+    * matcher runs per DISTINCT word against a broadcast one-row piece map;
+    * per-source numbers come from the count join-back — all vocab-bounded
+    * after the first pass. Output is the same per-source compression table
+    * as [[bpeApply]] / [[unigramApply]] — the third column of the
+    * tokenizer bake-off. */
+  def wordpieceApply(spark: SparkSession, d: String,
+      steps: Int = WordPieceSteps): DataFrame =
+    wordpieceApplyOver(
+      Tables.documents(spark, d).select(col("source"), col("text")), steps)
+
+  /** [[wordpieceApply]] over an explicit (source, text) frame (spec hook). */
+  def wordpieceApplyOver(docs: DataFrame, steps: Int = WordPieceSteps): DataFrame = {
+    val srcCounts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+    val (bests, _) = wordpieceMerges(words.filter(length(col("w")) >= 2), steps)
+    // merge-product map (≤ steps rows, each the fused pair): the shipped
+    // model, one row after the collect_list aggregate — broadcast like
+    // every codebook in the library
+    val mp = bests.reduce(_ unionAll _)
+      .select(expr("replace(pair, ' ', '')").as("p")).distinct()
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("p"), lit(1)))).as("mp"))
+    val maxLen = steps + 1
+    val perWord = words
+      .crossJoin(broadcast(mp))
+      .withColumn("n_pieces", aggregate(
+        sequence(lit(1), length(col("w"))),
+        struct(lit(1).as("pos"), lit(0L).as("cnt")),
+        (st, i) => {
+          val mlen = (maxLen to 2 by -1).foldRight(lit(1)) { (l, fallback) =>
+            when(element_at(col("mp"),
+              col("w").substr(i, lit(l))).isNotNull, l).otherwise(fallback)
+          }
+          when(i < st.getField("pos"), st).otherwise(
+            struct((i + mlen).as("pos"), (st.getField("cnt") + 1L).as("cnt")))
+        },
+        st => st.getField("cnt")))
+      .select(col("w"), col("n_pieces"))
+    srcCounts.join(perWord, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(length(col("w")).cast("long") * col("freq")).as("chars"),
+        sum(col("n_pieces") * col("freq")).as("pieces_after"))
+      .select(col("source"), col("n_tokens"), col("chars"), col("pieces_after"),
+        expr("pieces_after * 10000 div chars").as("compression_bp"))
+      .orderBy(col("source"))
+  }
+
+  val wordpieceApplyOracle: String = {
+    val steps = (1 to WordPieceSteps).map(wordpieceStepSql).mkString(",\n")
+    val union = (1 to WordPieceSteps)
+      .map(k => s"SELECT pair FROM best$k").mkString(" UNION ALL ")
+    val cases = (WordPieceSteps + 1 to 2 by -1)
+      .map(l => s"WHEN m$l.p IS NOT NULL THEN $l").mkString(" ")
+    val joins = (WordPieceSteps + 1 to 2 by -1)
+      .map(l => s"LEFT JOIN mp m$l ON m$l.p = substr(g.w, g.pos, $l)")
+      .mkString("\n        ")
+    s"""WITH RECURSIVE src AS MATERIALIZED (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1, 2),
+       |awords AS MATERIALIZED (SELECT w, sum(freq) AS freq FROM src GROUP BY 1),
+       |words AS (SELECT w, freq FROM awords WHERE length(w) >= 2),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps,
+       |mp AS MATERIALIZED (
+       |  SELECT DISTINCT replace(pair, ' ', '') AS p FROM ($union)),
+       |seg AS (
+       |  SELECT w, 1 AS pos, cast(0 AS bigint) AS cnt FROM awords
+       |  UNION ALL
+       |  SELECT w, pos + mlen, cnt + 1
+       |  FROM (
+       |    SELECT g.w, g.pos, g.cnt,
+       |      CASE $cases ELSE 1 END AS mlen
+       |    FROM seg g
+       |        $joins
+       |    WHERE g.pos <= len(g.w)) s),
+       |perw AS (SELECT w, max(cnt) AS n_pieces FROM seg GROUP BY 1)
+       |SELECT s.source, cast(sum(s.freq) AS bigint) AS n_tokens,
+       |  cast(sum(length(s.w) * s.freq) AS bigint) AS chars,
+       |  cast(sum(p.n_pieces * s.freq) AS bigint) AS pieces_after,
+       |  cast(sum(p.n_pieces * s.freq) * 10000 // sum(length(s.w) * s.freq)
+       |    AS bigint) AS compression_bp
+       |FROM src s JOIN perw p ON p.w = s.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val zipfSlopeOracle: String =
     s"""WITH vocab AS (
        |  SELECT source, t AS w, count(*) AS c
