@@ -818,6 +818,91 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the other
+    * canonical scalable CC algorithm, implemented beside the BSP
+    * min-label-propagation loop ([[connectedComponentsOfEdges]]) as an
+    * algorithmic cross-check the oracle can adjudicate: labels are a pure
+    * function of the edge set, so both algorithms must emit identical
+    * component-minimum labels.
+    *
+    * Each round is two edge transforms over the canonical (doc_a > doc_b)
+    * edge list:
+    *   - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+    *     re-points each STRICTLY LARGER neighbor at m — one symmetric
+    *     explode, one min-aggregate, one join, all shuffle-bounded by
+    *     \|edges\|;
+    *   - small-star: every node u re-points its smaller-or-equal
+    *     neighborhood (exactly the canonical orientation) plus itself at
+    *     the neighborhood minimum.
+    * Kiveris et al. prove the alternation converges in O(log² n) rounds
+    * (O(log n) in practice) with the edge set monotonically contracting
+    * toward per-component min-rooted stars — no per-vertex label state at
+    * all, which is the property that made it THE MapReduce CC: state lives
+    * in the (shrinking) edge list itself. Fixpoint is detected by set
+    * equality of consecutive edge lists (two anti-joins over the just-
+    * checkpointed frames); like [[componentsLoop]], non-convergence throws
+    * rather than silently mislabeling. Lineage is truncated per round with
+    * localCheckpoint.
+    *
+    * Returns the same edge-endpoint (doc_id, label) frame as
+    * [[connectedComponentsOfEdges]]: non-roots read their root off their
+    * single star edge, roots label themselves, isolated vertices are
+    * absent. */
+  def starComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    var e = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_a"),
+        least(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct().localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val sym = e.unionAll(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val mins = sym.groupBy(col("doc_a")).agg(min(col("doc_b")).as("mn"))
+        .select(col("doc_a").as("u"),
+          least(col("mn"), col("doc_a")).as("m"))
+      // large-star: (v, m(u)) for each v ∈ Γ(u), v > u — m ≤ u < v keeps
+      // the canonical orientation for free
+      val ls = sym.join(mins, sym("doc_a") === mins("u"))
+        .filter(col("doc_b") > sym("doc_a"))
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .distinct()
+      // small-star over the canonical (already-oriented) edges: per u the
+      // smaller-neighborhood minimum adopts every neighbor and u itself
+      val minsS = ls.groupBy(col("doc_a")).agg(min(col("doc_b")).as("m"))
+      val ss = ls.join(minsS, Seq("doc_a"))
+        .filter(col("doc_b") =!= col("m"))
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .unionAll(minsS.select(col("doc_a"), col("m").as("doc_b")))
+        .distinct().localCheckpoint()
+      converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e = ss
+      iter += 1
+    }
+    require(converged, s"starComponents did not converge in $maxIter rounds")
+    val nonRoots = e.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("label"))
+    val roots = e.select(col("doc_b").as("doc_id")).distinct()
+      .join(nonRoots.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    nonRoots.unionAll(roots)
+  }
+
+  /** Near-dup clusters via star contraction (`dedup_cc_star`) — the same
+    * MinHash-confirmed pair graph as [[clusters]], labeled by
+    * [[starComponents]] instead of BSP label propagation, aggregated to
+    * the identical cluster table. The oracle is literally
+    * [[clustersOracle]]: component labels are algorithm-independent, so a
+    * DuckDB recursive traversal adjudicates BOTH implementations — this
+    * row is the live proof the two scale algorithms agree on real data. */
+  def clustersStar(spark: SparkSession, d: String, maxIter: Int = 20): DataFrame =
+    starComponents(minhashLsh(spark, d).select(col("doc_a"), col("doc_b")), maxIter)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("cluster_id"))
+
   /** APPLY the near-dup decision: per language, how many docs survive when
     * each cluster keeps only its canonical (minimum-id) member. The kept
     * corpus is `doc_id == label`; everything else drops. This is the

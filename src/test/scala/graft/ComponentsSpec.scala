@@ -36,4 +36,44 @@ class ComponentsSpec extends SparkSpec {
       Dedup.connectedComponents(pairs, vertices, maxIter = 2)
     }
   }
+
+  test("star contraction: a 60-node path collapses to label 0") {
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.starComponents(pairs, maxIter = 12)
+      .select(col("label")).distinct().collect().map(_.getLong(0))
+    assert(labels.toSeq == Seq(0L))
+  }
+
+  test("star contraction agrees with BSP propagation on random graphs") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val n = 20 + rnd.nextInt(60)
+      val m = n / 2 + rnd.nextInt(n)
+      // random ids (not 0..n) so min-labels are non-trivial; random edges,
+      // self-loops included to exercise the filter
+      val ids = Seq.fill(n)(rnd.nextLong(100000L)).distinct
+      val edges = Seq.fill(m)(
+        (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val bsp = Dedup.connectedComponentsOfEdges(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.starComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // self-loop-only vertices: BSP keeps them (edge endpoint), star
+      // drops them pre-canonicalization — both label them as themselves,
+      // so compare on the union with self-label default
+      val verts = bsp.keySet ++ star.keySet
+      for (v <- verts)
+        assert(bsp.getOrElse(v, v) == star.getOrElse(v, v),
+          s"trial $trial vertex $v: bsp=${bsp.get(v)} star=${star.get(v)}")
+    }
+  }
+
+  test("star contraction: reversed and duplicated edges canonicalize") {
+    val pairs = Seq((5L, 2L), (2L, 5L), (5L, 2L), (9L, 9L), (7L, 5L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.starComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 5L -> 2L, 7L -> 2L))
+  }
 }
