@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_embedding_bucket_stats" -> ((s, d) => Dedup.embeddingBucketStats(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_cc_star" -> ((s, d) => Dedup.clustersStar(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
     "docs_softdedup_neardup" -> ((s, d) => Dedup.softDedupNearDup(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(s, d)),
@@ -185,6 +186,9 @@ object SparkEntry {
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "vec_rp" -> ((s, d) => Similarity.vecRp(s, d)),
+    "vec_rp_distortion" -> ((s, d) => Similarity.vecRpDistortion(s, d)),
+    "ann_rp_recall" -> ((s, d) => Similarity.annRpRecall(s, d)),
     "ev_windowed_topk" -> ((s, d) => Events.windowedTopK(s, d)),
     // §2.7 corpus-pipeline operators
     "docs_sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
@@ -201,6 +205,8 @@ object SparkEntry {
     "text_bpe_step" -> ((s, d) => TextAnalysis.bpeStep(s, d)),
     "text_bpe_train" -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "text_wordpiece_train" -> ((s, d) => TextAnalysis.wordpieceTrain(s, d)),
+    "text_wordpiece_apply" -> ((s, d) => TextAnalysis.wordpieceApply(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
@@ -652,6 +658,9 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingCosineOracle,
     "dedup_embedding_bucket_stats" -> Dedup.embeddingBucketStatsOracle,
     "dedup_clusters" -> Dedup.clustersOracle,
+    // labels are a pure function of the edge set: the recursive-traversal
+    // oracle adjudicates BOTH the BSP and the star-contraction algorithm
+    "dedup_cc_star" -> Dedup.clustersOracle,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracle,
     "docs_softdedup_neardup" -> Dedup.softDedupNearDupOracle,
     "dedup_winnow_pairs" -> Dedup.winnowPairsOracle,
@@ -676,6 +685,9 @@ object SparkEntry {
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,
+    "vec_rp" -> Similarity.vecRpOracle,
+    "vec_rp_distortion" -> Similarity.vecRpDistortionOracle,
+    "ann_rp_recall" -> Similarity.annRpRecallOracle,
     "ev_windowed_topk" -> Events.windowedTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,
     "knn_bucket_stats" -> Similarity.knnBucketStatsOracle,
@@ -699,6 +711,8 @@ object SparkEntry {
     "text_bpe_step" -> TextAnalysis.bpeStepOracle,
     "text_bpe_train" -> TextAnalysis.bpeTrainOracle,
     "text_bpe_apply" -> TextAnalysis.bpeApplyOracle,
+    "text_wordpiece_train" -> TextAnalysis.wordpieceTrainOracle,
+    "text_wordpiece_apply" -> TextAnalysis.wordpieceApplyOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,

