@@ -571,6 +571,25 @@ object StreamOps {
       }
   }
 
+  /** [[heavyHitters]] on Spark 4's `transformWithState` — the Misra–Gries
+    * sketch with its counters in a TWS `MapState[user → count]` instead of
+    * one opaque fMGWS value: RocksDB persists each tracked user as its own
+    * store entry, so the common batch (all arrivals already tracked or
+    * budget free) writes only the touched entries; only the rare
+    * budget-full DECREMENT step touches all ≤ k entries — and k is the
+    * sketch geometry, so even that is O(k), never O(stream keys). The
+    * stream count n rides a separate `ValueState`. Same per-batch
+    * (true-µs, user) arrival order and [[mgUpdate]] fold as the fMGWS
+    * form; the parity spec pins both profiles equal across a mid-stream
+    * split on RocksDB. */
+  def heavyHittersTws(events: Dataset[StreamEvent], k: Int = 8): Dataset[HeavyHittersProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** One Misra–Gries counter update — the whole algorithm, exposed so a
     * property suite can fold it over arbitrary streams and check the
     * guarantees (every item with count > n/(k+1) tracked; counters are
@@ -1207,6 +1226,21 @@ object StreamOps {
       }
   }
 
+  /** [[cusumStream]] on Spark 4's `transformWithState` — the CUSUM
+    * change-point monitor's 7-long state tuple in a typed `ValueState`,
+    * same hour-close fold and first-hour tie rule as the fMGWS form
+    * (re-implemented, parity-spec-pinned across a mid-stream split on
+    * RocksDB including an hour spanning the boundary). The modern-API
+    * migration row for the drift family. */
+  def cusumStreamTws(events: Dataset[StreamEvent],
+      refMeans: Map[String, Long]): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(refMeans),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Native bounded-state streaming dedup — Spark's
     * `dropDuplicatesWithinWatermark`: duplicates of an event id arriving
     * within the watermark delay are dropped, and state for ids older than
@@ -1825,6 +1859,88 @@ class FunnelProcessor(steps: Seq[String], ttlMs: Long)
       expired: ExpiredTimerInfo): Iterator[Conversion] = {
     times.clear(); done.clear(); armedAt.clear()
     Iterator.empty
+  }
+}
+
+/** [[StreamOps.heavyHittersTws]]'s typed processor: the Misra–Gries
+  * counters in a `MapState[user → count]` (one RocksDB entry per tracked
+  * user — the budget-full decrement is the only whole-map touch, bounded
+  * by the sketch's k, never the stream's key cardinality) and the stream
+  * length in a `ValueState`. Same per-batch (true-µs, user) arrival order
+  * and [[StreamOps.mgUpdate]] fold as the fMGWS twin. */
+class HeavyHittersProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, HeavyHittersProfile] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues, ValueState}
+  @transient private var n: ValueState[Long] = _
+  @transient private var counters: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    counters = getHandle.getMapState[Long, Long]("counters",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[HeavyHittersProfile] = {
+    val before = counters.iterator().map { case (u, c) => u -> c }.toMap
+    var m = before
+    var nn = if (n.exists()) n.get() else 0L
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), e.user_id)).foreach { e =>
+      nn += 1
+      m = StreamOps.mgUpdate(m, k, e.user_id)
+    }
+    // write-back is diff-only: untouched counters cost no store write
+    (before.keySet -- m.keySet).foreach(counters.removeKey)
+    m.foreach { case (u, c) =>
+      if (!before.get(u).contains(c)) counters.updateValue(u, c) }
+    n.update(nn)
+    val sorted = m.toSeq.sortBy { case (u, c) => (-c, u) }
+    Iterator.single(HeavyHittersProfile(typ, nn, sorted.map(_._1), sorted.map(_._2)))
+  }
+}
+
+/** [[StreamOps.cusumStreamTws]]'s typed processor: the CUSUM monitor's
+  * O(1) 7-long state tuple in a `ValueState`, with the fMGWS twin's exact
+  * hour-close fold (prefix sum − running min = drift; first closed hour
+  * claims the all-zero tie via maxDrift = −1). */
+class CusumProcessor(refMeans: Map[String, Long])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, CusumPoint] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[CusumState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[CusumState]("cusum",
+      Encoders.product[CusumState], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[CusumPoint] = {
+    val ref = refMeans.getOrElse(typ, 0L)
+    var s = if (st.exists()) st.get() else null
+    def closeHour(): Unit = {
+      val p = s.p + s.cnt - ref
+      val runmin = math.min(s.runmin, p)
+      val drift = p - runmin
+      val (md, dh) =
+        if (drift > s.maxDrift) (drift, s.openHour)
+        else (s.maxDrift, s.driftHour)
+      s = CusumState(s.openHour, 0L, p, runmin, md, dh, s.nClosed + 1)
+    }
+    rows.toSeq.sortBy(e => StreamOps.usOf(e.ts)).foreach { e =>
+      val h = e.ts.getTime / 3600000L
+      s match {
+        case null => s = CusumState(h, 1L, 0L, Long.MaxValue, -1L, -1L, 0L)
+        case stv if h == stv.openHour => s = stv.copy(cnt = stv.cnt + 1)
+        case _ =>
+          closeHour()
+          s = s.copy(openHour = h, cnt = 1L)
+      }
+    }
+    st.update(s)
+    Iterator.single(CusumPoint(typ, s.nClosed, s.maxDrift, s.driftHour))
   }
 }
 

@@ -2207,4 +2207,83 @@ class StreamOpsSpec extends SparkSpec {
         case None => spark.conf.unset(key) }
     }
   }
+
+  test("TWS heavy hitters: profile matches the fMGWS twin bit-for-bit on RocksDB") {
+    // bit-level MG state depends only on the per-batch fold order, which
+    // both forms fix to (true-µs, user) — identical split feeds must give
+    // identical profiles, not just identical guarantees
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+    val (b1, b2) = evRows.splitAt(evRows.size / 2)
+    def run(name: String, f: org.apache.spark.sql.Dataset[StreamEvent] =>
+        org.apache.spark.sql.Dataset[HeavyHittersProfile]): Map[String, (Long, Seq[Long], Seq[Long])] = {
+      val in = MemoryStream[StreamEvent]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        spark.sql(s"SELECT event_type, n_events, users, count_lower_bounds FROM $name")
+          .collect().groupBy(_.getString(0))
+          .map { case (t, rs) =>
+            val r = rs.maxBy(_.getLong(1))
+            t -> (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))
+          }
+      } finally q.stop()
+    }
+    try {
+      val legacy = run("hhleg", ds => StreamOps.heavyHitters(ds))
+      val tws = run("hhtws", ds => StreamOps.heavyHittersTws(ds))
+      assert(tws.nonEmpty && tws == legacy,
+        s"hh TWS/fMGWS divergence: $tws vs $legacy")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("TWS CUSUM: final verdict matches the fMGWS twin and batch ev_changepoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batchRows = graft.operators.Events.changepoint(spark, Sf).collect()
+    val refs = batchRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val batch = batchRows
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq
+      .sortBy(_.ts.getTime)
+    // split INSIDE the stream so an open hour spans the batch boundary
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[StreamEvent]
+    val q = StreamOps.cusumStreamTws(in.toDS(), refs)
+      .writeStream.format("memory").queryName("cusumtws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, n_hours, max_drift, drift_hour FROM cusumtws")
+        .collect().groupBy(_.getString(0))
+        .map { case (t, rows) => t -> {
+          val r = rows.maxBy(_.getLong(1))
+          (r.getLong(1), r.getLong(2), r.getLong(3))
+        } }
+      assert(streamed == batch,
+        s"CUSUM TWS/batch divergence: $streamed vs $batch")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
