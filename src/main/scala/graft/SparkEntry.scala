@@ -39,6 +39,7 @@ object SparkEntry {
     "q_running_totals" -> ((s, d) => Tpch.qRunningTotals(s, d)),
     "q_rollup_revenue" -> ((s, d) => Tpch.qRollupRevenue(s, d)),
     "q_cube_revenue" -> ((s, d) => Tpch.qCubeRevenue(s, d)),
+    "q_grouping_sets" -> ((s, d) => Tpch.qGroupingSets(s, d)),
     "q_spend_deciles" -> ((s, d) => Tpch.qSpendDeciles(s, d)),
     "q_zorder_layout" -> ((s, d) => Bucketing.zorderLayout(s, d)),
     "q_incremental_agg" -> ((s, d) => Tpch.qIncrementalAgg(s, d)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "q_running_totals" -> Tpch.qRunningTotalsOracle,
     "q_rollup_revenue" -> Tpch.qRollupRevenueOracle,
     "q_cube_revenue" -> Tpch.qCubeRevenueOracle,
+    "q_grouping_sets" -> Tpch.qGroupingSetsOracle,
     "q_spend_deciles" -> Tpch.qSpendDecilesOracle,
     "q_zorder_layout" -> Bucketing.zorderLayoutOracle,
     "q_incremental_agg" -> Tpch.qIncrementalAggOracle,

@@ -620,6 +620,45 @@ object Tpch {
       |GROUP BY CUBE(c_mktsegment, year(o_orderdate))
       |ORDER BY segment, o_year, lvl""".stripMargin
 
+  /** Explicit GROUPING SETS report (`q_grouping_sets`) — the general form
+    * behind `q_rollup_revenue`/`q_cube_revenue`: exactly the three
+    * groupings a dashboard wants — (segment, year), (segment), (year) —
+    * and NOT the grand total or any other lattice point a cube would also
+    * pay for. One scan: Catalyst plans the sets as a single Expand (each
+    * input row multiplied by \|sets\| with per-set null masks) feeding one
+    * hash aggregate with map-side partial combine — at 100 TB that is 3
+    * report levels for one shuffle instead of three scans-plus-unions,
+    * and the Expand factor is the set count, not the group cardinality. */
+  def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_year")),
+          Seq(col("c_mktsegment")), Seq(col("o_year"))),
+        col("c_mktsegment"), col("o_year"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        col("lvl"), col("revenue_cents"), col("n_orders"))
+      .orderBy(col("segment"), col("o_year"), col("lvl"))
+  }
+
+  val qGroupingSetsOracle: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |  coalesce(cast(year(o_orderdate) AS int), -1) AS o_year,
+      |  cast(grouping(c_mktsegment, year(o_orderdate)) AS int) AS lvl,
+      |  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS revenue_cents,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)),
+      |  (c_mktsegment), (year(o_orderdate)))
+      |ORDER BY segment, o_year, lvl""".stripMargin
+
   /** Customer-spend decile report (ntile semantics) WITHOUT the
     * single-reducer global window ntile needs: the exact global rank is
     * assembled distributedly — range-repartition on the sort key, per-
