@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
       "query vectors must broadcast — the scan side must not shuffle")
   }
 
+  test("vec_rp pushes the vec_id bound into the parquet scan (projection is O(nVecs))") {
+    val s = fmt(Similarity.vecRp(spark, Sf))
+    assert(s.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"),
+      s"vec_id < 50 must reach the scan, not filter after projecting:\n$s")
+  }
+
+  test("rp top-k broadcasts the projected query side like every ANN scan") {
+    val s = fmt(Similarity.rpTopK(spark, Sf))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "projected query vectors must broadcast — the corpus side must not shuffle")
+  }
+
   test("no SparkEntry query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val s = physical(fn(spark, Sf)).toString

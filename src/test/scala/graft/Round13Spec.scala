@@ -78,6 +78,72 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala mirror of the WordPiece trainer: milli-ln likelihood
+    * scoring over len≥2 words, (score desc, pair asc) tie rule, greedy
+    * left-to-right non-overlapping merge — emits until pairs run dry
+    * (mirroring the Spark loop, whose empty argmax frame ends the run). */
+  private def refWordpieceTrain(corpus: Seq[String],
+      steps: Int): Seq[(Long, String, Long, Long)] = {
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    def mergeLs(ls: List[String], a: String, b: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < ls.length) {
+        if (i + 1 < ls.length && ls(i) == a && ls(i + 1) == b) { buf += a + b; i += 2 }
+        else { buf += ls(i); i += 1 }
+      }
+      buf.toList
+    }
+    var vocab: Map[List[String], Long] = corpus.flatMap(_.split(" "))
+      .filter(_.length >= 2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, f) => w.split("").toList -> f }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, Long, Long)]
+    var k = 1
+    var dry = false
+    while (k <= steps && !dry) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (ls, f) =>
+        ls.foreach(s => syms(s) = syms.getOrElse(s, 0L) + f)
+        ls.zip(ls.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      if (pairs.isEmpty) dry = true
+      else {
+        val scored = pairs.toSeq.map { case ((a, b), pc) =>
+          (s"$a $b", pc, lnq(pc) - lnq(syms(a)) - lnq(syms(b))) }
+        val (bp, bc, bs) = scored.minBy { case (p, _, s) => (-s, p) }
+        out += ((k.toLong, bp, bc, bs))
+        val Array(a, b) = bp.split(" ")
+        vocab = vocab.map { case (ls, f) => mergeLs(ls, a, b) -> f }
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  test("text_wordpiece_train property: Spark trainer == plain-Scala reference on 12 random corpora") {
+    import spark.implicits._
+    // tiny alphabet maximizes pair/symbol-count collisions (tie-rule
+    // stressor) and run-heavy words (greedy non-overlap stressor); small
+    // corpora also exercise the pairs-run-dry early stop
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val alphabet = "abc"
+      def word(): String =
+        (0 until (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val vocabWords = (0 until (3 + rnd.nextInt(7))).map(_ => word())
+      val corpus = (0 until (4 + rnd.nextInt(9)))
+        .map(_ => (0 until (1 + rnd.nextInt(5)))
+          .map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+      val got = TextAnalysis.wordpieceTrainOver(corpus.toDF("text"), 5).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = refWordpieceTrain(corpus, 5)
+      assert(got == want,
+        s"seed $seed divergence: got=$got want=$want\ncorpus=$corpus")
+    }
+  }
+
   test("text_wordpiece_apply: MaxMatch is greedy, not optimal — and that's pinned") {
     import spark.implicits._
     // products {ab, abc} on word "abcd": greedy takes "abc"+"d" (2 pieces);
