@@ -208,6 +208,7 @@ object SparkEntry {
     "text_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_wordpiece_train" -> ((s, d) => TextAnalysis.wordpieceTrain(s, d)),
     "text_wordpiece_apply" -> ((s, d) => TextAnalysis.wordpieceApply(s, d)),
+    "text_wordpiece_curve" -> ((s, d) => TextAnalysis.wordpieceCurve(s, d)),
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
@@ -715,6 +716,7 @@ object SparkEntry {
     "text_bpe_apply" -> TextAnalysis.bpeApplyOracle,
     "text_wordpiece_train" -> TextAnalysis.wordpieceTrainOracle,
     "text_wordpiece_apply" -> TextAnalysis.wordpieceApplyOracle,
+    "text_wordpiece_curve" -> TextAnalysis.wordpieceCurveOracle,
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,

@@ -2557,29 +2557,8 @@ object TextAnalysis {
       col("freq")).localCheckpoint()
     var bests = List.empty[DataFrame]
     for (k <- 1 to steps) {
-      val lists = vocab.select(col("freq"), split(trim(col("s")), "  ").as("l"))
-      val pairStats = lists
-        .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
-        .select(col("freq"), col("l"),
-          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
-        .select(col("freq"),
-          concat(element_at(col("l"), col("i")), lit(" "),
-            element_at(col("l"), col("i") + 1)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      // symbol counts over ALL positions (fully-merged 1-symbol words
-      // still contribute) — the likelihood denominator
-      val symStats = lists
-        .select(col("freq"), explode(col("l")).as("sym"))
-        .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
-      val scored = pairStats
-        .withColumn("a", expr("split_part(pair, ' ', 1)"))
-        .withColumn("b", expr("split_part(pair, ' ', 2)"))
-        .join(broadcast(symStats.select(col("sym").as("a"), col("cnt").as("ca"))), "a")
-        .join(broadcast(symStats.select(col("sym").as("b"), col("cnt").as("cb"))), "b")
-        .select(col("pair"), col("pair_count"),
-          (lnqU(col("pair_count")) - lnqU(col("ca")) - lnqU(col("cb")))
-            .as("score_milli"))
-      val best = scored.orderBy(col("score_milli").desc, col("pair")).limit(1)
+      val best = wordpieceScored(vocab)
+        .orderBy(col("score_milli").desc, col("pair")).limit(1)
         .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"),
           col("score_milli"))
         .localCheckpoint() // one row; feeds both the emit union and the merge
@@ -2594,6 +2573,117 @@ object TextAnalysis {
           col("freq")).localCheckpoint()
     }
     (bests, vocab)
+  }
+
+  /** Likelihood-scored pair table over a double-space symbol vocab: pair
+    * adjacency counts plus symbol counts over ALL positions (fully-merged
+    * 1-symbol words still contribute — the likelihood denominator), scored
+    * `lnq(pc) − lnq(ca) − lnq(cb)`. Shared by [[wordpieceTrain]] /
+    * [[wordpieceApply]] / [[wordpieceCurve]]. */
+  private def wordpieceScored(vocab: DataFrame): DataFrame = {
+    val lists = vocab.select(col("freq"), split(trim(col("s")), "  ").as("l"))
+    val pairStats = lists
+      .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
+      .select(col("freq"), col("l"),
+        explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+      .select(col("freq"),
+        concat(element_at(col("l"), col("i")), lit(" "),
+          element_at(col("l"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+    val symStats = lists
+      .select(col("freq"), explode(col("l")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+    pairStats
+      .withColumn("a", expr("split_part(pair, ' ', 1)"))
+      .withColumn("b", expr("split_part(pair, ' ', 2)"))
+      .join(broadcast(symStats.select(col("sym").as("a"), col("cnt").as("ca"))), "a")
+      .join(broadcast(symStats.select(col("sym").as("b"), col("cnt").as("cb"))), "b")
+      .select(col("pair"), col("pair_count"),
+        (lnqU(col("pair_count")) - lnqU(col("ca")) - lnqU(col("cb")))
+          .as("score_milli"))
+  }
+
+  /** Rounds in [[wordpieceCurve]]. */
+  val WordPieceCurveSteps = 20
+
+  /** Trained-WordPiece curve (`text_wordpiece_curve`) — the likelihood
+    * trainer driven from the DRIVER to [[WordPieceCurveSteps]] merges, the
+    * exact triplet-completing twin of `text_bpe_curve` (count argmax) and
+    * `text_unigram_curve` (EM + prune): corpus scanned ONCE into the
+    * localCheckpoint-pinned symbol vocabulary; each round scores pairs by
+    * milli-ln likelihood, reads the ONE-ROW argmax to the driver (the
+    * bounded model-artifact read — the merge table IS the model), applies
+    * the merge as a literal double-space replace, re-checkpoints (lineage
+    * depth 1 at any round count), and emits (merge, count, score, corpus
+    * symbols after) — the diminishing-returns curve a tokenizer trainer
+    * watches, which for WordPiece DECAYS IN SCORE rather than count. Per
+    * round cost is vocab-bounded; the oracle unrolls the identical 20
+    * rounds as MATERIALIZED CTEs. */
+  def wordpieceCurve(spark: SparkSession, d: String,
+      steps: Int = WordPieceCurveSteps): DataFrame =
+    wordpieceCurveOver(Tables.documents(spark, d).select(col("text")), steps)
+
+  /** [[wordpieceCurve]] over an explicit docs frame (spec hook). */
+  def wordpieceCurveOver(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var vocab = words.select(
+      concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+      col("freq")).localCheckpoint()
+    val curve = Seq.newBuilder[(Long, String, Long, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val best = wordpieceScored(vocab)
+        .orderBy(col("score_milli").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = best(0).getString(0)
+        val (cnt, score) = (best(0).getLong(1), best(0).getLong(2))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        vocab = vocab.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("freq")).localCheckpoint()
+        val symAfter = vocab
+          .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq")))
+          .collect()(0).getLong(0)
+        curve += ((k.toLong, pair, cnt, score, symAfter))
+        k += 1
+      }
+    }
+    curve.result()
+      .toDF("step", "pair", "pair_count", "score_milli", "symbols_after")
+      .orderBy(col("step"))
+  }
+
+  val wordpieceCurveOracle: String = {
+    val steps = (1 to WordPieceCurveSteps).map { k =>
+      s"""${wordpieceStepSql(k)},
+         |symafter$k AS (
+         |  SELECT cast(sum(len(string_split(trim(s), '  ')) * freq) AS bigint)
+         |    AS symbols_after
+         |  FROM vocab$k),
+         |row$k AS (
+         |  SELECT step, pair, pair_count, score_milli, symbols_after
+         |  FROM best$k, symafter$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to WordPieceCurveSteps)
+      .map(kk => s"SELECT * FROM row$kk").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+       |    freq
+       |  FROM words),
+       |$steps
+       |$union ORDER BY step""".stripMargin
   }
 
   /** One step of the WordPiece train oracle CTE chain (pair counts, symbol
