@@ -187,6 +187,7 @@ object SparkEntry {
     // §2.4a multi-probe ANN
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    "vec_kcenter" -> ((s, d) => Similarity.kCenter(s, d)),
     "vec_rp" -> ((s, d) => Similarity.vecRp(s, d)),
     "vec_rp_distortion" -> ((s, d) => Similarity.vecRpDistortion(s, d)),
     "ann_rp_recall" -> ((s, d) => Similarity.annRpRecall(s, d)),
@@ -688,6 +689,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.lshTopKOracle,
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,
+    "vec_kcenter" -> Similarity.kCenterOracle,
     "vec_rp" -> Similarity.vecRpOracle,
     "vec_rp_distortion" -> Similarity.vecRpDistortionOracle,
     "ann_rp_recall" -> Similarity.annRpRecallOracle,

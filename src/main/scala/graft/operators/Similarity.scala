@@ -1394,6 +1394,82 @@ object Similarity {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Centers chosen by [[kCenter]]. */
+  val KCenterSteps = 16
+
+  /** Farthest-first traversal (`vec_kcenter`) — Gonzalez's 2-approximation
+    * to the k-center problem, the diversity-sampling primitive a curation
+    * pipeline uses for prototype/exemplar selection and coreset seeding:
+    * start from the minimum vec_id, then k−1 times add the vector FARTHEST
+    * (squared L2) from the chosen set, publishing each round's cover
+    * radius — the "how many exemplars until the corpus is covered" curve
+    * (monotone non-increasing, which the spec pins; the radius at step k
+    * is a 2-approx lower-bound witness for any (k−1)-center cover).
+    *
+    * 100 TB shape: the chosen-set state is k vectors (model-sized, rides
+    * the driver exactly like the BPE best-pair reads); each round is ONE
+    * map pass updating the running min-distance column against the single
+    * newest center (never recomputing against all k) followed by a
+    * TakeOrderedAndProject argmax — k corpus passes total, lineage pinned
+    * per round. Distances are identical-order list folds quantized to
+    * micro units, so the argmax and the published radii are engine-exact. */
+  def kCenter(spark: SparkSession, d: String, k: Int = KCenterSteps): DataFrame = {
+    import spark.implicits._
+    def d2(e: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(e, lit(c.toArray),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, x) => acc + x)
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val seed = v.orderBy(col("vec_id")).limit(1)
+      .collect()(0)
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    out += ((1L, seed.getLong(0), 0L))
+    var m = v
+      .withColumn("mind2", d2(col("e"), seed.getSeq[Double](1)))
+      .localCheckpoint()
+    for (k2 <- 2 to k) {
+      val far = m.orderBy(col("mind2").desc, col("vec_id")).limit(1).collect()(0)
+      out += ((k2.toLong, far.getLong(0),
+        math.floor(far.getDouble(2) * 1e6 + 0.5).toLong))
+      m = m
+        .withColumn("mind2",
+          least(col("mind2"), d2(col("e"), far.getSeq[Double](1))))
+        .localCheckpoint()
+    }
+    out.result().toDF("step", "center_id", "radius_e6").orderBy(col("step"))
+  }
+
+  val kCenterOracle: String = {
+    val rounds = (2 to KCenterSteps).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT vec_id, e, mind2 FROM m${k - 1}
+         |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT m.vec_id, m.e,
+         |    least(m.mind2, list_sum(list_transform(range(0, len(m.e)), j ->
+         |      (m.e[j+1] - c.e[j+1]) * (m.e[j+1] - c.e[j+1])))) AS mind2
+         |  FROM m${k - 1} m, c$k c),
+         |row$k AS (
+         |  SELECT cast($k AS bigint) AS step, vec_id AS center_id,
+         |    cast(floor(mind2 * 1e6 + 0.5) AS bigint) AS radius_e6
+         |  FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    val union = ("SELECT * FROM row1" +:
+      (2 to KCenterSteps).map(k => s"SELECT * FROM row$k")).mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+       |row1 AS (SELECT cast(1 AS bigint) AS step, vec_id AS center_id,
+       |  cast(0 AS bigint) AS radius_e6 FROM c1),
+       |m1 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.e,
+       |    list_sum(list_transform(range(0, len(v.e)), j ->
+       |      (v.e[j+1] - c.e[j+1]) * (v.e[j+1] - c.e[j+1]))) AS mind2
+       |  FROM v, c1 c),
+       |$rounds
+       |$union ORDER BY step""".stripMargin
+  }
+
   /** Lloyd steps for [[kmeansTrain]] — fixed so both engines replay the
     * identical training run (the convergence STOP is a spec-level hook;
     * the oracle row runs the full budget, and a converged run's trailing

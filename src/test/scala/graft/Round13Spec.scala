@@ -144,6 +144,18 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("vec_kcenter: radii are monotone non-increasing and centers are distinct") {
+    val rows = graft.operators.Similarity.kCenter(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == graft.operators.Similarity.KCenterSteps)
+    val radii = rows.drop(1).map(_._3) // step 1 is the seed (radius 0)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"cover radius must shrink as centers are added: ${radii.toSeq}")
+    val ids = rows.map(_._2)
+    assert(ids.distinct.length == ids.length, "a center can never repeat")
+    assert(rows.head == ((1L, 0L, 0L)), "seed is the minimum vec_id")
+  }
+
   test("text_wordpiece_apply: MaxMatch is greedy, not optimal — and that's pinned") {
     import spark.implicits._
     // products {ab, abc} on word "abcd": greedy takes "abc"+"d" (2 pieces);
