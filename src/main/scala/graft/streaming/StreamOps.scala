@@ -693,6 +693,26 @@ object StreamOps {
       }
   }
 
+  /** [[attributionStream]] on Spark 4's `transformWithState` — last-touch
+    * attribution's two-timestamp state in a typed `ValueState[TouchState]`
+    * with the SAME lossless event-time eviction: an engine timer re-armed
+    * at max(last event, watermark + 1) + lookback (the one-timer-per-key
+    * delete/register pattern) clears a user once every surviving touch is
+    * outside the horizon — the exact fMGWS `setTimeoutTimestamp` instant.
+    * Same (true-µs, event_id) fold, 24 h lookback, and click-wins-ties
+    * rule; parity spec pins the attributions bit-for-bit equal to the
+    * fMGWS twin on a split feed on RocksDB. */
+  def attributionStreamTws(events: Dataset[ChangeEvent],
+      lookbackHours: Int = 24,
+      lateness: String = "1 hour"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(lookbackHours),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming SCD-2 compaction — the in-flight twin of the batch
     * `ev_scd2`: per-key state is ONE open interval (version, status,
     * count, start — O(1) per user, not O(history)), and a status change
@@ -1858,6 +1878,64 @@ class FunnelProcessor(steps: Seq[String], ttlMs: Long)
   override def handleExpiredTimer(uid: Long, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[Conversion] = {
     times.clear(); done.clear(); armedAt.clear()
+    Iterator.empty
+  }
+}
+
+/** [[StreamOps.attributionStreamTws]]'s typed processor: the (last click,
+  * last view) µs pair in a `ValueState[TouchState]`, horizon eviction on
+  * an engine event-time timer (armed exactly where the fMGWS twin set its
+  * timeout — max(last event, watermark + 1) + lookback). */
+class AttributionProcessor(lookbackHours: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, Attribution] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues, ValueState}
+  private val horizonUs = lookbackHours * 3600L * 1000000L
+  private val horizonMs = lookbackHours * 3600000L
+  @transient private var touch: ValueState[TouchState] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    touch = getHandle.getValueState[TouchState]("touch",
+      Encoders.product[TouchState], TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
+      timers: TimerValues): Iterator[Attribution] = {
+    var s = if (touch.exists()) touch.get() else TouchState(None, None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+    var lastMs = Long.MinValue
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), e.event_id)).foreach { e =>
+      val us = StreamOps.usOf(e.ts)
+      lastMs = math.max(lastMs, e.ts.getTime)
+      e.event_type match {
+        case "click" => s = s.copy(lastClickUs = Some(us))
+        case "view" => s = s.copy(lastViewUs = Some(us))
+        case "purchase" =>
+          val channel = s match {
+            case TouchState(Some(c), v) if us - c <= horizonUs &&
+              v.forall(c >= _) => "click"
+            case TouchState(_, Some(v)) if us - v <= horizonUs => "view"
+            case _ => "none"
+          }
+          out += Attribution(uid, e.event_id, channel)
+        case _ => ()
+      }
+    }
+    touch.update(s)
+    if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+    val at = math.max(lastMs, timers.getCurrentWatermarkInMs() + 1L) + horizonMs
+    getHandle.registerTimer(at)
+    armedAt.update(at)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[Attribution] = {
+    touch.clear(); armedAt.clear()
     Iterator.empty
   }
 }

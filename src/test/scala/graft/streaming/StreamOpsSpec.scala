@@ -2208,6 +2208,42 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("TWS attribution: attributions match the fMGWS twin bit-for-bit on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    def run(name: String, f: org.apache.spark.sql.Dataset[ChangeEvent] =>
+        org.apache.spark.sql.Dataset[Attribution]): Set[(Long, Long, String)] = {
+      val in = MemoryStream[ChangeEvent]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        in.addData(b2.toIndexedSeq); q.processAllAvailable()
+        spark.sql(s"SELECT user_id, event_id, channel FROM $name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      } finally q.stop()
+    }
+    try {
+      val legacy = run("attrleg", ds => StreamOps.attributionStream(ds))
+      val tws = run("attrtws", ds => StreamOps.attributionStreamTws(ds))
+      assert(tws.nonEmpty && tws == legacy,
+        s"attribution TWS/fMGWS divergence (missing: ${(legacy -- tws).take(3)}, " +
+          s"extra: ${(tws -- legacy).take(3)})")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("TWS heavy hitters: profile matches the fMGWS twin bit-for-bit on RocksDB") {
     // bit-level MG state depends only on the per-batch fold order, which
     // both forms fix to (true-µs, user) — identical split feeds must give
