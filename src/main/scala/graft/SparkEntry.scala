@@ -198,6 +198,7 @@ object SparkEntry {
     "dedup_prefix" -> ((s, d) => Pipeline.prefixDups(s, d)),
     "text_token_hist" -> ((s, d) => Pipeline.tokenHist(s, d)),
     "docs_pack" -> ((s, d) => Pipeline.pack(s, d)),
+    "docs_pack_greedy" -> ((s, d) => Pipeline.packGreedy(s, d)),
     "docs_mix_uniform" -> ((s, d) => Pipeline.mixUniform(s, d)),
     "docs_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     "docs_gopher_audit" -> ((s, d) => Pipeline.gopherAudit(s, d)),
@@ -707,6 +708,7 @@ object SparkEntry {
     "dedup_prefix" -> Pipeline.prefixDupsOracle,
     "text_token_hist" -> Pipeline.tokenHistOracle,
     "docs_pack" -> Pipeline.packOracle,
+    "docs_pack_greedy" -> Pipeline.packGreedyOracle,
     "docs_mix_uniform" -> Pipeline.mixUniformOracle,
     "docs_mix_temperature" -> Pipeline.mixTemperatureOracle,
     "docs_gopher_audit" -> Pipeline.gopherAuditOracle,

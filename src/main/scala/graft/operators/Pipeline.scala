@@ -675,6 +675,76 @@ object Pipeline {
       |  count(*) AS n_docs, cast(sum(tok) AS bigint) AS n_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Whole-document greedy packing (`docs_pack_greedy`) — the OTHER
+    * packing discipline beside [[pack]]'s concat-then-chunk: documents are
+    * never split (attention masks stay per-document — the T5/LLaMA-style
+    * packer), so each training sequence holds whole docs in doc_id order
+    * and closes when the next doc doesn't fit; the leftover budget is
+    * PADDING, and this operator's whole point is the per-shard padding
+    * ledger (`padding_bp`) a pipeline reads to choose between the two
+    * disciplines. Docs longer than the budget are truncated to it
+    * (occupying a full sequence).
+    *
+    * The fold is inherently sequential per output stream, so it runs as
+    * ONE integer `aggregate` over the shard's doc-ordered token list —
+    * state packed into a single long (closed_bins·10⁶ + used) — and the
+    * shard is the parallelism unit exactly as in [[pack]]: a shard is one
+    * writer task's worth of corpus (thousands of shards at 100 TB), so
+    * the per-shard list is task-sized by construction, never corpus-sized.
+    * All integer arithmetic; the oracle folds the same encoded state with
+    * DuckDB's `list_reduce` (first element seeds the accumulator, which
+    * equals zero closed bins + that doc). */
+  def packGreedy(spark: SparkSession, d: String, budget: Int = 2048,
+      nShards: Int = 64): DataFrame =
+    packGreedyOver(Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      budget, nShards)
+
+  /** [[packGreedy]] over an explicit (doc_id, text) frame (spec hook). */
+  def packGreedyOver(docsIn: DataFrame, budget: Int = 2048,
+      nShards: Int = 64): DataFrame = {
+    val B = 1000000L
+    val docs = docsIn
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        least(size(tokens(col("text"))).cast("long"), lit(budget.toLong)).as("tok"))
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens_packed"),
+        array_sort(collect_list(struct(col("doc_id"), col("tok")))).as("dt"))
+      .withColumn("acc", aggregate(
+        transform(col("dt"), x => x.getField("tok")),
+        lit(-1L),
+        (acc, x) => when(acc === -1L, x)
+          .when(pmod(acc, lit(B)) + x <= budget, acc + x)
+          .otherwise(acc - pmod(acc, lit(B)) + lit(B) + x)))
+      .withColumn("n_bins", expr(s"acc div $B") + 1L)
+      .select(col("shard"), col("n_docs"), col("n_bins"), col("tokens_packed"),
+        expr(s"(n_bins * $budget - tokens_packed) * 10000 " +
+          s"div (n_bins * $budget)").as("padding_bp"))
+      .orderBy(col("shard"))
+  }
+
+  val packGreedyOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 64 AS shard,
+      |    least(cast(len(string_split(text, ' ')) AS bigint), 2048) AS tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT shard, count(*) AS n_docs,
+      |    cast(sum(tok) AS bigint) AS tokens_packed,
+      |    list(tok ORDER BY doc_id) AS toks
+      |  FROM d GROUP BY 1),
+      |f AS (
+      |  SELECT shard, n_docs, tokens_packed,
+      |    list_reduce(toks, (acc, x) ->
+      |      CASE WHEN acc % 1000000 + x <= 2048 THEN acc + x
+      |           ELSE (acc // 1000000) * 1000000 + 1000000 + x END)
+      |      // 1000000 + 1 AS n_bins
+      |  FROM g)
+      |SELECT shard, n_docs, cast(n_bins AS bigint) AS n_bins, tokens_packed,
+      |  (n_bins * 2048 - tokens_packed) * 10000 // (n_bins * 2048)
+      |    AS padding_bp
+      |FROM f ORDER BY shard""".stripMargin
+
   /** Writer-shard balance audit: when the corpus fans out to nShards
     * parallel writers by hashed doc id, how even is the split? Per shard:
     * docs, tokens, and the token load relative to a perfectly uniform
