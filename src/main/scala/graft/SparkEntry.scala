@@ -190,6 +190,7 @@ object SparkEntry {
     "vec_kcenter" -> ((s, d) => Similarity.kCenter(s, d)),
     "vec_rp" -> ((s, d) => Similarity.vecRp(s, d)),
     "vec_rp_distortion" -> ((s, d) => Similarity.vecRpDistortion(s, d)),
+    "vec_rp_curve" -> ((s, d) => Similarity.vecRpCurve(s, d)),
     "ann_rp_recall" -> ((s, d) => Similarity.annRpRecall(s, d)),
     "ev_windowed_topk" -> ((s, d) => Events.windowedTopK(s, d)),
     // §2.7 corpus-pipeline operators
@@ -693,6 +694,7 @@ object SparkEntry {
     "vec_kcenter" -> Similarity.kCenterOracle,
     "vec_rp" -> Similarity.vecRpOracle,
     "vec_rp_distortion" -> Similarity.vecRpDistortionOracle,
+    "vec_rp_curve" -> Similarity.vecRpCurveOracle,
     "ann_rp_recall" -> Similarity.annRpRecallOracle,
     "ev_windowed_topk" -> Events.windowedTopKOracle,
     "knn_join" -> Similarity.knnJoinOracle,

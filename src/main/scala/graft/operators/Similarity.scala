@@ -523,6 +523,48 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Projection widths swept by [[vecRpCurve]]. */
+  val RpCurveWidths: Seq[Int] = Seq(8, 16, 32)
+
+  /** JL width curve (`vec_rp_curve`) — [[vecRpDistortion]] swept over
+    * r ∈ {8, 16, 32}: the 1/√r concentration law measured (the within-±20%
+    * share rises and the max tail falls as r doubles), which is THE table
+    * a pipeline reads to size the projection for its distance-threshold
+    * tolerance. Same O(1) 4 950-pair eval per width; one corpus-side scan
+    * per width over the first 100 vectors only. */
+  def vecRpCurve(spark: SparkSession, d: String, nVecs: Int = 100): DataFrame =
+    RpCurveWidths.map { r =>
+      vecRpDistortion(spark, d, nVecs, r)
+        .select(lit(r).as("r"), col("n_pairs"), col("mean_ratio_bp"),
+          col("min_ratio_bp"), col("max_ratio_bp"), col("n_within_20pct"))
+    }.reduce(_ unionAll _).orderBy(col("r"))
+
+  val vecRpCurveOracle: String = {
+    val per = RpCurveWidths.map { r =>
+      s"""(SELECT $r AS r, count(*) AS n_pairs,
+         |  cast(sum(bp) // count(*) AS bigint) AS mean_ratio_bp,
+         |  min(bp) AS min_ratio_bp, max(bp) AS max_ratio_bp,
+         |  cast(sum(CASE WHEN bp BETWEEN 8000 AND 12000 THEN 1 ELSE 0 END)
+         |    AS bigint) AS n_within_20pct
+         | FROM (
+         |  SELECT cast(floor(d2p * ${3 * 10000}.0 / ($r * d2f)) AS bigint) AS bp
+         |  FROM (
+         |    SELECT
+         |      list_sum(list_transform(range(0, len(a.e)), j ->
+         |        (a.e[j+1] - b.e[j+1]) * (a.e[j+1] - b.e[j+1]))) AS d2f,
+         |      list_sum(list_transform(range(0, len(a.y)), j ->
+         |        (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1]))) AS d2p
+         |    FROM p$r a JOIN p$r b ON a.vec_id < b.vec_id)))""".stripMargin
+    }.mkString(" UNION ALL ")
+    val projs = RpCurveWidths.map { r =>
+      s"p$r AS (SELECT vec_id, e, ${sqlRpProject("e", r)} AS y FROM v)"
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |  WHERE vec_id < 100),
+       |$projs
+       |SELECT * FROM ($per) ORDER BY r""".stripMargin
+  }
+
   val annRpRecallOracle: String =
     s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v0 WHERE vec_id < 10),
