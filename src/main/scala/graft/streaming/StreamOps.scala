@@ -983,6 +983,108 @@ object StreamOps {
       }
   }
 
+  // ---- transformWithState ports of the remaining legacy stateful ops ----
+  // With these, EVERY keyed stateful operator in the library has a
+  // modern-API twin, each parity-spec-pinned bit-for-bit against its fMGWS
+  // form on RocksDB: the full migration matrix, not a sampler. Sketches
+  // with per-entry state (HLL registers, quantile buckets, CM counters,
+  // JSON shapes) move to MapState — RocksDB writes only the entries a
+  // batch touches, the same per-entry win the bitmap port measured —
+  // while O(1) tuples stay in typed ValueStates.
+
+  /** [[anomalies]] on `transformWithState`: Welford (n, mean, M2) in a
+    * typed `ValueState`, same (µs, user, value) fold and ≥ minN gate. */
+  def anomaliesTws(events: Dataset[StreamEvent], minN: Long = 30,
+      zThreshold: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor(minN, zThreshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[distinctSketch]] on `transformWithState`: the k smallest hashes in
+    * a typed `ValueState[KmvSketch]` (the sketch IS one value — k longs). */
+  def distinctSketchTws(events: Dataset[StreamEvent],
+      k: Int = 64): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[hllSketch]] on `transformWithState`: the 64 registers in a
+    * `MapState[bucket → rho]` — a batch writes only the registers it
+    * RAISES (max-merge touches few once the sketch saturates), where the
+    * fMGWS form re-serializes all 64 every batch. */
+  def hllSketchTws(events: Dataset[StreamEvent]): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[quantileSketch]] on `transformWithState`: the bucket→count map in a
+    * `MapState` (per-bucket entries, count merge = per-entry add). */
+  def quantileSketchTws(events: Dataset[StreamEvent]): Dataset[QuantileEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new QuantileProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[countMinStream]] on `transformWithState`: each hash row's counters
+    * in a `MapState[bucket → count]` — bounded by the sketch width. */
+  def countMinStreamTws(events: Dataset[StreamEvent], depth: Int = 4,
+      width: Int = 512): Dataset[CmRowState] = {
+    import events.sparkSession.implicits._
+    events
+      .flatMap(e => (0 until depth).map(j =>
+        (j, (StreamOps.hash31(s"$j:${e.user_id}") % width).toInt)))
+      .groupByKey(_._1)
+      .transformWithState(new CountMinProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[latenessMonitor]] on `transformWithState`: the O(1) lateness tuple
+    * in a typed `ValueState[LateState]`, same fold and HALF_UP finish. */
+  def latenessMonitorTws(events: Dataset[StreamEvent]): Dataset[LatenessProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new LatenessProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[ewmaStream]] on `transformWithState`: the ≤4 carried taps in a
+    * typed `ValueState` (trim-to-horizon semantics unchanged, including
+    * the documented late-data contract). */
+  def ewmaStreamTws(events: Dataset[StreamEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[burstStream]] on `transformWithState`: the closed-hour moment
+    * triple + open hour in a typed `ValueState`, same integer 3σ rule. */
+  def burstStreamTws(events: Dataset[StreamEvent]): Dataset[BurstVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.event_type)
+      .transformWithState(new BurstProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[schemaInferStream]] on `transformWithState`: the shape→count map in
+    * a `MapState` — a drifting key writes one entry, not its whole map. */
+  def schemaInferStreamTws(docs: DataFrame): Dataset[KeyShapeProfile] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Events.keyShapeRows(docs).as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SchemaInferProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming error-burst monitor — the in-flight form of the batch
     * `ev_error_burst`, with the honest streaming semantics: an hour is
     * judged against the integer mean+3σ of the CLOSED hours seen so far
@@ -1937,6 +2039,283 @@ class AttributionProcessor(lookbackHours: Int)
       expired: ExpiredTimerInfo): Iterator[Attribution] = {
     touch.clear(); armedAt.clear()
     Iterator.empty
+  }
+}
+
+/** [[StreamOps.anomaliesTws]]'s typed processor: Welford moments in one
+  * `ValueState[TypeStats]`, emission before fold exactly as the fMGWS twin. */
+class AnomalyProcessor(minN: Long, zThreshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, Anomaly] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[TypeStats] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[TypeStats]("stats",
+      Encoders.product[TypeStats], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[Anomaly] = {
+    var s = if (st.exists()) st.get() else TypeStats(0L, 0.0, 0.0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), e.user_id, e.value)).foreach { e =>
+      if (s.n >= minN) {
+        val sd = math.sqrt(s.m2 / (s.n - 1).toDouble)
+        if (sd > 0) {
+          val z = (e.value - s.mean) / sd
+          if (math.abs(z) >= zThreshold) out += Anomaly(typ, e.user_id, e.value, z, e.ts)
+        }
+      }
+      val n1 = s.n + 1
+      val d = e.value - s.mean
+      val mean1 = s.mean + d / n1
+      s = TypeStats(n1, mean1, s.m2 + d * (e.value - mean1))
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
+/** [[StreamOps.distinctSketchTws]]'s typed processor: the KMV sketch (k
+  * smallest hashes) as one `ValueState` value. */
+class KmvProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, DistinctEstimate] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[KmvSketch] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[KmvSketch]("kmv",
+      Encoders.product[KmvSketch], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[DistinctEstimate] = {
+    val prev = if (st.exists()) st.get().hashes else Seq.empty[Long]
+    val merged = (prev.toSet ++ rows.map(e => StreamOps.hash31(e.user_id.toString)))
+      .toSeq.sorted.take(k)
+    st.update(KmvSketch(merged))
+    val est =
+      if (merged.size < k) merged.size.toLong
+      else math.floor((k - 1).toDouble * 2147483647L / merged.max).toLong
+    Iterator.single(DistinctEstimate(typ, est, merged.size))
+  }
+}
+
+/** [[StreamOps.hllSketchTws]]'s typed processor: registers in a
+  * `MapState[bucket → rho]`, written only when a batch RAISES one. */
+class HllProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, HllEstimate] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues}
+  @transient private var regs: MapState[Int, Int] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    regs = getHandle.getMapState[Int, Int]("regs",
+      Encoders.scalaInt, Encoders.scalaInt, TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[HllEstimate] = {
+    rows.foreach { e =>
+      val h = StreamOps.hash60(e.user_id.toString)
+      val b = (h % 64).toInt
+      val w = h / 64
+      val rho = if (w == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      val cur = if (regs.containsKey(b)) regs.getValue(b) else 0
+      if (rho > cur) regs.updateValue(b, rho)
+    }
+    val r = Array.fill(64)(0)
+    regs.iterator().foreach { case (b, v) => r(b) = v }
+    val s = r.map(x => 1L << (55 - x)).sum
+    val est = java.math.BigDecimal
+      .valueOf(0.709 * 4096.0 * (1L << 55).toDouble / s)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    Iterator.single(HllEstimate(typ, est, r.count(_ > 0)))
+  }
+}
+
+/** [[StreamOps.quantileSketchTws]]'s typed processor: log-linear buckets in
+  * a `MapState[bucket → count]` (per-entry adds). */
+class QuantileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, QuantileEstimate] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues}
+  @transient private var buckets: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    buckets = getHandle.getMapState[Long, Long]("buckets",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[QuantileEstimate] = {
+    rows.foreach { e =>
+      val b = StreamOps.bucket31(e.value)
+      val cur = if (buckets.containsKey(b)) buckets.getValue(b) else 0L
+      buckets.updateValue(b, cur + 1L)
+    }
+    val m = buckets.iterator().map { case (b, c) => b -> c }.toMap
+    val n = m.valuesIterator.sum
+    Iterator.single(QuantileEstimate(typ, n, m.size,
+      StreamOps.sketchQuantile(m, n, 0.50), StreamOps.sketchQuantile(m, n, 0.99)))
+  }
+}
+
+/** [[StreamOps.countMinStreamTws]]'s typed processor: one hash row's
+  * counters in a `MapState[bucket → count]` (≤ width entries). */
+class CountMinProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Int, Int), CmRowState] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues}
+  @transient private var counters: MapState[Int, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    counters = getHandle.getMapState[Int, Long]("counters",
+      Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(j: Int, rows: Iterator[(Int, Int)],
+      timers: TimerValues): Iterator[CmRowState] = {
+    rows.foreach { case (_, b) =>
+      val cur = if (counters.containsKey(b)) counters.getValue(b) else 0L
+      counters.updateValue(b, cur + 1L)
+    }
+    Iterator.single(CmRowState(j,
+      counters.iterator().map { case (b, c) => b -> c }.toMap))
+  }
+}
+
+/** [[StreamOps.latenessMonitorTws]]'s typed processor: the O(1) lateness
+  * tuple in one `ValueState[LateState]`. */
+class LatenessProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, LatenessProfile] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[LateState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[LateState]("late",
+      Encoders.product[LateState], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[LatenessProfile] = {
+    var s = if (st.exists()) st.get() else LateState(0L, 0L, 0L, Long.MinValue)
+    rows.toSeq.sortBy(e => (StreamOps.usOf(e.ts), e.user_id)).foreach { e =>
+      val t = e.ts.getTime
+      if (t < s.runmax)
+        s = s.copy(n = s.n + 1, nLate = s.nLate + 1,
+          maxLateMs = math.max(s.maxLateMs, s.runmax - t))
+      else s = s.copy(n = s.n + 1, runmax = t)
+    }
+    st.update(s)
+    Iterator.single(LatenessProfile(typ, s.n, s.nLate,
+      if (s.n == 0) 0.0
+      else java.math.BigDecimal.valueOf(s.nLate.toDouble / s.n)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(),
+      s.maxLateMs))
+  }
+}
+
+/** Carried EWMA taps for [[EwmaProcessor]] (≤ 4 ascending (hourSec, cnt)). */
+private case class EwmaTaps(taps: Seq[(Long, Long)])
+
+/** [[StreamOps.ewmaStreamTws]]'s typed processor: same in-batch unpruned
+  * emission + trimmed carry semantics (and late-data contract) as the
+  * fMGWS twin. */
+class EwmaProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, EwmaPoint] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[EwmaTaps] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[EwmaTaps]("taps",
+      Encoders.product[EwmaTaps], TTLConfig.NONE)
+
+  override def handleInputRows(et: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[EwmaPoint] = {
+    var taps = if (st.exists()) st.get().taps else Seq.empty[(Long, Long)]
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.toSeq.sortBy(e => StreamOps.usOf(e.ts)).foreach { e =>
+      val hour = e.ts.getTime / 3600000L * 3600L
+      touched += hour
+      taps.indexWhere(_._1 == hour) match {
+        case -1 => taps = (taps :+ (hour, 1L)).sortBy(_._1)
+        case i  => taps = taps.updated(i, (hour, taps(i)._2 + 1L))
+      }
+    }
+    st.update(EwmaTaps(taps.takeRight(4)))
+    val byHour = taps.map(_._1).zipWithIndex.toMap
+    touched.iterator.flatMap { h =>
+      byHour.get(h).map { i =>
+        def tap(k: Int): Long = if (i - k >= 0) taps(i - k)._2 else 0L
+        EwmaPoint(et, h, taps(i)._2,
+          tap(0) * 8 + tap(1) * 4 + tap(2) * 2 + tap(3))
+      }
+    }
+  }
+}
+
+/** [[StreamOps.burstStreamTws]]'s typed processor: closed-hour moments +
+  * open hour in one `ValueState[BurstState]`, same integer 3σ verdict. */
+class BurstProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, StreamEvent, BurstVerdict] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var st: ValueState[BurstState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[BurstState]("burst",
+      Encoders.product[BurstState], TTLConfig.NONE)
+
+  override def handleInputRows(typ: String, rows: Iterator[StreamEvent],
+      timers: TimerValues): Iterator[BurstVerdict] = {
+    var s = if (st.exists()) st.get() else BurstState(0L, 0L, 0L, -1L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BurstVerdict]
+    def close(): Unit = if (s.openHour >= 0) {
+      val (n, x) = (s.n, s.openCnt)
+      val devN = n * x - s.s1
+      val burst = n > 0 && devN > 0 &&
+        devN * devN > 9L * (n * s.s2 - s.s1 * s.s1)
+      out += BurstVerdict(s.openHour, x, burst)
+      s = BurstState(n + 1, s.s1 + x, s.s2 + x * x, -1L, 0L)
+    }
+    rows.toSeq.sortBy(e => StreamOps.usOf(e.ts)).foreach { e =>
+      val hour = e.ts.getTime / 3600000L * 3600L
+      if (hour != s.openHour) { close(); s = s.copy(openHour = hour, openCnt = 0L) }
+      s = s.copy(openCnt = s.openCnt + 1L)
+    }
+    st.update(s)
+    out.iterator
+  }
+}
+
+/** [[StreamOps.schemaInferStreamTws]]'s typed processor: shape counts in a
+  * `MapState[shape → count]` — one entry written per drifting shape. */
+class SchemaInferProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, String), KeyShapeProfile] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues}
+  @transient private var shapes: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    shapes = getHandle.getMapState[String, Long]("shapes",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, String)],
+      timers: TimerValues): Iterator[KeyShapeProfile] = {
+    rows.foreach { case (_, t) =>
+      val cur = if (shapes.containsKey(t)) shapes.getValue(t) else 0L
+      shapes.updateValue(t, cur + 1L)
+    }
+    Iterator.single(KeyShapeProfile(key,
+      shapes.iterator().map { case (t, c) => t -> c }.toMap))
   }
 }
 

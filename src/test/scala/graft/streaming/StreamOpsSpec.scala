@@ -2208,6 +2208,83 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("TWS ports: the remaining stateful ops match their fMGWS twins bit-for-bit on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evRows = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamEvent].collect().toSeq.sortBy(e => StreamOps.usOf(e.ts))
+    val (b1, b2) = evRows.splitAt(evRows.size / 2)
+    def run[T](name: String, mode: OutputMode,
+        build: org.apache.spark.sql.Dataset[StreamEvent] =>
+          org.apache.spark.sql.Dataset[T]): Set[Seq[Any]] = {
+      val in = MemoryStream[StreamEvent]
+      val q = build(in.toDS()).toDF().writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        spark.table(name).collect().map(_.toSeq).toSet
+      } finally q.stop()
+    }
+    try {
+      val cases: Seq[(String,
+          org.apache.spark.sql.Dataset[StreamEvent] => org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.Dataset[StreamEvent] => org.apache.spark.sql.DataFrame,
+          OutputMode)] = Seq(
+        ("anom", ds => StreamOps.anomalies(ds).toDF(),
+          ds => StreamOps.anomaliesTws(ds).toDF(), OutputMode.Append()),
+        ("kmv", ds => StreamOps.distinctSketch(ds).toDF(),
+          ds => StreamOps.distinctSketchTws(ds).toDF(), OutputMode.Update()),
+        ("hll", ds => StreamOps.hllSketch(ds).toDF(),
+          ds => StreamOps.hllSketchTws(ds).toDF(), OutputMode.Update()),
+        ("qtl", ds => StreamOps.quantileSketch(ds).toDF(),
+          ds => StreamOps.quantileSketchTws(ds).toDF(), OutputMode.Update()),
+        ("cms", ds => StreamOps.countMinStream(ds).toDF(),
+          ds => StreamOps.countMinStreamTws(ds).toDF(), OutputMode.Update()),
+        ("late", ds => StreamOps.latenessMonitor(ds).toDF(),
+          ds => StreamOps.latenessMonitorTws(ds).toDF(), OutputMode.Update()),
+        ("ewma", ds => StreamOps.ewmaStream(ds).toDF(),
+          ds => StreamOps.ewmaStreamTws(ds).toDF(), OutputMode.Append()),
+        ("burst", ds => StreamOps.burstStream(ds).toDF(),
+          ds => StreamOps.burstStreamTws(ds).toDF(), OutputMode.Append()))
+      for ((name, legacyB, twsB, mode) <- cases) {
+        val legacy = run(s"${name}leg", mode, legacyB)
+        val tws = run(s"${name}tws", mode, twsB)
+        assert(tws.nonEmpty && tws == legacy,
+          s"$name TWS/fMGWS divergence (missing: ${(legacy -- tws).take(2)}, " +
+            s"extra: ${(tws -- legacy).take(2)})")
+      }
+      // schemaInfer feeds JSON docs instead of StreamEvents
+      def runDocs(name: String,
+          build: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.Dataset[KeyShapeProfile]): Set[Seq[Any]] = {
+        val jsons = evRows.map { e =>
+          val v = if (e.user_id % 3 == 0) s""""v${e.user_id}"""" else e.user_id.toString
+          s"""{"user":$v,"t":"${e.event_type}"${if (e.user_id % 7 == 0) ",\"x\":null" else ""}}"""
+        }
+        val in = MemoryStream[String]
+        val q = build(in.toDF().toDF("doc")).toDF().writeStream.format("memory")
+          .queryName(name).outputMode(OutputMode.Update()).start()
+        try {
+          in.addData(jsons.take(jsons.size / 2): _*); q.processAllAvailable()
+          in.addData(jsons.drop(jsons.size / 2): _*); q.processAllAvailable()
+          spark.table(name).collect().map(_.toSeq).toSet
+        } finally q.stop()
+      }
+      val sleg = runDocs("shapeleg", df => StreamOps.schemaInferStream(df))
+      val stws = runDocs("shapetws", df => StreamOps.schemaInferStreamTws(df))
+      assert(stws.nonEmpty && stws == sleg,
+        s"schemaInfer TWS/fMGWS divergence: $stws vs $sleg")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
+
   test("TWS attribution: attributions match the fMGWS twin bit-for-bit on RocksDB") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
