@@ -188,6 +188,7 @@ object SparkEntry {
     "ann_multiprobe" -> ((s, d) => Similarity.multiprobeTopK(s, d)),
     "ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "vec_kcenter" -> ((s, d) => Similarity.kCenter(s, d)),
+    "ann_ivf_kcenter_recall" -> ((s, d) => Similarity.ivfKcenterRecall(s, d)),
     "vec_rp" -> ((s, d) => Similarity.vecRp(s, d)),
     "vec_rp_distortion" -> ((s, d) => Similarity.vecRpDistortion(s, d)),
     "vec_rp_curve" -> ((s, d) => Similarity.vecRpCurve(s, d)),
@@ -692,6 +693,7 @@ object SparkEntry {
     "ann_multiprobe" -> Similarity.multiprobeTopKOracle,
     "ann_recall" -> Similarity.annRecallOracle,
     "vec_kcenter" -> Similarity.kCenterOracle,
+    "ann_ivf_kcenter_recall" -> Similarity.ivfKcenterRecallOracle,
     "vec_rp" -> Similarity.vecRpOracle,
     "vec_rp_distortion" -> Similarity.vecRpDistortionOracle,
     "vec_rp_curve" -> Similarity.vecRpCurveOracle,

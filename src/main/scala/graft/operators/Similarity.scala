@@ -1457,6 +1457,14 @@ object Similarity {
     * micro units, so the argmax and the published radii are engine-exact. */
   def kCenter(spark: SparkSession, d: String, k: Int = KCenterSteps): DataFrame = {
     import spark.implicits._
+    kCenterChain(spark, d, k)._1
+      .toDF("step", "center_id", "radius_e6").orderBy(col("step"))
+  }
+
+  /** The farthest-first loop shared by [[kCenter]] and
+    * [[ivfKcenterRecall]]: (curve rows, chosen center vectors in order). */
+  private def kCenterChain(spark: SparkSession, d: String,
+      k: Int): (Seq[(Long, Long, Long)], Seq[Seq[Double]]) = {
     def d2(e: Column, c: Seq[Double]): Column =
       aggregate(zip_with(e, lit(c.toArray),
         (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, x) => acc + x)
@@ -1465,7 +1473,9 @@ object Similarity {
     val seed = v.orderBy(col("vec_id")).limit(1)
       .collect()(0)
     val out = Seq.newBuilder[(Long, Long, Long)]
+    val cents = Seq.newBuilder[Seq[Double]]
     out += ((1L, seed.getLong(0), 0L))
+    cents += seed.getSeq[Double](1)
     var m = v
       .withColumn("mind2", d2(col("e"), seed.getSeq[Double](1)))
       .localCheckpoint()
@@ -1473,16 +1483,71 @@ object Similarity {
       val far = m.orderBy(col("mind2").desc, col("vec_id")).limit(1).collect()(0)
       out += ((k2.toLong, far.getLong(0),
         math.floor(far.getDouble(2) * 1e6 + 0.5).toLong))
+      cents += far.getSeq[Double](1)
       m = m
         .withColumn("mind2",
           least(col("mind2"), d2(col("e"), far.getSeq[Double](1))))
         .localCheckpoint()
     }
-    out.result().toDF("step", "center_id", "radius_e6").orderBy(col("step"))
+    (out.result(), cents.result())
   }
 
-  val kCenterOracle: String = {
-    val rounds = (2 to KCenterSteps).map { k =>
+  /** IVF recall on the k-center codebook (`ann_ivf_kcenter_recall`) — the
+    * eval that prices [[kCenter]] as a coarse-quantizer INIT, read beside
+    * `ann_ivf_recall` (mod-group seeds) and `ann_ivf_trained_recall`
+    * (4-step Lloyd): assign the corpus to the 16 farthest-first center
+    * VECTORS by squared-L2 argmin, answer queries inside their own cell,
+    * measure recall@k against exact truth. Farthest-first picks hull
+    * points, so on isotropic data its cells skew larger than Lloyd's —
+    * whatever the number says, it is the measured answer to "is a
+    * diversity init alone enough, or do I pay for Lloyd". Same shapes as
+    * every IVF row: centers ride a one-row broadcast literal (they are
+    * driver-collected model artifacts already), assignment is the
+    * codegen'd map-side argmin, truth follows the `truthSample` contract. */
+  def ivfKcenterRecall(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, truthSample: Int = 1): DataFrame = {
+    val cents = kCenterChain(spark, d, KCenterSteps)._2
+    val cm = Tables.embeddings(spark, d).limit(1)
+      .select(typedLit(cents.map(_.toSeq)).as("cents"))
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val assigned = v.join(broadcast(cm))
+      .withColumn("cell", nearestCellL2(col("e"), col("cents")))
+      .select(col("vec_id"), col("e"), col("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("cell").as("qcell"))
+    val approx = corpusSample(assigned, nQueries, truthSample)
+      .join(broadcast(q), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val truth = corpusSample(v, nQueries, truthSample)
+      .join(broadcast(q.select(col("query_id"), col("qe"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / k.toDouble, 4).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** The farthest-first CTE chain (v, c1..cK, m1..mK, row1..rowK) shared
+    * by [[kCenterOracle]] and [[ivfKcenterRecallOracle]]. */
+  private def kCenterSqlPrefix(steps: Int): String = {
+    val rounds = (2 to steps).map { k =>
       s"""c$k AS MATERIALIZED (
          |  SELECT vec_id, e, mind2 FROM m${k - 1}
          |  ORDER BY mind2 DESC, vec_id LIMIT 1),
@@ -1496,9 +1561,7 @@ object Similarity {
          |    cast(floor(mind2 * 1e6 + 0.5) AS bigint) AS radius_e6
          |  FROM c$k)""".stripMargin
     }.mkString(",\n")
-    val union = ("SELECT * FROM row1" +:
-      (2 to KCenterSteps).map(k => s"SELECT * FROM row$k")).mkString(" UNION ALL ")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |c1 AS MATERIALIZED (
        |  SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
        |row1 AS (SELECT cast(1 AS bigint) AS step, vec_id AS center_id,
@@ -1508,8 +1571,63 @@ object Similarity {
        |    list_sum(list_transform(range(0, len(v.e)), j ->
        |      (v.e[j+1] - c.e[j+1]) * (v.e[j+1] - c.e[j+1]))) AS mind2
        |  FROM v, c1 c),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val kCenterOracle: String = {
+    val union = ("SELECT * FROM row1" +:
+      (2 to KCenterSteps).map(k => s"SELECT * FROM row$k")).mkString(" UNION ALL ")
+    s"""WITH ${kCenterSqlPrefix(KCenterSteps)}
        |$union ORDER BY step""".stripMargin
+  }
+
+  val ivfKcenterRecallOracle: String = {
+    val centsUnion = (1 to KCenterSteps)
+      .map(k => s"SELECT ${k - 1} AS cell, e FROM c$k").mkString(" UNION ALL ")
+    s"""WITH ${kCenterSqlPrefix(KCenterSteps)},
+       |cv AS ($centsUnion),
+       |cents AS (
+       |  SELECT cell, cast(j - 1 AS int) AS dim, e[j] AS c
+       |  FROM (SELECT cell, e, unnest(generate_series(1, len(e))) AS j FROM cv)),
+       |comp AS (
+       |  SELECT vec_id, cast(j - 1 AS int) AS dim, e[j] AS x
+       |  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v)),
+       |dt AS (
+       |  SELECT comp.vec_id, c.cell,
+       |    round(sum((comp.x - c.c) * (comp.x - c.c)), 6) AS d2
+       |  FROM comp JOIN cents c ON c.dim = comp.dim
+       |  GROUP BY 1, 2),
+       |at AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+       |    FROM dt) WHERE r = 1),
+       |m AS (SELECT v.vec_id, v.e, at.cell
+       |  FROM v JOIN at ON at.vec_id = v.vec_id),
+       |q AS (SELECT vec_id AS query_id, e AS qe, cell AS qcell
+       |  FROM m WHERE vec_id < 10),
+       |s AS (
+       |  SELECT query_id, m.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(m.e, m.e)
+       |      - 2 * list_dot_product(qe, m.e), 4) AS d2
+       |  FROM q JOIN m ON q.qcell = m.cell AND m.vec_id != query_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2, neighbor_id) AS rank FROM s) WHERE rank <= 5),
+       |ts AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(v.e, v.e)
+       |      - 2 * list_dot_product(qe, v.e), 4) AS d2
+       |  FROM q, v WHERE v.vec_id != query_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2, neighbor_id) AS rank FROM ts) WHERE rank <= 5)
+       |SELECT t.query_id,
+       |  cast(count(a.neighbor_id) AS bigint) AS n_hits,
+       |  round(count(a.neighbor_id) / 5.0, 4) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Lloyd steps for [[kmeansTrain]] — fixed so both engines replay the
