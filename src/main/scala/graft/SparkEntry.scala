@@ -66,6 +66,7 @@ object SparkEntry {
     "sse_project" -> ((s, d) => Events.sseProject(s, d)),
     "sse_extract_field" -> ((s, d) => Events.sseExtractField(s, d)),
     "sse_xml_extract" -> ((s, d) => Events.xmlExtract(s, d)),
+    "sse_csv_extract" -> ((s, d) => Events.csvExtract(s, d)),
     "sse_schema_infer" -> ((s, d) => Events.schemaInfer(s, d)),
     "ev_type_counts" -> ((s, d) => Events.typeCounts(s, d)),
     "ev_metrics" -> ((s, d) => Events.metrics(s, d)),
@@ -548,6 +549,7 @@ object SparkEntry {
     "sse_project" -> Events.sseProjectOracle,
     "sse_extract_field" -> Events.sseExtractFieldOracle,
     "sse_xml_extract" -> Events.xmlExtractOracle,
+    "sse_csv_extract" -> Events.csvExtractOracle,
     "ev_json_extract" ->
       """SELECT cast(regexp_extract(props,'[0-9]+') AS bigint) % 10 AS k_bucket,
         | count(*) AS n_events, round(avg(value),4) AS avg_value

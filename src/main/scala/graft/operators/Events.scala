@@ -419,6 +419,56 @@ object Events {
       |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CSV payload decode (`sse_csv_extract`) — with `sse_project` (JSON)
+    * and `xmlExtract` (XML) this closes the reference roadmap's Step-10
+    * content-type list ("JSON, XML, etc."): SSE `data:` payloads carrying
+    * CSV records decode through Spark's native `from_csv` (one UnivocityParser
+    * pass per record into a typed struct — the same one-pass discipline
+    * the XML row measured 25× over per-field re-parsing). The type field
+    * is QUOTED and contains an embedded comma (`"t,click"`), so the
+    * operator exercises real CSV quoting semantics — a naive split would
+    * mis-field every record. Stateless map + per-type aggregate; the
+    * oracle parses the same constrained records with one anchored regex. */
+  def csvExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(concat(
+        col("event_id"), lit(",\"t,"), col("event_type"), lit("\","),
+        col("user_id"), lit(","),
+        floor(col("value") * 100 + 0.5).cast("long")).as("p"))
+      .select(expr(
+        "from_csv(p, 'id BIGINT, typ STRING, uid BIGINT, cents BIGINT')").as("e"))
+      .select(expr("substring(e.typ, 3)").as("event_type"),
+        col("e.id").as("event_id"), col("e.uid").as("user_id"),
+        col("e.cents").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("event_type"))
+
+  val csvExtractOracle: String =
+    """WITH x AS (
+      |  SELECT cast(event_id AS varchar) || ',"t,' || event_type || '",' ||
+      |    cast(user_id AS varchar) || ',' ||
+      |    cast(cast(floor(value*100 + 0.5) AS bigint) AS varchar) AS p
+      |  FROM events),
+      |d AS (
+      |  SELECT cast(regexp_extract(p,
+      |      '^(\d+),"t,([^"]*)",(\d+),(-?\d+)$', 1) AS bigint) AS event_id,
+      |    regexp_extract(p, '^(\d+),"t,([^"]*)",(\d+),(-?\d+)$', 2) AS event_type,
+      |    cast(regexp_extract(p,
+      |      '^(\d+),"t,([^"]*)",(\d+),(-?\d+)$', 3) AS bigint) AS user_id,
+      |    cast(regexp_extract(p,
+      |      '^(\d+),"t,([^"]*)",(\d+),(-?\d+)$', 4) AS bigint) AS cents
+      |  FROM x)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  cast(sum(cents) AS bigint) AS sum_cents,
+      |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-N users by purchase value (rank over aggregated totals). */
   def topNUsers(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
     Tables.events(spark, d)
