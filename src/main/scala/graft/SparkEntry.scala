@@ -217,6 +217,7 @@ object SparkEntry {
     "docs_shard_skew" -> ((s, d) => Pipeline.shardSkew(s, d)),
     "docs_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     "docs_ccnet_buckets" -> ((s, d) => Pipeline.ccnetBuckets(s, d)),
+    "docs_anneal_schedule" -> ((s, d) => Pipeline.annealSchedule(s, d)),
     "docs_reservoir" -> ((s, d) => Pipeline.reservoir(s, d)),
     "docs_mad_outliers" -> ((s, d) => Pipeline.madOutliers(s, d)),
     "docs_quality_classifier" -> ((s, d) => Pipeline.qualityClassifier(s, d)),
@@ -731,6 +732,7 @@ object SparkEntry {
     "docs_shard_skew" -> Pipeline.shardSkewOracle,
     "docs_dsir_weights" -> Pipeline.dsirWeightsOracle,
     "docs_ccnet_buckets" -> Pipeline.ccnetBucketsOracle,
+    "docs_anneal_schedule" -> Pipeline.annealScheduleOracle,
     "docs_reservoir" -> Pipeline.reservoirOracle,
     "docs_mad_outliers" -> Pipeline.madOutliersOracle,
     "docs_quality_classifier" -> Pipeline.qualityClassifierOracle,

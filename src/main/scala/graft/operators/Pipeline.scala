@@ -918,6 +918,56 @@ object Pipeline {
       .orderBy(col("lang"), col("tier"))
   }
 
+  /** Two-phase data-annealing schedule (`docs_anneal_schedule`) — the
+    * midtraining anneal real pretraining runs plan from exactly these
+    * inputs: phase 1 (bulk) samples every (lang, perplexity-tier) bucket
+    * in proportion to its documents; phase 2 (anneal) RESTRICTS to the
+    * CCNet head+middle tiers and temperature-damps the mixture at α = ½
+    * (the [[mixTemperature]] convention — weight ∝ √n, micro-quantized
+    * before the ratio so both engines emit identical integers). One table:
+    * (phase, lang, tier, n_docs, share_bp) — the sampling plan a training
+    * job executes per phase. Everything rides the shared
+    * [[ccnetBuckets]] aggregation (histogram-bounded, no per-doc rank
+    * window) plus two one-row broadcast totals — model-sized end to end
+    * after the scorer's corpus pass. */
+  def annealSchedule(spark: SparkSession, d: String): DataFrame = {
+    val tiers = ccnetBuckets(spark, d).select(col("lang"), col("tier"), col("n_docs"))
+    val t1 = tiers.groupBy().agg(sum(col("n_docs")).as("tot"))
+    val p1 = tiers.crossJoin(broadcast(t1))
+      .select(lit(1L).as("phase"), col("lang"), col("tier"), col("n_docs"),
+        expr("n_docs * 10000 div tot").as("share_bp"))
+    val h = tiers.filter(col("tier") =!= "tail")
+      .withColumn("sq",
+        floor(sqrt(col("n_docs")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val t2 = h.groupBy().agg(sum(col("sq")).as("tot2"))
+    val p2 = h.crossJoin(broadcast(t2))
+      .select(lit(2L).as("phase"), col("lang"), col("tier"), col("n_docs"),
+        expr("sq * 10000 div tot2").as("share_bp"))
+    p1.unionAll(p2).orderBy(col("phase"), col("lang"), col("tier"))
+  }
+
+  lazy val annealScheduleOracle: String =
+    s"""WITH b AS (
+       |  SELECT lang, tier, n_docs FROM ($ccnetBucketsOracle)),
+       |t1 AS (SELECT cast(sum(n_docs) AS bigint) AS tot FROM b),
+       |p1 AS (
+       |  SELECT cast(1 AS bigint) AS phase, lang, tier,
+       |    cast(n_docs AS bigint) AS n_docs,
+       |    cast(n_docs * 10000 // tot AS bigint) AS share_bp
+       |  FROM b, t1),
+       |h AS (
+       |  SELECT lang, tier, n_docs,
+       |    cast(floor(sqrt(n_docs) * 1000000 + 0.5) AS bigint) AS sq
+       |  FROM b WHERE tier != 'tail'),
+       |t2 AS (SELECT cast(sum(sq) AS bigint) AS tot2 FROM h),
+       |p2 AS (
+       |  SELECT cast(2 AS bigint) AS phase, lang, tier,
+       |    cast(n_docs AS bigint) AS n_docs,
+       |    cast(sq * 10000 // tot2 AS bigint) AS share_bp
+       |  FROM h, t2)
+       |SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       |ORDER BY phase, lang, tier""".stripMargin
+
   val ccnetBucketsOracle: String =
     """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
       |uni AS (SELECT unnest(a) AS w FROM t),
