@@ -121,12 +121,17 @@ object Bench {
     }
     probeControl()
 
+    // a failed query has no timing: its wall clock (time-to-throw) must not
+    // enter the headline total or the queries map — r12's sf1 artifact
+    // counted a 220 s OOM as if it were a measurement. Failed names are
+    // reported ONLY in the "failed" list.
+    val completed = results.filterNot { case (k, _) => failed.contains(k) }
     // ~3 sig figs per timing keeps the whole line within the collector's
     // 2000-char tail window (full JSON lines at double precision overflowed
     // it and truncated the leading queries out of the round artifacts)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+    val qs = completed.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (completed.nonEmpty) completed.values.sum else 0.0
     // compact control summary only (full per-probe series is in the JSONL):
     // the metrics line must fit the collector's tail window
     val ctl0 =
@@ -154,8 +159,8 @@ object Bench {
     val last =
       if (line.length <= budget) line
       else {
-        val bySlowest = results.toSeq.sortBy(-_._2)
-        val fixed = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${results.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":{}}"""
+        val bySlowest = completed.toSeq.sortBy(-_._2)
+        val fixed = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${completed.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":{}}"""
         var room = budget - fixed.length
         val kept = bySlowest.takeWhile { case (k, v) =>
           val entryLen = k.length + fmt3(v).length + 5 // quotes, colon, comma
@@ -165,7 +170,7 @@ object Bench {
         }
         val keptQs = kept.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${results.size},"queries_elided":${results.size - kept.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":$keptQs}"""
+        s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","n_queries":${completed.size},"queries_elided":${completed.size - kept.size},$ctl,"reps":$reps,"sf":"$sfDir","queries":$keptQs}"""
       }
     println(last)
   }

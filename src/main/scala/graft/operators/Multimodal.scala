@@ -320,7 +320,9 @@ object Multimodal {
     * The recall estimand is per-pair and the sample is independent of
     * band membership, so it is unbiased; cost drops pairMod× (measured
     * 29.2 s → ~3.6 s at sf1), and pairMod is the knob that grows with the
-    * corpus at 100 TB. */
+    * corpus at 100 TB — including per-executor MEMORY: the broadcast side
+    * of the theta join is the sampled subset (O(corpus/pairMod) 16-byte
+    * rows), never the whole corpus. */
   def phashRecall(spark: SparkSession, d: String, maxHam: Int = 3,
       pairMod: Int = 8): DataFrame = {
     import graft.functions.Kernels.hash31
@@ -328,16 +330,23 @@ object Multimodal {
     val left = corpus
       .filter(pmod(hash31(col("doc_id").cast("string")), lit(pairMod.toLong)) === 0L)
     val right = corpus.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))
-    val truth = left
-      .join(broadcast(right), col("doc_id") < col("doc_b") &&
+    // broadcast the SAMPLED side, never the corpus: a theta join needs one
+    // broadcast side (else CartesianProduct), and building on `left` makes
+    // per-executor memory O(corpus/pairMod) — governed by the same knob as
+    // the pair count, so growing pairMod at 100 TB bounds BOTH
+    val truth = broadcast(left)
+      .join(right, col("doc_id") < col("doc_b") &&
         bit_count(expr("phash ^ ph_b")) <= maxHam)
       .agg(count(lit(1)).as("n_true_pairs"))
     val cand = phashDedup(spark, d, maxHam)
       .filter(pmod(hash31(col("doc_a").cast("string")), lit(pairMod.toLong)) === 0L)
       .agg(count(lit(1)).as("n_candidates"))
+    // n_true_pairs = 0 (nothing sampled) divides by zero: Spark div → NULL,
+    // DuckDB // → error; an empty truth set is vacuously 10000 bp on both
     truth.crossJoin(broadcast(cand))
       .select(col("n_true_pairs"), col("n_candidates"),
-        expr("n_candidates * 10000 div n_true_pairs").as("recall_bp"),
+        expr("CASE WHEN n_true_pairs = 0 THEN 10000 " +
+          "ELSE n_candidates * 10000 div n_true_pairs END").as("recall_bp"),
         (col("n_true_pairs") - col("n_candidates")).as("n_dropped"))
   }
 
@@ -365,7 +374,8 @@ object Multimodal {
        |cm AS (SELECT count(*) AS n_candidates FROM cand
        |       WHERE ${sampleA("doc_a")})
        |SELECT n_true_pairs, n_candidates,
-       |  n_candidates * 10000 // n_true_pairs AS recall_bp,
+       |  CASE WHEN n_true_pairs = 0 THEN 10000
+       |       ELSE n_candidates * 10000 // n_true_pairs END AS recall_bp,
        |  n_true_pairs - n_candidates AS n_dropped
        |FROM truth, cm""".stripMargin
   }

@@ -603,7 +603,9 @@ object Similarity {
     * the 4× cheaper projected scan answers its question (distance
     * thresholding: yes; hairline ranking: no). Per-pair doubles are
     * identical-order folds on both engines; the floor lands on identical
-    * bits. */
+    * bits. Zero-distance (duplicate-embedding) pairs are excluded on both
+    * engines: the ratio is undefined there and the engines' NaN casting
+    * conventions differ (Spark → 0L, DuckDB → error). */
   def vecRpDistortion(spark: SparkSession, d: String, nVecs: Int = 100,
       r: Int = RpDims): DataFrame = {
     val v = normed(spark, d).filter(col("vec_id") < nVecs)
@@ -614,9 +616,14 @@ object Similarity {
       aggregate(sequence(lit(0), size(x) - 1), lit(0.0), (acc, j) =>
         acc + (element_at(x, j + 1) - element_at(z, j + 1)) *
           (element_at(x, j + 1) - element_at(z, j + 1)))
+    // duplicate embeddings give d2=0 → NaN/Inf ratios, which Spark casts to
+    // 0L while DuckDB ERRORS casting floor(NaN) — zero-distance pairs carry
+    // no distortion signal, so both engines exclude them
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .select(floor(d2(col("ay"), col("by")) * lit(30000.0) /
-        (lit(r) * d2(col("ae"), col("be")))).cast("long").as("bp"))
+      .select(d2(col("ay"), col("by")).as("d2p"), d2(col("ae"), col("be")).as("d2f"))
+      .filter(col("d2f") > 0)
+      .select(floor(col("d2p") * lit(30000.0) /
+        (lit(r) * col("d2f"))).cast("long").as("bp"))
       .groupBy()
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(bp) div count(1)").as("mean_ratio_bp"),
@@ -638,7 +645,7 @@ object Similarity {
        |      (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1]))) AS d2p
        |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
        |r AS (SELECT cast(floor(d2p * 30000.0 / ($RpDims * d2f)) AS bigint)
-       |        AS bp FROM pr)
+       |        AS bp FROM pr WHERE d2f > 0)
        |SELECT count(*) AS n_pairs,
        |  cast(sum(bp) // count(*) AS bigint) AS mean_ratio_bp,
        |  min(bp) AS min_ratio_bp, max(bp) AS max_ratio_bp,
@@ -1453,8 +1460,13 @@ object Similarity {
     * map pass updating the running min-distance column against the single
     * newest center (never recomputing against all k) followed by a
     * TakeOrderedAndProject argmax — k corpus passes total, lineage pinned
-    * per round. Distances are identical-order list folds quantized to
-    * micro units, so the argmax and the published radii are engine-exact. */
+    * per round. Exactness contract, stated precisely: distances are
+    * IDENTICAL-ORDER list folds, so Spark and the DuckDB twin produce
+    * bit-identical doubles and the raw-double argmax (vec_id tiebreak)
+    * selects the same center on both engines; the micro-unit quantize
+    * applies only to the PUBLISHED radius column, not the argmax ordering.
+    * A different fold order would break this — the spec's monotone-radius
+    * and distinct-center pins plus the oracle hash are the guards. */
   def kCenter(spark: SparkSession, d: String, k: Int = KCenterSteps): DataFrame = {
     import spark.implicits._
     kCenterChain(spark, d, k)._1

@@ -774,7 +774,9 @@ object TextAnalysis {
   private def substrShareReport(win: DataFrame): DataFrame = {
     val df = win.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-    val perDoc = win.join(df, "h")
+    // df is one row per DISTINCT digest — corpus-derived, so it must never
+    // be an AQE broadcast build side (the family-wide no-broadcast rule)
+    val perDoc = win.join(df.hint("shuffle_hash"), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -922,7 +924,14 @@ object TextAnalysis {
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val perDoc = win.join(sharedH, "h")
+    // shuffle_hash, NEVER broadcast: sharedH grows with the corpus, and AQE
+    // happily converts the SMJ to broadcast from compressed shuffle stats
+    // (narrow long rows compress hard) — at sf1 the materialized
+    // LongToUnsafeRowMap OOMs the heap on the keep variant's anchors join,
+    // and at 100 TB any corpus-derived build side is hopeless. A shuffled
+    // hash join keys the same exchange and its per-PARTITION build side
+    // shrinks as the cluster grows.
+    val perDoc = win.join(sharedH.hint("shuffle_hash"), "h")
       .withColumn("next_i", lead(col("i"), 1).over(byDoc))
       .withColumn("cut",
         least(lit(40L), coalesce((col("next_i") - col("i")).cast("long"), lit(40L))))
@@ -930,7 +939,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_windows"), sum(col("cut")).as("chars_cut"))
     perDoc
       .join(docs.select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("chars_total")), "doc_id")
+        length(col("text")).cast("long").as("chars_total"))
+        .hint("shuffle_hash"), "doc_id")
       .select(col("doc_id"), col("source"), col("n_shared_windows"),
         col("chars_total"), col("chars_cut"),
         (col("chars_total") - col("chars_cut")).as("chars_kept"),
@@ -980,7 +990,8 @@ object TextAnalysis {
     substrApplyWinnowOn(Tables.documents(spark, d), w)
 
   def substrApplyWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
-    substrApplyOn(docs.join(winnowCandidates(docs, w), "doc_id"))
+    substrApplyOn(docs.join(winnowCandidates(docs, w).hint("shuffle_hash"),
+      "doc_id"))
 
   val substrApplyWinnowOracle: String = {
     import graft.functions.Kernels.sqlHash60
@@ -1060,11 +1071,17 @@ object TextAnalysis {
     val sharedH = win.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("h"))
-    val sh = win.join(sharedH, "h")
+    // shuffle_hash on every digest-keyed join: sharedH and anchors GROW
+    // WITH THE CORPUS (one row per shared digest). The r13 sf1 failure was
+    // AQE converting this exact join to BroadcastHashJoin off compressed
+    // shuffle stats and OOMing while deserializing the LongToUnsafeRowMap
+    // (HashedRelation.scala:949); forbidding broadcast keeps all three
+    // hash-on-h operators on ONE reused exchange with per-partition builds.
+    val sh = win.join(sharedH.hint("shuffle_hash"), "h")
     // the global per-digest anchor: min (doc_id, i) as one bigint key
     val anchors = sh.groupBy(col("h"))
       .agg(min(col("doc_id") * lit(16777216L) + col("i")).as("akey"))
-    val flagged = sh.join(anchors, "h")
+    val flagged = sh.join(anchors.hint("shuffle_hash"), "h")
       .withColumn("is_anchor",
         col("doc_id") * lit(16777216L) + col("i") === col("akey"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -1082,7 +1099,8 @@ object TextAnalysis {
         coalesce(col("n_anchor_windows"), lit(0L)).as("n_anchor_windows"),
         coalesce(col("chars_cut"), lit(0L)).as("chars_cut"))
       .join(docs.select(col("doc_id"), col("source"),
-        length(col("text")).cast("long").as("chars_total")), "doc_id")
+        length(col("text")).cast("long").as("chars_total"))
+        .hint("shuffle_hash"), "doc_id")
       .select(col("doc_id"), col("source"), col("n_cut_windows"),
         col("n_anchor_windows"), col("chars_total"), col("chars_cut"),
         (col("chars_total") - col("chars_cut")).as("chars_kept"),
@@ -1141,7 +1159,8 @@ object TextAnalysis {
     substrKeepWinnowOn(Tables.documents(spark, d), w)
 
   def substrKeepWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
-    substrKeepOn(docs.join(winnowCandidates(docs, w), "doc_id"))
+    substrKeepOn(docs.join(winnowCandidates(docs, w).hint("shuffle_hash"),
+      "doc_id"))
 
   /** Candidate docs under the winnowed fingerprint prefilter — shared by
     * [[substrApplyWinnowOn]] and [[substrKeepWinnowOn]] so the two apply
@@ -1164,7 +1183,9 @@ object TextAnalysis {
       .distinct()
     val sharedFp = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2).select(col("fp"))
-    fps.join(sharedFp, "fp").select(col("doc_id")).distinct()
+    // same no-broadcast rule: sharedFp is corpus-derived (one row per
+    // shared fingerprint), so it must never become a broadcast build side
+    fps.join(sharedFp.hint("shuffle_hash"), "fp").select(col("doc_id")).distinct()
   }
 
   val substrKeepWinnowOracle: String = {
@@ -1845,6 +1866,59 @@ object TextAnalysis {
   private def lnqU(c: Column): Column =
     floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
 
+  /** 256-entry mantissa table for the INTEGER-EXACT micro-ln quantizer
+    * [[ilnqU]]: entry j is `round(ln(1 + j/256)·10⁶)`, generated ONCE with
+    * `StrictMath` (bit-identical on every JVM) and consumed by BOTH engines
+    * as literals — Spark as a `typedlit` array, DuckDB baked into the
+    * oracle SQL string by the same process that builds this table — so NO
+    * floating-point op executes at query time on either engine. Public for
+    * the spec twins. */
+  val IlnTableMicro: IndexedSeq[Long] =
+    (0 until 256).map(j => Math.round(StrictMath.log1p(j / 256.0) * 1e6))
+
+  /** `round(ln 2 · 10⁶)` — the per-octave step of [[ilnqU]]. */
+  val IlnLn2Micro = 693147L
+
+  /** Integer-exact micro-ln quantizer: for x ≥ 1,
+    * `b·693147 + T[(x·256 >> b) − 256]` where `b = ⌊log₂ x⌋` comes from the
+    * BIT LENGTH of x (`length(bin(x)) − 1` — pure string/integer ops) and T
+    * is [[IlnTableMicro]]. Approximates `ln(x)·10⁶` to within
+    * `ln(1+1/256)·10⁶ ≈ 3906` micro units, is monotone non-decreasing, and
+    * — the property the driver gate actually needs — is EXACT integer
+    * arithmetic end to end, so Spark, DuckDB and the plain-Scala spec twin
+    * ([[ilnqRef]]) can never diverge by a libm/vectorization ulp the way a
+    * float `ln` can across hosts (the `text_unigram_curve` r12/r13 driver
+    * hash mismatches). Used by the curve row; the single-round `unigramEm`/
+    * `unigramPrune` rows keep the legacy milli-ln float quantize (green at
+    * the driver for 13 rounds). */
+  private def ilnqU(c: Column): Column = {
+    val x = c.cast("long")
+    val b = length(bin(x)) - lit(1)
+    val j = (call_function("shiftright", x * lit(256L), b) - lit(256L)).cast("int")
+    b.cast("long") * lit(IlnLn2Micro) +
+      element_at(typedlit(IlnTableMicro), j + lit(1))
+  }
+
+  /** Plain-Scala twin of [[ilnqU]] for spec reference folds. */
+  def ilnqRef(x: Long): Long = {
+    require(x >= 1, s"ilnq domain is x >= 1, got $x")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val j = ((x * 256L) >>> b).toInt - 256
+    b * IlnLn2Micro + IlnTableMicro(j)
+  }
+
+  /** DuckDB fragment computing [[ilnqU]] of `x`; requires the one-row
+    * `ilntab(ilnt)` CTE ([[ilnTabSql]]) to be cross-joined in scope. */
+  private def ilnqSql(x: String): String = {
+    val xe = s"cast($x AS bigint)"
+    s"((length(bin($xe)) - 1) * $IlnLn2Micro + " +
+      s"ilnt[cast((($xe * 256) >> (length(bin($xe)) - 1)) - 255 AS int)])"
+  }
+
+  /** The one-row mantissa-table CTE body backing [[ilnqSql]]. */
+  private def ilnTabSql: String =
+    s"ilntab AS (SELECT [${IlnTableMicro.mkString(", ")}] AS ilnt)"
+
   /** The (w, freq) word vocabulary a unigram model trains over. */
   private def unigramWordsOf(docs: DataFrame): DataFrame = docs
     .select(explode(tokens(col("text"))).as("w"))
@@ -2090,7 +2164,12 @@ object TextAnalysis {
     * [[UnigramCurveRounds]] driver-driven rounds, the exact twin of
     * `text_bpe_curve` for the SentencePiece-style trainer: each round
     * re-estimates piece log-probs from the previous round's usage
-    * (`lnq(max(e,1)) − lnq(Σ max(e,1))` — the prune convention), Viterbi-
+    * (`ilnq(max(e,1)) − ilnq(Σ max(e,1))` — the prune convention, on the
+    * INTEGER-EXACT micro-ln quantizer [[ilnqU]]: after two consecutive
+    * driver-host hash mismatches traced to the only float op in the row,
+    * the milli-ln `floor(ln·1000+0.5)` was replaced by a bit-length +
+    * 256-entry-mantissa-table lookup so neither engine executes any
+    * floating point), Viterbi-
     * segments the corpus under them ([[vitPieceUses]] — the 3-register
     * fold), then prunes the inventory to every single char + the
     * top-[[unigramCurveKeepN]] multi-char pieces by usage. Emits one
@@ -2125,9 +2204,11 @@ object TextAnalysis {
     for (k <- 1 to rounds) {
       val vocabBefore = inv.count()
       val tot = inv.agg(sum(greatest(col("score"), lit(1L))).as("t"))
+      // ilnqU, not lnqU: the curve is the one row where a float ln ever
+      // diverged across hosts (driver r12/r13) — integer-exact table lookup
       val lp = inv.crossJoin(broadcast(tot))
         .select(col("p"),
-          (lnqU(greatest(col("score"), lit(1L))) - lnqU(col("t"))).as("lp"))
+          (ilnqU(greatest(col("score"), lit(1L))) - ilnqU(col("t"))).as("lp"))
       val e = vitPieceUses(words, unigramLpMap(lp))
         .groupBy(col("p")).agg(sum(col("freq")).as("e"))
         .localCheckpoint() // model-sized; read twice (emitted + prune)
@@ -2179,13 +2260,11 @@ object TextAnalysis {
          |  SELECT w, freq, bl, expect - bl[expect],
          |    substr(w, expect - bl[expect] + 1, bl[expect])
          |  FROM bt$k WHERE expect > 0)""".stripMargin
-    val lnq = (x: String) =>
-      s"cast(floor(ln(cast($x AS double)) * 1000 + 0.5) AS bigint)"
     val roundsSql = (1 to UnigramCurveRounds).map { k =>
       s"""lp$k AS MATERIALIZED (
-         |  SELECT p, ${lnq("greatest(score, 1)")}
-         |    - ${lnq(s"(SELECT sum(greatest(score, 1)) FROM inv${k - 1})")} AS lp
-         |  FROM inv${k - 1}),
+         |  SELECT p, ${ilnqSql("greatest(score, 1)")}
+         |    - ${ilnqSql(s"(SELECT sum(greatest(score, 1)) FROM inv${k - 1})")} AS lp
+         |  FROM inv${k - 1}, ilntab),
          |${dpBt(k, s"lp$k")},
          |e$k AS MATERIALIZED (
          |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e
@@ -2233,6 +2312,7 @@ object TextAnalysis {
        |inv0 AS MATERIALIZED (
        |  SELECT p, cnt AS score FROM g1 UNION ALL
        |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |$ilnTabSql,
        |$roundsSql
        |SELECT round, vocab_before, vocab_after, pieces_emitted,
        |  pieces_emitted * 10000 //
@@ -2745,10 +2825,15 @@ object TextAnalysis {
     * the trained vocabulary): at each position take the longest vocabulary
     * piece that matches, else consume one character. The trained
     * vocabulary is the corpus alphabet plus the [[WordPieceSteps]] merge
-    * products (max product length [[WordPieceSteps]]+1), so the matcher
-    * tries lengths 6→2 against the one-row merge-product map and falls
-    * through to the single-char consume — single chars match-or-fallback
-    * identically, so only multi-char products need shipping.
+    * products; a merge can fuse two MULTI-CHAR products ('ab'+'ab' →
+    * 'abab' at step 2), so product lengths reach up to 2^steps — the
+    * matcher's probe chain therefore runs from the ACTUAL max trained
+    * product length (read off the ≤ steps-row model, not assumed) down to
+    * 2 against the one-row merge-product map, falling through to the
+    * single-char consume — single chars match-or-fallback identically, so
+    * only multi-char products need shipping. The oracle's recursive
+    * matcher takes max(length) over matching products — the same
+    * longest-match-first rule without a static chain.
     *
     * The per-word pass is one `aggregate` fold with a 2-register state
     * (next unconsumed position, pieces so far): pure fixed-width codegen,
@@ -2780,11 +2865,20 @@ object TextAnalysis {
     // merge-product map (≤ steps rows, each the fused pair): the shipped
     // model, one row after the collect_list aggregate — broadcast like
     // every codebook in the library
-    val mp = bests.reduce(_ unionAll _)
+    val prods = bests.reduce(_ unionAll _)
       .select(expr("replace(pair, ' ', '')").as("p")).distinct()
-      .groupBy()
+      .localCheckpoint() // ≤ steps rows; read twice (map + length bound)
+    val mp = prods.groupBy()
       .agg(map_from_entries(collect_list(struct(col("p"), lit(1)))).as("mp"))
-    val maxLen = steps + 1
+    // the MaxMatch probe bound comes from the ACTUAL trained products, not
+    // steps+1: a merge can fuse two multi-char products ('ab'+'ab' → 'abab'
+    // at step 2), so vocabulary pieces reach up to 2^steps chars — probing
+    // only 2..steps+1 would silently skip longer pieces that ARE in the
+    // shipped map (a model-sized collect, like every codebook publish)
+    val maxLen = prods.agg(max(length(col("p")))).collect()(0) match {
+      case r if r.isNullAt(0) => 2
+      case r => math.max(2, r.getInt(0))
+    }
     val perWord = words
       .crossJoin(broadcast(mp))
       .withColumn("n_pieces", aggregate(
@@ -2814,11 +2908,6 @@ object TextAnalysis {
     val steps = (1 to WordPieceSteps).map(wordpieceStepSql).mkString(",\n")
     val union = (1 to WordPieceSteps)
       .map(k => s"SELECT pair FROM best$k").mkString(" UNION ALL ")
-    val cases = (WordPieceSteps + 1 to 2 by -1)
-      .map(l => s"WHEN m$l.p IS NOT NULL THEN $l").mkString(" ")
-    val joins = (WordPieceSteps + 1 to 2 by -1)
-      .map(l => s"LEFT JOIN mp m$l ON m$l.p = substr(g.w, g.pos, $l)")
-      .mkString("\n        ")
     s"""WITH RECURSIVE src AS MATERIALIZED (
        |  SELECT source, w, count(*) AS freq FROM (
        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -2832,16 +2921,17 @@ object TextAnalysis {
        |$steps,
        |mp AS MATERIALIZED (
        |  SELECT DISTINCT replace(pair, ' ', '') AS p FROM ($union)),
+       |pmatch AS MATERIALIZED (
+       |  SELECT a.w, a.pos, coalesce(max(length(m.p)), 1) AS mlen
+       |  FROM (SELECT w, cast(unnest(generate_series(1, len(w))) AS int) AS pos
+       |        FROM awords) a
+       |  LEFT JOIN mp m ON m.p = substr(a.w, a.pos, length(m.p))
+       |  GROUP BY 1, 2),
        |seg AS (
        |  SELECT w, 1 AS pos, cast(0 AS bigint) AS cnt FROM awords
        |  UNION ALL
-       |  SELECT w, pos + mlen, cnt + 1
-       |  FROM (
-       |    SELECT g.w, g.pos, g.cnt,
-       |      CASE $cases ELSE 1 END AS mlen
-       |    FROM seg g
-       |        $joins
-       |    WHERE g.pos <= len(g.w)) s),
+       |  SELECT s.w, s.pos + p.mlen, s.cnt + 1
+       |  FROM seg s JOIN pmatch p ON p.w = s.w AND p.pos = s.pos),
        |perw AS (SELECT w, max(cnt) AS n_pieces FROM seg GROUP BY 1)
        |SELECT s.source, cast(sum(s.freq) AS bigint) AS n_tokens,
        |  cast(sum(length(s.w) * s.freq) AS bigint) AS chars,

@@ -108,6 +108,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substr family: no broadcast join — every build side derives from the corpus") {
+    // r13's sf1 failure mode: AQE saw small COMPRESSED shuffle stats for
+    // the digest-keyed anchors/sharedH sides (narrow long rows compress
+    // hard), converted the SMJ to BroadcastHashJoin, and OOM'd the heap
+    // deserializing the LongToUnsafeRowMap. Every join in this family has
+    // a corpus-growing build side (shared digests, anchors, doc metadata,
+    // winnow candidates), so the EXECUTED plan — post-AQE, where the
+    // conversion happens — must contain no broadcast join at all. At
+    // sf0.001 every side is tiny enough that AQE WOULD broadcast absent
+    // the shuffle_hash hints, so this test fails the moment a hint is lost.
+    val docs = graft.Tables.documents(spark, Sf)
+    for ((name, df) <- Seq(
+      "text_substr_dup" -> TextAnalysis.substrDupOn(docs),
+      "text_substr_apply" -> TextAnalysis.substrApplyOn(docs),
+      "text_substr_keep" -> TextAnalysis.substrKeepOn(docs),
+      "text_substr_dup_winnow" -> TextAnalysis.substrDupWinnowOn(docs),
+      "text_substr_apply_winnow" -> TextAnalysis.substrApplyWinnowOn(docs),
+      "text_substr_keep_winnow" -> TextAnalysis.substrKeepWinnowOn(docs))) {
+      df.collect() // finalize AQE — the broadcast conversion is a runtime re-plan
+      val s = physical(df).toString
+      assert(!s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name executed plan broadcasts a corpus-derived build side:\n$s")
+      assert(s.contains("ShuffledHashJoin"),
+        s"$name should join digest tables via ShuffledHashJoin:\n$s")
+    }
+  }
+
   test("shingle self-joins run on the df-capped inverted index, not raw shingles") {
     // The scale guard for the corpus-wide near-dup joins: both sides of the
     // shingle self-join must be the cappedShingles output, i.e. the plan

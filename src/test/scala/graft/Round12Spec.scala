@@ -122,7 +122,9 @@ class Round12Spec extends SparkSpec {
     }.groupBy(_._1).map { case (p0, xs) => p0 -> xs.map(_._2).sum }
     def topK(g: Map[String, Long]): Seq[(String, Long)] =
       g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(TextAnalysis.UnigramSeedNgrams)
-    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    // the curve's quantizer is the INTEGER-EXACT micro-ln (ilnq), not the
+    // float milli-ln — the r14 fix for the driver-host hash divergence
+    def lnq(x: Long): Long = TextAnalysis.ilnqRef(x)
     val NEG = TextAnalysis.UnigramNeg
     def viterbi(w: String, lp: Map[String, Long]): Seq[String] = {
       val L = w.length

@@ -37,13 +37,16 @@ class Round13Spec extends SparkSpec {
   }
 
   /** Plain-Scala mirror of the MaxMatch fold, truncating substr and all:
-    * at 1-based pos, try lengths 6→2 against the merge products (substring
-    * clamped at word end), else consume one char. */
+    * at 1-based pos, try lengths maxL→2 against the merge products
+    * (substring clamped at word end), else consume one char — maxL is the
+    * longest TRAINED product (merges fuse multi-char products, so lengths
+    * reach 2^steps; a static steps+1 cap silently skips shipped pieces). */
   private def refMaxMatch(w: String, products: Set[String]): Long = {
+    val maxL = if (products.isEmpty) 2 else math.max(2, products.map(_.length).max)
     var pos = 1
     var cnt = 0L
     while (pos <= w.length) {
-      val mlen = (6 to 2 by -1).find { l =>
+      val mlen = (maxL to 2 by -1).find { l =>
         products.contains(w.substring(pos - 1, math.min(pos - 1 + l, w.length)))
       }.getOrElse(1)
       pos += mlen
@@ -204,5 +207,23 @@ class Round13Spec extends SparkSpec {
     val expect = ws.map(refMaxMatch(_, products)).sum
     assert(got(0).getAs[Long]("pieces_after") == expect,
       s"products=$products got=${got(0)}")
+  }
+
+  test("text_wordpiece_apply: probes products LONGER than steps+1 (fused multi-char merges)") {
+    import spark.implicits._
+    // step 1 fuses a+b→ab; step 2 fuses ab+ab→abab — a 4-char product at
+    // steps=2, beyond the old static steps+1 probe cap. 'ababab' must
+    // segment abab+ab (2 pieces), not ab+ab+ab (3): the cap bug's witness
+    val text = "abab abab abab abab abab abab ab ababab"
+    val docs = Seq(("s", text)).toDF("source", "text")
+    val products = TextAnalysis
+      .wordpieceTrainOver(docs.select($"text"), 2).collect()
+      .map(_.getAs[String]("pair").replace(" ", "")).toSet
+    assert(products == Set("ab", "abab"), products.toString)
+    assert(refMaxMatch("ababab", products) == 2L) // the fixed twin agrees
+    val got = TextAnalysis.wordpieceApplyOver(docs, 2).collect()(0)
+    val expect = text.split(" ").map(refMaxMatch(_, products)).sum
+    assert(got.getAs[Long]("pieces_after") == expect,
+      s"products=$products got=$got want=$expect")
   }
 }
