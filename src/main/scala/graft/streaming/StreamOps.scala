@@ -1505,6 +1505,49 @@ object StreamOps {
       .transformWithState(new TransitionProcessor(ttl), mode, OutputMode.Append())
   }
 
+  /** STATE-EVOLUTION twin of [[transitionStreamTws]] — the processor a team
+    * deploys as an UPGRADE against a checkpoint the V1 processor has been
+    * writing: the `last` state variable's class gains a cumulative edge
+    * counter ([[LastEventV2]] adds `n_edges: Option[Long]` — nullable, the
+    * Avro-evolvable shape). Restarting the same checkpoint under the new
+    * schema is legal only when the state store was created with the Avro
+    * encoding (`spark.sql.streaming.stateStore.encodingFormat=avro`, set
+    * BEFORE the first run; the default UnsafeRow encoding pins the state
+    * schema for the checkpoint's lifetime): on read, Avro schema evolution
+    * fills the added field with null, the processor treats None as "counter
+    * starts now", and V1-written last-events still chain — no edge is lost
+    * across the upgrade. Output adds `cum_edges` so the evolved field is
+    * observable downstream. The spec drives the actual operational
+    * sequence: run V1 → stop → resume V2 on the same checkpoint. */
+  def transitionStreamTwsV2(events: Dataset[ChangeEvent]): Dataset[TransitionV2] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessorV2,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** WARM-START twin of [[transitionStreamTws]] — the batch→streaming
+    * cutover: the per-user `last` state is seeded from a batch snapshot
+    * (each user's final event in the history table, one [[UserLastEvent]]
+    * row per user) through TWS's initial-state surface
+    * ([[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]]
+    * .handleInitialState, invoked once per snapshot key on the FIRST
+    * micro-batch), so a migrated user's first streamed event chains off
+    * their batch-era last event instead of opening a cold chain — no edge
+    * is lost at the cutover, and the history table never replays. The
+    * snapshot is a keyed Dataset: at scale it shuffles once into the
+    * store's own partitioning, never through the driver. */
+  def transitionStreamTwsWarm(events: Dataset[ChangeEvent],
+      snapshot: Dataset[UserLastEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessorWarm,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        snapshot.groupByKey(_.user_id))
+  }
+
   /** Streaming Markov-transition monitor — the in-flight twin of the batch
     * `ev_transition_matrix`: per-user state is the LAST event only (type +
     * epoch-µs — O(1) per user, the streaming form of the batch query's
@@ -1611,6 +1654,93 @@ class TransitionProcessor(ttl: java.time.Duration = null)
 /** Last-seen event per user — O(1) state for
   * [[StreamOps.transitionStream]]. */
 private case class LastEvent(event_type: String, us: Long)
+
+/** [[StreamOps.transitionStreamTwsV2]]'s upgraded processor: identical
+  * transition semantics, but the state carries a per-user cumulative edge
+  * counter. Reads V1-written [[LastEvent]] rows through Avro schema
+  * evolution (the added field arrives as None) — the state-variable name
+  * ("last") and key type must match V1 exactly; only the value class
+  * evolves. */
+class TransitionProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChangeEvent, TransitionV2] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var last: ValueState[LastEventV2] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    last = getHandle.getValueState[LastEventV2]("last",
+      org.apache.spark.sql.Encoders.product[LastEventV2], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
+      timers: TimerValues): Iterator[TransitionV2] = {
+    def us(e: ChangeEvent): Long = StreamOps.usOf(e.ts)
+    var s = if (last.exists()) last.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[TransitionV2]
+    rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+      val t = us(e)
+      if (s != null) {
+        // a V1-written value surfaces with n_edges = None: the counter
+        // begins at the upgrade, the chain itself is preserved
+        val n = s.n_edges.getOrElse(0L) + 1
+        out += TransitionV2(uid, s.event_type, e.event_type, t - s.us, n)
+        s = LastEventV2(e.event_type, t, Some(n))
+      } else s = LastEventV2(e.event_type, t, Some(0L))
+    }
+    last.update(s)
+    out.iterator
+  }
+}
+
+/** [[StreamOps.transitionStreamTwsWarm]]'s processor: [[TransitionProcessor]]
+  * semantics with the initial-state hook — each snapshot row seeds the
+  * user's `last` value before any streamed batch runs. Streamed rows that
+  * RACE the snapshot (same first batch) still order correctly because
+  * handleInitialState runs before handleInputRows for a key. */
+class TransitionProcessorWarm
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, ChangeEvent, Transition, UserLastEvent] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+  @transient private var last: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    last = getHandle.getValueState[LastEvent]("last",
+      org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInitialState(uid: Long, initial: UserLastEvent,
+      timers: TimerValues): Unit =
+    last.update(LastEvent(initial.event_type, initial.us))
+
+  override def handleInputRows(uid: Long, rows: Iterator[ChangeEvent],
+      timers: TimerValues): Iterator[Transition] = {
+    def us(e: ChangeEvent): Long = StreamOps.usOf(e.ts)
+    var s = if (last.exists()) last.get() else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+      val t = us(e)
+      if (s != null) out += Transition(uid, s.event_type, e.event_type, t - s.us)
+      s = LastEvent(e.event_type, t)
+    }
+    last.update(s)
+    out.iterator
+  }
+}
+
+/** One user's final batch-era event — the snapshot row type seeding
+  * [[StreamOps.transitionStreamTwsWarm]]. */
+case class UserLastEvent(user_id: Long, event_type: String, us: Long)
+
+/** V2 of [[LastEvent]]: the added counter is `Option[Long]` (nullable →
+  * an Avro union with a null default), the shape state-schema evolution
+  * accepts; a bare `Long` would be a required Avro field with no default
+  * and the restart would be rejected. */
+private case class LastEventV2(event_type: String, us: Long,
+    n_edges: Option[Long])
+
+/** One (from → to) edge plus the user's post-upgrade cumulative edge
+  * count, emitted by [[StreamOps.transitionStreamTwsV2]]. */
+case class TransitionV2(user_id: Long, from_type: String, to_type: String,
+    gap_us: Long, cum_edges: Long)
 
 /** [[StreamOps.scd2StreamTws]]'s typed processor: per-user
   * `ValueState[Scd2State]` plus an event-time flush TIMER — the engine

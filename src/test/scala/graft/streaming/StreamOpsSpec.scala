@@ -2399,4 +2399,128 @@ class StreamOpsSpec extends SparkSpec {
         case None => spark.conf.unset(key) }
     }
   }
+
+  test("TWS state evolution: V2 processor (added state field) resumes a V1 checkpoint under Avro encoding") {
+    // The production upgrade path RocksDB users hit first: a deployed
+    // processor's state class gains a field, and the new build must resume
+    // the OLD checkpoint. Legal only under the Avro state encoding (set
+    // before the checkpoint's first run — UnsafeRow pins the schema);
+    // evolution fills the added Option field with None on V1-written rows.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val priorProv = spark.conf.getOption(provKey)
+    val priorEnc = spark.conf.getOption(encKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encKey, "avro")
+    val ckpt = java.nio.file.Files.createTempDirectory("twsevolve").toString
+    val in = MemoryStream[ChangeEvent]
+    try {
+      // ── run 1: V1 processor writes LastEvent("b") for user 1 ──
+      val v1Edges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q1 = StreamOps.transitionStreamTws(in.toDS())
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+          v1Edges.synchronized {
+            v1Edges ++= ds.collect().map(t => (t.from_type, t.to_type))
+          }: Unit
+        }
+        .start()
+      try {
+        in.addData(ChangeEvent(1, 10, "a", hts(0)), ChangeEvent(1, 11, "b", hts(1)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(v1Edges.toSeq == Seq(("a", "b")), s"V1 run chains a→b, got $v1Edges")
+
+      // ── run 2: V2 processor resumes the SAME checkpoint ──
+      val v2Edges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      val q2 = StreamOps.transitionStreamTwsV2(in.toDS())
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[TransitionV2], _: Long) =>
+          v2Edges.synchronized {
+            v2Edges ++= ds.collect()
+              .map(t => (t.user_id, t.from_type, t.to_type, t.cum_edges))
+          }: Unit
+        }
+        .start()
+      try {
+        // user 1's V1-written last event must chain (b→c) — proof the old
+        // state is readable — with the evolved counter starting at 1;
+        // a second event then increments it; user 2 is fresh post-upgrade
+        in.addData(ChangeEvent(1, 12, "c", hts(2)), ChangeEvent(2, 13, "e", hts(2)))
+        q2.processAllAvailable()
+        in.addData(ChangeEvent(1, 14, "d", hts(3)), ChangeEvent(2, 15, "f", hts(3)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = v2Edges.synchronized(v2Edges.toSet)
+      assert(got == Set(
+        (1L, "b", "c", 1L), (1L, "c", "d", 2L),
+        (2L, "e", "f", 1L)),
+        s"V2 must read V1 state (b→c) and count forward, got $got")
+    } finally {
+      priorProv match { case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey) }
+      priorEnc match { case Some(v) => spark.conf.set(encKey, v)
+        case None => spark.conf.unset(encKey) }
+    }
+  }
+
+  test("TWS initial state: batch snapshot warm-starts the transition monitor; no edge lost at cutover") {
+    // The batch→streaming migration: history's per-user LAST event seeds
+    // the store, the stream carries on from the cutover. Every edge whose
+    // destination is post-cutover must appear — including the boundary
+    // edge (batch-era from, streamed to) a cold start would drop.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.Tables.events(spark, Sf)
+      .filter(expr("user_id % 10 = 3"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => ChangeEvent(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (hist, live) = evs.splitAt(evs.length / 2)
+    def us(e: ChangeEvent): Long = StreamOps.usOf(e.ts)
+    // snapshot: each user's final history event (max by the processor's
+    // own (µs, event_id) order)
+    val snapshot = hist.groupBy(_.user_id).map { case (u, es) =>
+      val lastEv = es.maxBy(e => (us(e), e.event_id))
+      UserLastEvent(u, lastEv.event_type, us(lastEv))
+    }.toSeq
+    // expected: every consecutive-pair edge over the FULL per-user
+    // sequence whose destination event is post-cutover
+    val liveIds = live.map(_.event_id).toSet
+    val expected = evs.toSeq.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (us(e), e.event_id)).sliding(2).collect {
+        case Seq(a, b) if liveIds(b.event_id) =>
+          (u, a.event_type, b.event_type, us(b) - us(a))
+      }
+    }.toSet
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.transitionStreamTwsWarm(in.toDS(),
+        spark.createDataset(snapshot))
+      .writeStream.format("memory").queryName("twswarm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (l1, l2) = live.splitAt(live.length / 2)
+      in.addData(l1.toIndexedSeq); q.processAllAvailable()
+      in.addData(l2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, from_type, to_type, gap_us FROM twswarm")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed.nonEmpty && streamed == expected,
+        s"warm-start cutover divergence (missing: ${(expected -- streamed).take(3)}, " +
+          s"extra: ${(streamed -- expected).take(3)})")
+    } finally {
+      q.stop()
+      prior match { case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key) }
+    }
+  }
 }
