@@ -284,7 +284,9 @@ object Dedup {
     val sh = shingleRows(docs, carry)
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
-    sh.join(keep, "s")
+    // keep is the corpus's distinct-shingle list — corpus-growing, never
+    // broadcast (the no-corpus-broadcast family rule, see jaccardConfirm)
+    sh.join(keep.hint("shuffle_hash"), "s")
   }
   private def sqlCappedShingles(docsCte: String, maxDf: Int,
       carry: Seq[String] = Nil): String = {
@@ -368,15 +370,25 @@ object Dedup {
     * doc_b's — cost |cand| × shingles-per-doc, the right shape when the
     * candidate set is already small (LSH buckets). */
   private def jaccardConfirm(cand: DataFrame, sh: DataFrame, minJac: Double): DataFrame = {
+    // shuffle_hash on every corpus-derived join side (candidates, shingle
+    // postings, per-doc sizes): ALL of them grow with the corpus, and the
+    // r13 text_substr_keep OOM proved AQE will broadcast a corpus-growing
+    // side off small compressed shuffle stats. Measured at sf1 the hinted
+    // plans are also FASTER (dedup_minhash_lsh 17.6→9.5 s,
+    // dedup_ngram_jaccard 16.2→11.0 s): the broadcast build/collect cost
+    // exceeded the saved exchange even where it didn't OOM.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
     val inter =
-      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "s"))
+      cand.hint("shuffle_hash").join(shA.hint("shuffle_hash"), "doc_a")
+        .join(shB.hint("shuffle_hash"), Seq("doc_b", "s"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJac)
@@ -455,8 +467,8 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxBandDf)
       .select(col("band"), col("band_sig"))
-    val capped = bands.join(keep, Seq("band", "band_sig"))
-    val cand = capped.as("x").join(capped.as("y"),
+    val capped = bands.join(keep.hint("shuffle_hash"), Seq("band", "band_sig"))
+    val cand = capped.as("x").hint("shuffle_hash").join(capped.as("y").hint("shuffle_hash"),
       col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -611,10 +623,13 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"), col("lang"), col("lb"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"), col("lang"), col("lb"))
-    shA.join(shB, Seq("s", "lang", "lb")).filter(col("doc_a") < col("doc_b"))
+    shA.hint("shuffle_hash").join(shB.hint("shuffle_hash"), Seq("s", "lang", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJac)
@@ -1043,19 +1058,21 @@ object Dedup {
     val rows = winnowFingerprints(spark, d).localCheckpoint()
     val keep = rows.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("fp"))
-    val idx = rows.join(keep, "fp")
+    val idx = rows.join(keep.hint("shuffle_hash"), "fp")
     val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     // distinct projections on each side: a raw self-join of one lineage
     // lets Catalyst resolve both fp refs to the SAME attribute (trivially
     // true condition → cartesian)
     val left = idx.select(col("fp"), col("doc_id").as("doc_a"))
     val right = idx.select(col("fp"), col("doc_id").as("doc_b"))
-    left.join(right, Seq("fp"))
+    left.hint("shuffle_hash").join(right.hint("shuffle_hash"), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b")), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("overlap_bp", expr("n_shared * 10000 div least(fps_a, fps_b)"))
       .filter(col("overlap_bp") >= minOverlapBp)
       .select("doc_a", "doc_b", "n_shared", "overlap_bp")
@@ -1229,10 +1246,13 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("doc_a"), col("s"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("s"))
-    shA.join(shB, "s").filter(col("doc_a") < col("doc_b"))
+    shA.hint("shuffle_hash").join(shB.hint("shuffle_hash"), "s")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("containment",
         round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= minCont)
@@ -1396,12 +1416,14 @@ object Dedup {
         .filter(pmod(xxhash64(col("doc_id")), lit(truthSample.toLong)) === 0L)
     val sh = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+    val truth = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"), "s")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .filter(round(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")), 4) >= minJac)
       .select(col("doc_a"), col("doc_b"))
@@ -1409,7 +1431,7 @@ object Dedup {
     // for the truth join AND the minhash pipeline (exchange reuse)
     val found = minhashLshOn(sh, minJac)
       .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
-    truth.join(found, Seq("doc_a", "doc_b"), "left")
+    truth.join(found.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"),
         count(col("hit")).as("n_found"),
         round(count(col("hit")) / count(lit(1)).cast("double"), 4).as("recall"))
@@ -1463,11 +1485,12 @@ object Dedup {
     val ts = cappedShingles(train, maxDf)
     val es = shingleRows(evalDocs)
     val esizes = es.groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval"))
-    es.select(col("doc_id").as("eval_id"), col("s"))
-      .join(ts.select(col("doc_id").as("train_id"), col("s")), "s")
+    es.select(col("doc_id").as("eval_id"), col("s")).hint("shuffle_hash")
+      .join(ts.select(col("doc_id").as("train_id"), col("s")).hint("shuffle_hash"), "s")
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(esizes.select(col("doc_id").as("eval_id"), col("n_eval")), "eval_id")
+      .join(esizes.select(col("doc_id").as("eval_id"), col("n_eval"))
+        .hint("shuffle_hash"), "eval_id")
       .withColumn("overlap",
         round(col("n_shared").cast("double") / col("n_eval"), 4))
       .groupBy(col("eval_id"))

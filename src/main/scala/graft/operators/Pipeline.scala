@@ -1147,19 +1147,26 @@ object Pipeline {
       .distinct()
     val keepSh = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
-    val sh = sh0.join(keepSh, "s").localCheckpoint()
+    // shuffle_hash on every corpus-derived side (shingle postings, sizes,
+    // component labels) — the no-corpus-broadcast family rule (see
+    // Dedup.jaccardConfirm)
+    val sh = sh0.join(keepSh.hint("shuffle_hash"), "s").localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("doc_a"), col("s"), col("lang"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s"), col("lang")), Seq("s", "lang"))
+      .hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s"), col("lang"))
+        .hint("shuffle_hash"), Seq("s", "lang"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "doc_b")
       .filter(round(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")), 4) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val labels = Dedup.connectedComponentsOfEdges(pairs)
-    val nd = e.join(labels, Seq("doc_id"), "left")
+    val nd = e.join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .filter(col("label").isNull || col("doc_id") === col("label"))
       .select(col("doc_id"), col("text"))
     // stage 4: decontamination — broadcast Bloom filter over the held-out
@@ -1200,10 +1207,14 @@ object Pipeline {
       .agg(count(lit(1)).as("n_sh"), sum(col("hit")).as("n_flagged"))
       .filter(col("n_flagged") * 2 >= col("n_sh"))
       .select(col("doc_id"), lit(true).as("contaminated"))
+    // every verdict frame (canon, labels, contam) is corpus-cardinality —
+    // shuffle_hash, never broadcast
     staged.select(col("doc_id"), col("source"), col("kept_q"))
-      .join(canon.select(col("doc_id"), col("canon")), Seq("doc_id"), "left")
-      .join(labels.withColumnRenamed("label", "ndlabel"), Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
+      .join(canon.select(col("doc_id"), col("canon")).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .join(labels.withColumnRenamed("label", "ndlabel").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .join(contam.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         when(!col("kept_q"), "quality")
           .when(col("doc_id") =!= col("canon"), "exact")

@@ -236,9 +236,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("m")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fingerprints"), sum(col("m")).as("fp_sum"))
+    // shuffle_hash: both per-doc aggregate sides are corpus-cardinality —
+    // the no-corpus-broadcast family rule (see Dedup.jaccardConfirm)
     base.select(col("doc_id"))
-      .join(gcount, Seq("doc_id"), "left")
-      .join(fstats, Seq("doc_id"), "left")
+      .join(gcount.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(fstats.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
@@ -569,7 +571,9 @@ object TextAnalysis {
           element_at(col("t"), col("i") + 2))).as("h"))
       .distinct()
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
-    val perDoc = sh.join(df, "h")
+    // digest-keyed corpus-growing build — the exact r13 OOM class; never
+    // broadcast (see Dedup.jaccardConfirm)
+    val perDoc = sh.join(df.hint("shuffle_hash"), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -698,7 +702,9 @@ object TextAnalysis {
           element_at(col("t"), col("i") + 2))).as("h"))
       .distinct()
     val firstSeen = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firstSeen, "h")
+    // digest-keyed corpus-growing build — never broadcast (see
+    // Dedup.jaccardConfirm)
+    sh.join(firstSeen.hint("shuffle_hash"), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -135,6 +135,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup/ngram family: no broadcast join — every build side derives from the corpus") {
+    // The r14 extension of the substr-family guard (verdict-r13 task 6):
+    // the sf1 audit showed AQE converting the candidate/size/df joins of
+    // the whole near-dup family to BroadcastHashJoin off small compressed
+    // stats — the same class that OOM'd text_substr_keep, and measurably
+    // SLOWER at sf1 even where it survives (minhash_lsh 17.6→9.5 s with
+    // broadcasts off). Every join side in these rows grows with the
+    // corpus (shingle postings, candidate pairs, per-doc sizes, digest
+    // dfs, component labels), so the EXECUTED plans must carry only
+    // shuffled joins. At sf0.001 AQE WOULD broadcast absent the
+    // shuffle_hash hints, so this fails the moment a hint is lost.
+    for ((name, df) <- Seq(
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, Sf),
+      "dedup_minhash_lsh" -> Dedup.minhashLsh(spark, Sf),
+      "dedup_containment" -> Dedup.containment(spark, Sf),
+      "dedup_winnow_pairs" -> Dedup.winnowPairs(spark, Sf),
+      "dedup_minhash_recall" -> Dedup.minhashRecall(spark, Sf),
+      "docs_decontaminate" -> Dedup.decontaminate(spark, Sf),
+      "text_winnowing" -> TextAnalysis.winnowing(spark, Sf),
+      "text_dup_ngram_frac" -> TextAnalysis.dupNgramFrac(spark, Sf),
+      "text_ngram_novelty" -> TextAnalysis.ngramNovelty(spark, Sf))) {
+      df.collect() // finalize AQE — the broadcast conversion is a runtime re-plan
+      val s = physical(df).toString
+      assert(!s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name executed plan broadcasts a corpus-derived build side:\n$s")
+      assert(s.contains("ShuffledHashJoin"),
+        s"$name should join corpus-derived tables via ShuffledHashJoin:\n$s")
+    }
+    // docs_pipeline_full: the ONLY legitimate broadcasts are the two Bloom
+    // filter-word probes (bounded m/62 longs regardless of corpus size)
+    val full = Pipeline.pipelineFullStages(spark, Sf)
+    full.collect()
+    // count on the executed TREE (the AQE toString prints the final AND
+    // initial plans, double-counting string matches)
+    var bhj = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan); return
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child); return
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => bhj += 1
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          fail(s"docs_pipeline_full plans a BroadcastNestedLoopJoin:\n${physical(full)}")
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(physical(full))
+    assert(bhj == 2,
+      s"docs_pipeline_full must broadcast exactly the two Bloom probes, found $bhj:\n${physical(full)}")
+  }
+
   test("shingle self-joins run on the df-capped inverted index, not raw shingles") {
     // The scale guard for the corpus-wide near-dup joins: both sides of the
     // shingle self-join must be the cappedShingles output, i.e. the plan
