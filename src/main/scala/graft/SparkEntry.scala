@@ -81,6 +81,7 @@ object SparkEntry {
     "ev_attribution" -> ((s, d) => Events.attribution(s, d)),
     "ev_ab_test" -> ((s, d) => Events.abTest(s, d)),
     "ev_transition_matrix" -> ((s, d) => Events.transitionMatrix(s, d)),
+    "ev_markov_stationary" -> ((s, d) => Events.markovStationary(s, d)),
     "ev_seasonality" -> ((s, d) => Events.seasonality(s, d)),
     "ev_sliding_counts" -> ((s, d) => Events.slidingCounts(s, d)),
     "ev_changepoint" -> ((s, d) => Events.changepoint(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "vec_pq" -> ((s, d) => Similarity.vecPq(s, d)),
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "ann_ivf_nprobe_curve" -> ((s, d) => Similarity.ivfNprobeCurve(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
     "ann_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
@@ -572,6 +574,7 @@ object SparkEntry {
     "ev_attribution" -> Events.attributionOracle,
     "ev_ab_test" -> Events.abTestOracle,
     "ev_transition_matrix" -> Events.transitionMatrixOracle,
+    "ev_markov_stationary" -> Events.markovStationaryOracle,
     "ev_seasonality" -> Events.seasonalityOracle,
     "ev_sliding_counts" -> Events.slidingCountsOracle,
     "ev_changepoint" -> Events.changepointOracle,
@@ -617,6 +620,7 @@ object SparkEntry {
     "vec_pq" -> Similarity.vecPqOracle,
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
+    "ann_ivf_nprobe_curve" -> Similarity.ivfNprobeCurveOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_refine" -> Similarity.refineTopKOracle,
     "ann_mrl_recall" -> Similarity.mrlRecallOracle,

@@ -196,7 +196,8 @@ object Dedup {
       sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
       max(col("df")).as("max_df"))
     val docSide = bands
-      .join(dfs.filter(col("df") > maxDf).select(keys.map(col): _*), keys)
+      .join(dfs.filter(col("df") > maxDf).select(keys.map(col): _*)
+        .hint("shuffle_hash"), keys) // hot-bucket list is corpus-derived
       .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
     bucketSide.join(broadcast(docSide))
   }
@@ -318,7 +319,8 @@ object Dedup {
       sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
       max(col("df")).as("max_df"))
     val docSide = sh
-      .join(dfs.filter(col("df") > maxDf).select(col("s")), "s")
+      .join(dfs.filter(col("df") > maxDf).select(col("s"))
+        .hint("shuffle_hash"), "s") // boilerplate-shingle list is corpus-derived
       .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
     shingleSide.join(broadcast(docSide))
   }

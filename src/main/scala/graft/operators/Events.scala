@@ -2554,6 +2554,72 @@ object Events {
       |  cast(gap_sum_us // n_transitions AS bigint) AS mean_gap_us
       |FROM cnt JOIN tot USING (from_type) ORDER BY 1, 2""".stripMargin
 
+  /** Stationary event-type distribution (`ev_markov_stationary`) — three
+    * integer power-iteration steps of the user-journey Markov chain
+    * (the PageRank shape on the [[transitionMatrix]] model): where does a
+    * long-running session's attention settle, the summary a product team
+    * reads next to the per-edge matrix. ONE corpus pass builds the
+    * transition counts; every subsequent step is a join + aggregate over
+    * the MODEL-sized frame (≤ \|types\|² rows, localCheckpoint-pinned —
+    * the `vec_power_iter`/`text_bpe_curve` driver-round discipline), so
+    * three steps or thirty cost the same corpus I/O. All-integer: mass
+    * starts at 10⁶ per type and each step moves `v·n div row_total` along
+    * every edge (floor division, mirrored exactly in the oracle), so no
+    * float ever executes — the unigram-curve lesson applied from birth.
+    * Support is the from-type chain (a type with no outgoing edges sheds
+    * its mass at the next step — the absorbing-state caveat, documented
+    * rather than patched, since every type at every SF has outgoing
+    * edges). */
+  def markovStationary(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rowTotals = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+    val p = cnt.join(broadcast(rowTotals), "from_type")
+    val v0 = cnt.select(col("from_type").as("t")).distinct()
+      .select(col("t"), lit(1000000L).as("v"))
+    def step(v: DataFrame): DataFrame =
+      p.join(broadcast(v), col("from_type") === col("t"))
+        .select(col("to_type"), expr("v * n div row_total").as("m"))
+        .groupBy(col("to_type")).agg(sum(col("m")).as("v"))
+        .select(col("to_type").as("t"), col("v"))
+    val v3 = step(step(step(v0)))
+    val tot = v3.agg(sum(col("v")).as("tot"))
+    v3.crossJoin(broadcast(tot))
+      .select(col("t").as("event_type"), col("v").as("mass"),
+        expr("v * 10000 div tot").as("share_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val markovStationaryOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER w AS from_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |cnt AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS row_total FROM cnt GROUP BY 1),
+      |p AS (SELECT c.from_type, c.to_type, c.n, r.row_total
+      |      FROM cnt c JOIN rt r USING (from_type)),
+      |v0 AS (SELECT DISTINCT from_type AS t, cast(1000000 AS bigint) AS v FROM cnt),
+      |v1 AS (SELECT to_type AS t, cast(sum(v * n // row_total) AS bigint) AS v
+      |       FROM p JOIN v0 ON p.from_type = v0.t GROUP BY 1),
+      |v2 AS (SELECT to_type AS t, cast(sum(v * n // row_total) AS bigint) AS v
+      |       FROM p JOIN v1 ON p.from_type = v1.t GROUP BY 1),
+      |v3 AS (SELECT to_type AS t, cast(sum(v * n // row_total) AS bigint) AS v
+      |       FROM p JOIN v2 ON p.from_type = v2.t GROUP BY 1),
+      |tot AS (SELECT sum(v) AS tot FROM v3)
+      |SELECT t AS event_type, v AS mass,
+      |  cast(v * 10000 // tot AS bigint) AS share_bp
+      |FROM v3, tot ORDER BY 1""".stripMargin
+
   /** Weekly seasonality profile (`ev_seasonality`) — the day-of-week ×
     * hour-of-day traffic matrix (168 cells) an operations dashboard keeps
     * for capacity planning and anomaly baselines: events, purchases, exact

@@ -725,6 +725,120 @@ object Similarity {
        |LEFT JOIN a2 ON t.query_id = a2.query_id AND t.neighbor_id = a2.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The IVF nprobe TUNING CURVE (`ann_ivf_nprobe_curve`) — recall@k
+    * priced against scan cost at nprobe ∈ {1, 2, 4}, the table an ANN
+    * deployment reads to pick its probe count (the family's curve
+    * convention: `dedup_threshold_curve`, `vec_rp_curve`,
+    * `text_bpe_curve`). The key scale property: ONE corpus pass serves
+    * every probe level — each candidate row carries the probe rank `pr`
+    * of the cell it was found through (a member has exactly one cell, so
+    * a (query, neighbor) pair appears at most once — no dedup), and level
+    * p is the pr ≤ p slice, re-ranked. A naive per-level loop would scan
+    * the corpus once per level; this shape is level-count-invariant. The
+    * candidate frame is localCheckpoint-pinned (read twice per level:
+    * top-k + scan census). n_scanned is the EXACT candidate count the
+    * level's probes touch — the cost axis of the curve (\|corpus\|·p/16
+    * per query in expectation). */
+  def ivfNprobeCurve(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 3, nCells: Int = 16, probesMax: Int = 4): DataFrame = {
+    val members = ivfAssignments(spark, d, nCells)
+    val probes = normed(spark, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+      .join(broadcast(centroidMatrix(spark, d, nCells)))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        posexplode(col("cents")).as(Seq("cell", "carr")))
+      .withColumn("ccos",
+        round(dot(col("qe"), col("carr")) / (col("qnorm") * vecNorm(col("carr"))), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= probesMax)
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        col("cell").cast("long").as("cell"), col("pr"))
+    val cand = members.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"),
+        col("pr"))
+      .localCheckpoint()
+    val truth = bruteforceTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    Seq(1, 2, probesMax).distinct.map { p =>
+      val sub = cand.filter(col("pr") <= p)
+      val topk = sub.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val scanned = sub.groupBy().agg(count(lit(1)).as("n_scanned"))
+      truth.join(topk, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+        .select(lit(p.toLong).as("nprobe"), col("n_hits"),
+          round(col("n_hits") / col("n_truth").cast("double"), 4).as("recall_at_k"))
+        .crossJoin(broadcast(scanned))
+    }.reduce(_.unionAll(_)).orderBy(col("nprobe"))
+  }
+
+  val ivfNprobeCurveOracle: String = {
+    val levels = Seq(1, 2, 4).map { p =>
+      s"""SELECT cast($p AS bigint) AS nprobe,
+         |  cast(count(tk.neighbor_id) AS bigint) AS n_hits,
+         |  round(count(tk.neighbor_id) / cast(count(*) AS double), 4) AS recall_at_k,
+         |  (SELECT count(*) FROM cand WHERE pr <= $p) AS n_scanned
+         |FROM truth t
+         |LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM cand WHERE pr <= $p)
+         |  WHERE rank <= 3) tk
+         |  ON t.query_id = tk.query_id AND t.neighbor_id = tk.neighbor_id""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+       |comp AS (SELECT vec_id, j, e[j] AS val FROM x),
+       |cents AS (
+       |  SELECT vec_id % 16 AS cell, j, round(avg(e2[j]), 6) AS c
+       |  FROM (SELECT vec_id, e AS e2, unnest(generate_series(1, len(e))) AS j
+       |        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings))
+       |  GROUP BY 1, 2),
+       |cnorms AS (SELECT cell, sqrt(sum(c*c)) AS cnorm FROM cents GROUP BY 1),
+       |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+       |dots AS (
+       |  SELECT comp.vec_id, cents.cell, sum(val * c) AS dot
+       |  FROM comp JOIN cents ON comp.j = cents.j
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT d.vec_id, d.cell,
+       |    row_number() OVER (PARTITION BY d.vec_id
+       |      ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.cell) AS arank
+       |  FROM dots d JOIN cnorms cn ON d.cell = cn.cell
+       |  JOIN vnorms vn ON d.vec_id = vn.vec_id),
+       |assigned AS (SELECT vec_id, cell FROM ranked WHERE arank = 1),
+       |members AS (
+       |  SELECT v.vec_id, v.e, vn.norm, a.cell
+       |  FROM v JOIN vnorms vn ON v.vec_id = vn.vec_id
+       |  JOIN assigned a ON v.vec_id = a.vec_id),
+       |probes AS (
+       |  SELECT r.vec_id AS query_id, v.e AS qe, vn.norm AS qnorm, r.cell, r.arank AS pr
+       |  FROM ranked r JOIN v ON r.vec_id = v.vec_id
+       |  JOIN vnorms vn ON r.vec_id = vn.vec_id
+       |  WHERE r.vec_id < 10 AND r.arank <= 4),
+       |cand AS (
+       |  SELECT query_id, m.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, m.e) / (qnorm * m.norm), 4) AS cos, pr
+       |  FROM probes p JOIN members m ON p.cell = m.cell AND m.vec_id != p.query_id),
+       |ts AS (
+       |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.e, m.e) / (q.norm * m.norm), 4) AS cos
+       |  FROM members q JOIN members m ON m.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM ts),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3)
+       |SELECT * FROM ($levels) ORDER BY nprobe""".stripMargin
+  }
+
   /** The coarse-quantizer centroid matrix as a LOCAL model artifact
     * (\|cells\|×dims doubles — ~8 KiB at the defaults, size independent of
     * the corpus), for shipping into a streaming plan as a literal: the
