@@ -131,7 +131,9 @@ object Pipeline {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val freqs = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = tok.groupBy().agg(count(lit(1)).as("total"))
-    tok.join(broadcast(freqs), "token")
+    // freqs is the full vocabulary — shuffled per the no-corpus-broadcast
+    // rule; the 1-row total stays a broadcast
+    tok.join(freqs.hint("shuffle_hash"), "token")
       .join(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"),

@@ -294,8 +294,9 @@ object TextAnalysis {
     * token stream: tf per (doc, term), then df derived from tf itself
     * (tf rows are already distinct doc×term, so df(term) = count of tf
     * rows) — the corpus is exploded and shuffled once, not twice. The
-    * term-df side broadcasts; idf is a generic real so round(…,6) compares
-    * safely. */
+    * term-df side is the full VOCABULARY (Heaps-law-unbounded), so it joins
+    * shuffled, token-co-partitioned with tf; idf is a generic real so
+    * round(…,6) compares safely. */
   def tfidf(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, d)
     // doc_id is the table key: a plain count (partial-agg, no by-key
@@ -304,7 +305,10 @@ object TextAnalysis {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "token").join(broadcast(nDocs))
+    // the token→df map is the full VOCABULARY — Heaps-law-unbounded, so it
+    // shuffles (the no-corpus-broadcast rule); only the 1-row nDocs rides
+    // a broadcast
+    val scored = tf.join(df.hint("shuffle_hash"), "token").join(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
     scored.withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -423,9 +427,11 @@ object TextAnalysis {
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
     val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
     val btot = bg.groupBy().agg(count(lit(1)).as("nb"))
+    // unigram-frequency sides are the full vocabulary — shuffled, never
+    // broadcast; the two 1-row totals stay broadcasts
     bf.filter(col("c_xy") >= minCount)
-      .join(broadcast(uf.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uf.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .join(uf.select(col("w").as("w1"), col("c").as("c1")).hint("shuffle_hash"), "w1")
+      .join(uf.select(col("w").as("w2"), col("c").as("c2")).hint("shuffle_hash"), "w2")
       .join(broadcast(utot)).join(broadcast(btot))
       .select(col("w1"), col("w2"), col("c_xy"),
         // + 0.0 canonicalizes a rounded −0.0 to +0.0 (IEEE): DuckDB's round
@@ -477,8 +483,8 @@ object TextAnalysis {
         slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
       .select(col("doc_id"), col("lang"), col("p.0").as("w1"), col("p.1").as("w2"))
     val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    bg.join(bf, Seq("w1", "w2"))
-      .join(broadcast(uf.select(col("w").as("w1"), col("c1"))), "w1")
+    bg.join(bf.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uf.select(col("w").as("w1"), col("c1")).hint("shuffle_hash"), "w1")
       .join(broadcast(vocab))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
