@@ -2327,8 +2327,8 @@ object TextAnalysis {
        |$ilnTabSql,
        |$roundsSql
        |SELECT round, vocab_before, vocab_after, pieces_emitted,
-       |  pieces_emitted * 10000 //
-       |    (SELECT sum(len(w) * freq) FROM words) AS compression_bp
+       |  CAST(pieces_emitted * 10000 //
+       |    (SELECT sum(len(w) * freq) FROM words) AS BIGINT) AS compression_bp
        |FROM ($union) ORDER BY round""".stripMargin
   }
 

@@ -170,7 +170,13 @@ class PlanSpec extends SparkSpec {
     // count on the executed TREE (the AQE toString prints the final AND
     // initial plans, double-counting string matches)
     var bhj = 0
+    // identity-visited set: a ReusedExchangeExec points back at a subtree
+    // that is ALSO reachable through its original exchange, so an unguarded
+    // recursion would count any join under it twice
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
+      if (!seen.add(p)) return
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>

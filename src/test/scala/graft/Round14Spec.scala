@@ -11,10 +11,14 @@ class Round14Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .sortBy(_._1)
     assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L), s"levels: ${curve.toSeq}")
-    // widening the probe set can only add candidates: n_scanned strictly
-    // grows, hits (and so recall) never drop
-    assert(curve.sliding(2).forall { case Array(a, b) => b._4 > a._4 },
-      s"n_scanned must strictly increase with nprobe: ${curve.toSeq}")
+    // widening the probe set can only add candidates: n_scanned never
+    // drops per step (a probe level whose extra cells hold zero candidates
+    // for every query is legal), and the full widening 1→4 must scan
+    // strictly more than nprobe=1 on this data
+    assert(curve.sliding(2).forall { case Array(a, b) => b._4 >= a._4 },
+      s"n_scanned must be non-decreasing in nprobe: ${curve.toSeq}")
+    assert(curve.last._4 > curve.head._4,
+      s"n_scanned must grow overall (nprobe 1 → ${curve.last._1}): ${curve.toSeq}")
     assert(curve.sliding(2).forall { case Array(a, b) => b._2 >= a._2 },
       s"n_hits must be non-decreasing in nprobe: ${curve.toSeq}")
     // the curve's p=1 / p=2 levels are the SAME estimand ann_ivf_recall

@@ -30,10 +30,15 @@ def type_class(t):
     s = re.sub(r"\(.*\)", "", s)  # DECIMAL(p,s) -> DECIMAL
     suffix = "[]" if s.endswith("[]") else ""
     s = s.rstrip("[]")
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         c = "int"
-    elif s in ("FLOAT", "REAL", "DOUBLE", "DECIMAL"):
+    elif s in ("FLOAT", "REAL", "DOUBLE", "DECIMAL", "HUGEINT", "UHUGEINT"):
+        # HUGEINT/DECIMAL classify as what PANDAS (and hence the driver's
+        # typed hash) makes of them — float64 — not their logical class.
+        # The r12-r14 text_unigram_curve red was a HUGEINT quotient that
+        # this function used to bucket as "int", hiding the driver
+        # int-vs-float mismatch for three rounds.
         c = "float"
     elif s.startswith("TIMESTAMP") or s == "DATE":
         c = "time"  # midnight datetime == date (driver semantics)
@@ -103,6 +108,18 @@ def main():
             oc_rows = oc.fetchall()
         except Exception as e:
             print(f"{name}: ORACLE ERR {e}"); fails += 1; continue
+        # Hard-fail any oracle result column whose DuckDB type is
+        # HUGEINT/DECIMAL: the driver's pandas conversion renders those as
+        # float64 while the Spark parquet usually carries int64, so such an
+        # oracle can NEVER hash-match at the driver even when every value is
+        # identical. A clean suite has zero of these (cast in the SQL).
+        wide = {c: str(t).upper() for c, t in zip(oc_cols, oc_types)
+                if re.sub(r"\(.*\)", "", str(t).upper()).rstrip("[]")
+                in ("HUGEINT", "UHUGEINT", "DECIMAL")}
+        if wide:
+            print(f"{name}: ORACLE TYPE {wide} — cast to BIGINT/DOUBLE in "
+                  "the SQL (pandas would render these float64 at the driver)")
+            fails += 1; continue
         if sorted(sp_cols) != sorted(oc_cols):
             print(f"{name}: SCHEMA spark={sorted(sp_cols)} oracle={sorted(oc_cols)}")
             fails += 1; continue
