@@ -164,6 +164,8 @@ object SparkEntry {
     "ann_ivf_probe2" -> ((s, d) => Similarity.ivfProbeTopK(s, d)),
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_ivf_nprobe_curve" -> ((s, d) => Similarity.ivfNprobeCurve(s, d)),
+    "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "ann_hybrid_rrf_eval" -> ((s, d) => Similarity.hybridRrfEval(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
     "ann_mrl_recall" -> ((s, d) => Similarity.mrlRecall(s, d)),
@@ -621,6 +623,8 @@ object SparkEntry {
     "ann_ivf_probe2" -> Similarity.ivfProbeTopKOracle,
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_ivf_nprobe_curve" -> Similarity.ivfNprobeCurveOracle,
+    "ann_hybrid_rrf" -> Similarity.hybridRrfOracle,
+    "ann_hybrid_rrf_eval" -> Similarity.hybridRrfEvalOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_refine" -> Similarity.refineTopKOracle,
     "ann_mrl_recall" -> Similarity.mrlRecallOracle,

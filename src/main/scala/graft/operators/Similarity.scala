@@ -763,7 +763,10 @@ object Similarity {
     val truth = bruteforceTopK(spark, d, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    Seq(1, 2, probesMax).distinct.map { p =>
+    // levels never exceed probesMax: cand is filtered to pr <= probesMax,
+    // so a level beyond it would silently re-report the probesMax slice
+    // under a wrong nprobe label
+    Seq(1, 2, probesMax).distinct.filter(_ <= probesMax).map { p =>
       val sub = cand.filter(col("pr") <= p)
       val topk = sub.withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -2945,4 +2948,251 @@ object Similarity {
       |  min(s_bp) AS min_s_bp, max(s_bp) AS max_s_bp,
       |  cast(sum(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS bigint) AS n_misfit
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Hybrid retrieval: dense ANN ⊕ sparse BM25 fused by reciprocal-rank fusion
+  // -------------------------------------------------------------------------
+
+  /** RRF list depth per system (how far down each ranking contributes). */
+  val HybridDepth = 10
+
+  /** Query-term profile size: each query document is represented by its
+    * top-T tokens by in-document frequency (tie → lexicographic). */
+  val HybridQueryTerms = 5
+
+  /** The RRF constant from Cormack et al. (SIGIR'09): score(d) =
+    * Σ_systems 1/(60 + rank_s(d)). */
+  val RrfK = 60
+
+  /** Common denominator for EXACT RRF arithmetic: lcm(61..70) =
+    * 2⁶·3²·5·7·11·13·17·23·31·61·67. Every per-system contribution
+    * `RrfDenom / (60 + rank)` with rank ∈ 1..[[HybridDepth]] is an exact
+    * integer, so fused scores are int64 sums — no float addition, no
+    * cross-engine rounding hazard in the fusion step (the convention the
+    * PQ family set with micro-integer distances). Max possible score is
+    * 2·lcm/61 ≈ 4.7e12 — int64-safe with 6 orders of headroom. */
+  val RrfDenom = 142813628717760L
+
+  /** Per-query sparse (BM25) ranking of corpus documents, depth
+    * [[HybridDepth]]. The query IS a document: its top-[[HybridQueryTerms]]
+    * tokens form the term set ("more-like-this" retrieval), and every other
+    * document is scored with the same Robertson/Okapi weights as [[
+    * graft.operators.TextAnalysis.bm25]] (k1=1.2, b=0.75, +1-floored idf,
+    * df from the FULL corpus). Scale shape: the query-term table is
+    * query-batch-bounded (nQueries·T rows) and broadcasts; the corpus token
+    * stream filters against it BEFORE any shuffle, so the only corpus-wide
+    * exchange is the (query_id, doc_id) partial-agg — candidate rows are
+    * bounded by occurrences of query terms, not by |corpus|·|queries|. */
+  private def sparseRanks(spark: SparkSession, d: String, nQueries: Int,
+      depth: Int): DataFrame = {
+    val wl = Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = wl.groupBy().agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tok = wl.select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+    val qterms = tok.filter(col("doc_id") < nQueries)
+      .groupBy(col("doc_id").as("query_id"), col("token"))
+      .agg(count(lit(1)).as("qtf"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("qtf").desc, col("token"))))
+      .filter(col("r") <= HybridQueryTerms)
+      .select(col("query_id"), col("token"))
+    val qtokens = qterms.select(col("token")).distinct()
+    // full-corpus df restricted to the bounded query-term vocabulary
+    val dfm = tok.join(broadcast(qtokens), "token")
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = tok.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val k1 = 1.2; val b = 0.75
+    val scored = tf.join(broadcast(dfm), "token").join(broadcast(stats))
+      .withColumn("w",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rs", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rs") <= depth)
+      .select(col("query_id"), col("doc_id"), col("rs"))
+  }
+
+  /** Dense cosine ranking (exact, depth-limited) over the shared id space:
+    * doc_id ≡ vec_id in the testdata contract. At 100 TB the exact scan
+    * swaps for the IVF/PQ ladder — the fusion below only consumes
+    * (query_id, doc_id, rank) and is generator-agnostic. */
+  private def denseRanks(spark: SparkSession, d: String, nQueries: Int,
+      depth: Int): DataFrame =
+    bruteforceTopK(spark, d, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rd"))
+
+  /** Hybrid retrieval via reciprocal-rank fusion (`ann_hybrid_rrf`) — the
+    * fusion step modern retrieval pipelines run over a dense ANN system and
+    * a sparse lexical system: RRF(d) = Σ 1/(60 + rank_s(d)) over the
+    * systems that ranked d in their top-[[HybridDepth]] (Cormack et al.,
+    * SIGIR'09 — rank-only fusion needs no score calibration between
+    * systems, which is why it is the default in hybrid search engines).
+    * Scores are EXACT int64 rationals on the common denominator
+    * [[RrfDenom]] (`rrf_num`/RrfDenom is the textbook value): the fusion
+    * join and sort involve no float at all. Both input lists are
+    * query-batch-sized (nQueries·depth rows), so the fusion itself is
+    * model-sized regardless of corpus scale — the cost lives entirely in
+    * the two generators. r_dense/r_sparse carry each system's rank (0 =
+    * not in that system's top-[[HybridDepth]]). */
+  def hybridRrf(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val dense = denseRanks(spark, d, nQueries, HybridDepth)
+    val sparse = sparseRanks(spark, d, nQueries, HybridDepth)
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_num",
+        coalesce(expr(s"${RrfDenom}L div (${RrfK} + rd)"), lit(0L)) +
+          coalesce(expr(s"${RrfDenom}L div (${RrfK} + rs)"), lit(0L)))
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rd"), lit(0)).cast("int").as("r_dense"),
+        coalesce(col("rs"), lit(0)).cast("int").as("r_sparse"),
+        col("rrf_num"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_num").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def sparseRanksSql(nQueries: Int, depth: Int): String =
+    s"""wl AS (
+       |  SELECT doc_id, t, cast(len(t) AS bigint) AS dl
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM wl),
+       |tok AS (SELECT doc_id, dl, unnest(t) AS token FROM wl),
+       |qterms AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT doc_id AS query_id, token, count(*) AS qtf,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY count(*) DESC, token) AS r
+       |    FROM tok WHERE doc_id < $nQueries GROUP BY 1, 2)
+       |  WHERE r <= $HybridQueryTerms),
+       |dfm AS (
+       |  SELECT token, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, token FROM tok
+       |    WHERE token IN (SELECT token FROM qterms)) GROUP BY 1),
+       |stf AS (
+       |  SELECT query_id, doc_id, dl, qt.token, count(*) AS tf
+       |  FROM tok JOIN qterms qt USING (token)
+       |  WHERE doc_id != query_id GROUP BY 1, 2, 3, 4),
+       |sscored AS (
+       |  SELECT query_id, doc_id,
+       |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+       |  FROM stf JOIN dfm USING (token), stats),
+       |sagg AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+       |         FROM sscored GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT query_id, doc_id, rs FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rs FROM sagg)
+       |  WHERE rs <= $depth)""".stripMargin
+
+  private def denseRanksSql(nQueries: Int, depth: Int): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < $nQueries),
+       |ds AS (
+       |  SELECT query_id, v.vec_id AS doc_id,
+       |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+       |  FROM q, v WHERE v.vec_id != query_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, rd FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id) AS rd FROM ds)
+       |  WHERE rd <= $depth)""".stripMargin
+
+  val hybridRrfOracle: String =
+    s"""WITH ${denseRanksSql(10, HybridDepth)},
+       |${sparseRanksSql(10, HybridDepth)},
+       |fused AS (
+       |  SELECT coalesce(d.query_id, sp.query_id) AS query_id,
+       |    coalesce(d.doc_id, sp.doc_id) AS doc_id, d.rd, sp.rs
+       |  FROM dense d FULL OUTER JOIN sparse sp
+       |    ON d.query_id = sp.query_id AND d.doc_id = sp.doc_id),
+       |rrf AS (
+       |  SELECT query_id, doc_id,
+       |    cast(coalesce(rd, 0) AS int) AS r_dense,
+       |    cast(coalesce(rs, 0) AS int) AS r_sparse,
+       |    coalesce($RrfDenom // (${RrfK} + rd), 0)
+       |      + coalesce($RrfDenom // (${RrfK} + rs), 0) AS rrf_num
+       |  FROM fused),
+       |fr AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+       |  ORDER BY rrf_num DESC, doc_id) AS int) AS rank FROM rrf)
+       |SELECT query_id, doc_id, r_dense, r_sparse, rrf_num, rank
+       |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Hybrid-vs-single-system eval (`ann_hybrid_rrf_eval`): for each system
+    * (dense exact cosine, sparse BM25, RRF hybrid), the overlap of its
+    * top-k with the dense top-k AND with the sparse top-k — the two
+    * single-system "truths". Read as: the hybrid row quantifies how much
+    * of each pure ranking survives fusion (dense_recall + sparse_recall
+    * near 1 each means RRF kept both signals; the pure rows anchor the
+    * scale at 1.0 by construction). Counts are exact integers over
+    * nQueries·k pairs; all frames are query-batch-sized. */
+  def hybridRrfEval(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val dense = denseRanks(spark, d, nQueries, HybridDepth).localCheckpoint()
+    val sparse = sparseRanks(spark, d, nQueries, HybridDepth).localCheckpoint()
+    val hybrid = hybridRrf(spark, d, nQueries, k)
+      .select(col("query_id"), col("doc_id"))
+    val dTop = dense.filter(col("rd") <= k).select(col("query_id"), col("doc_id"))
+    val sTop = sparse.filter(col("rs") <= k).select(col("query_id"), col("doc_id"))
+    val denom = (nQueries * k).toDouble
+    def evalRow(name: String, sys: DataFrame): DataFrame = {
+      val s = sys.withColumn("hit", lit(1))
+      val dHits = dTop.join(s, Seq("query_id", "doc_id"), "left")
+        .agg(count(col("hit")).as("n_hits_dense"))
+      val sHits = sTop.join(s, Seq("query_id", "doc_id"), "left")
+        .agg(count(col("hit")).as("n_hits_sparse"))
+      dHits.crossJoin(sHits).select(lit(name).as("system"),
+        col("n_hits_dense"),
+        round(col("n_hits_dense") / denom, 4).as("recall_dense"),
+        col("n_hits_sparse"),
+        round(col("n_hits_sparse") / denom, 4).as("recall_sparse"))
+    }
+    evalRow("dense", dTop).unionAll(evalRow("hybrid", hybrid))
+      .unionAll(evalRow("sparse", sTop))
+      .orderBy(col("system"))
+  }
+
+  val hybridRrfEvalOracle: String =
+    s"""WITH ${denseRanksSql(10, HybridDepth)},
+       |${sparseRanksSql(10, HybridDepth)},
+       |fused AS (
+       |  SELECT coalesce(d.query_id, sp.query_id) AS query_id,
+       |    coalesce(d.doc_id, sp.doc_id) AS doc_id, d.rd, sp.rs
+       |  FROM dense d FULL OUTER JOIN sparse sp
+       |    ON d.query_id = sp.query_id AND d.doc_id = sp.doc_id),
+       |rrf AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce($RrfDenom // (${RrfK} + rd), 0)
+       |      + coalesce($RrfDenom // (${RrfK} + rs), 0) AS rrf_num
+       |  FROM fused),
+       |hybrid AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_num DESC, doc_id) AS rank FROM rrf)
+       |  WHERE rank <= 5),
+       |dtop AS (SELECT query_id, doc_id FROM dense WHERE rd <= 5),
+       |stop AS (SELECT query_id, doc_id FROM sparse WHERE rs <= 5),
+       |sys AS (
+       |  SELECT 'dense' AS system, query_id, doc_id FROM dtop UNION ALL
+       |  SELECT 'hybrid', query_id, doc_id FROM hybrid UNION ALL
+       |  SELECT 'sparse', query_id, doc_id FROM stop)
+       |SELECT s.system,
+       |  cast(count(dt.doc_id) AS bigint) AS n_hits_dense,
+       |  round(count(dt.doc_id) / 50.0, 4) AS recall_dense,
+       |  cast(count(st.doc_id) AS bigint) AS n_hits_sparse,
+       |  round(count(st.doc_id) / 50.0, 4) AS recall_sparse
+       |FROM sys s
+       |LEFT JOIN dtop dt ON s.query_id = dt.query_id AND s.doc_id = dt.doc_id
+       |LEFT JOIN stop st ON s.query_id = st.query_id AND s.doc_id = st.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

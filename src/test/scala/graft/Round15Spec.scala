@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Round-15 semantic pins for the hybrid retrieval fusion rows. */
+class Round15Spec extends SparkSpec {
+
+  test("RrfDenom is the exact common denominator for depth-10 RRF ranks") {
+    // every per-system contribution RrfDenom/(60+r) must be an exact
+    // integer — the no-float-fusion contract rests on this divisibility
+    for (r <- 1 to Similarity.HybridDepth)
+      assert(Similarity.RrfDenom % (Similarity.RrfK + r) == 0,
+        s"RrfDenom not divisible by ${Similarity.RrfK + r}")
+  }
+
+  test("ann_hybrid_rrf: fused scores are the exact two-system RRF rationals") {
+    val rows = Similarity.hybridRrf(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val M = Similarity.RrfDenom
+    for (r <- rows) {
+      val (rd, rs, num) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(rd >= 0 && rd <= Similarity.HybridDepth)
+      assert(rs >= 0 && rs <= Similarity.HybridDepth)
+      assert(rd > 0 || rs > 0, "a fused row must come from at least one list")
+      val expect = (if (rd > 0) M / (Similarity.RrfK + rd) else 0L) +
+        (if (rs > 0) M / (Similarity.RrfK + rs) else 0L)
+      assert(num == expect, s"rrf_num $num != $expect for ranks ($rd, $rs)")
+    }
+    // per query: ranks strictly ordered by (rrf_num desc, doc_id)
+    rows.groupBy(_.getLong(0)).foreach { case (_, qs) =>
+      val sorted = qs.sortBy(_.getInt(5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val ok = a.getLong(4) > b.getLong(4) ||
+            (a.getLong(4) == b.getLong(4) && a.getLong(1) < b.getLong(1))
+          assert(ok, s"rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("ann_hybrid_rrf_eval: pure systems anchor at 1.0 and fusion keeps both signals") {
+    val byName = Similarity.hybridRrfEval(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(byName.keySet == Set("dense", "sparse", "hybrid"))
+    assert(byName("dense")._1 == 1.0, s"dense self-recall: ${byName("dense")}")
+    assert(byName("sparse")._2 == 1.0, s"sparse self-recall: ${byName("sparse")}")
+    val (hd, hs) = byName("hybrid")
+    // RRF must retain strictly more of EACH pure signal than the opposite
+    // pure system does (else fusing was pointless on this data)
+    assert(hd > byName("sparse")._1, s"hybrid keeps dense signal: $hd")
+    assert(hs > byName("dense")._2, s"hybrid keeps sparse signal: $hs")
+  }
+}
