@@ -165,6 +165,7 @@ object SparkEntry {
     "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "ann_ivf_nprobe_curve" -> ((s, d) => Similarity.ivfNprobeCurve(s, d)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "ann_ivfpq_tune_grid" -> ((s, d) => Similarity.ivfPqTuneGrid(s, d)),
     "ann_hybrid_rrf_eval" -> ((s, d) => Similarity.hybridRrfEval(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
@@ -624,6 +625,7 @@ object SparkEntry {
     "ann_ivf_recall" -> Similarity.ivfRecallOracle,
     "ann_ivf_nprobe_curve" -> Similarity.ivfNprobeCurveOracle,
     "ann_hybrid_rrf" -> Similarity.hybridRrfOracle,
+    "ann_ivfpq_tune_grid" -> Similarity.ivfPqTuneGridOracle,
     "ann_hybrid_rrf_eval" -> Similarity.hybridRrfEvalOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_refine" -> Similarity.refineTopKOracle,

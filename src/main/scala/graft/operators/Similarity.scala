@@ -2949,6 +2949,207 @@ object Similarity {
       |  cast(sum(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS bigint) AS n_misfit
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** IVF-PQ joint tuning grid (`ann_ivfpq_tune_grid`) — recall@k priced
+    * against BOTH knobs a compressed-index deployment tunes at once:
+    * nprobe (how many IVF cells a query scans → n_scanned ADC candidates)
+    * × refine-R (how many ADC-ranked candidates get exact-distance
+    * reranking → n_refined full-vector reads; R=0 is ADC-only). Extends
+    * the [[ivfNprobeCurve]] probe-rank trick to the compressed index: ONE
+    * corpus pass builds every candidate with its probe rank `pr` and
+    * exact-integer ADC distance, then all 9 grid points are model-sized
+    * re-ranks over the localCheckpoint-pinned candidate frame — the grid
+    * is level-count-invariant in corpus passes. The exact-distance pool
+    * for the refine axis is looked up from the SAME scored frame that
+    * defines the ground truth, so refinement strictly corrects
+    * quantization error ([[refineTopK]]'s contract). At 100 TB the truth/
+    * refine scan rides the `truthSample` sampled-ground-truth convention;
+    * the candidate pass is the IVF-PQ scan itself (m code bytes per
+    * candidate). Output: the accuracy/cost frontier a deployment reads to
+    * pick its operating point. */
+  def ivfPqTuneGrid(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 4, kCells: Int = 16, dims: Int = 64,
+      nCells: Int = 16, probesMax: Int = 4, refineMax: Int = 25): DataFrame = {
+    val sw = dims / m
+    val cbLong = pqCodebookLong(spark, d, m, kCells, dims)
+    val withCb = ivfAssignments(spark, d, nCells)
+      .join(broadcast(pqCodebook(cbLong)))
+    val members = (0 until m).foldLeft(withCb) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCellL2(slice(col("e"), s * sw + 1, sw), element_at(col("cb"), s + 1)))
+    }.select(col("vec_id") +: col("cell").cast("long").as("cell") +:
+      (0 until m).map(s => col(s"code_$s")): _*)
+    // per-query IVF cell probe ranks (the ivfNprobeCurve convention:
+    // round-6 centroid cosine, row_number tie-broken by cell)
+    val probes = normed(spark, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("norm").as("qnorm"))
+      .join(broadcast(centroidMatrix(spark, d, nCells)))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        posexplode(col("cents")).as(Seq("cell", "carr")))
+      .withColumn("ccos",
+        round(dot(col("qe"), col("carr")) / (col("qnorm") * vecNorm(col("carr"))), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("pr") <= probesMax)
+      .select(col("query_id"), col("cell").cast("long").as("cell"), col("pr"))
+    val qdt = pqDistTables(spark, d, nQueries, sw, cbLong)
+    val qside = probes.join(qdt, "query_id")
+    val cand = members.join(broadcast(qside), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("pr"),
+        adistMicroExpr(m).as("adist_micro"))
+      .localCheckpoint()
+    // exact squared-L2 scores: ONE scan serves both the ground truth and
+    // the refine lookups (pqRecall's round-4 dot-identity convention)
+    val v = Tables.embeddings(spark, d)
+      .select(col("vec_id"), vecDouble(col("embedding")).as("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val exd = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e")), 4).as("d2"))
+      .localCheckpoint()
+    val truth = exd.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val probeLevels = Seq(1, 2, probesMax).distinct.filter(_ <= probesMax)
+    val refineLevels = Seq(0, 2 * k, refineMax).distinct.filter(_ <= refineMax)
+    probeLevels.flatMap { p =>
+      val slice = cand.filter(col("pr") <= p)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("adist_micro"), col("neighbor_id"))))
+      val scanned = slice.groupBy().agg(count(lit(1)).as("n_scanned"))
+      refineLevels.map { r =>
+        val (top, refined) =
+          if (r == 0)
+            (slice.filter(col("rk") <= k)
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+              slice.limit(0).groupBy().agg(coalesce(count(lit(1)), lit(0L)).as("n_refined")))
+          else {
+            val sl = slice.filter(col("rk") <= r)
+            (sl.join(exd, Seq("query_id", "neighbor_id"))
+              .withColumn("rr", row_number().over(
+                Window.partitionBy(col("query_id"))
+                  .orderBy(col("d2"), col("neighbor_id"))))
+              .filter(col("rr") <= k)
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+              sl.groupBy().agg(count(lit(1)).as("n_refined")))
+          }
+        truth.join(top, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+          .select(lit(p.toLong).as("nprobe"), lit(r.toLong).as("refine_r"),
+            col("n_hits"),
+            round(col("n_hits") / col("n_truth").cast("double"), 4).as("recall_at_k"))
+          .crossJoin(broadcast(scanned))
+          .crossJoin(broadcast(refined))
+          .select(col("nprobe"), col("refine_r"), col("n_scanned"),
+            col("n_refined"), col("n_hits"), col("recall_at_k"))
+      }
+    }.reduce(_.unionAll(_)).orderBy(col("nprobe"), col("refine_r"))
+  }
+
+  val ivfPqTuneGridOracle: String = {
+    val grid = for (p <- Seq(1, 2, 4); r <- Seq(0, 10, 25)) yield {
+      val top =
+        if (r == 0)
+          s"""SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS rk
+             |    FROM cand WHERE pr <= $p) WHERE rk <= 5""".stripMargin
+        else
+          s"""SELECT query_id, neighbor_id FROM (
+             |    SELECT s.query_id, s.neighbor_id, row_number() OVER
+             |      (PARTITION BY s.query_id ORDER BY e.d2, s.neighbor_id) AS rr
+             |    FROM (SELECT query_id, neighbor_id FROM (
+             |        SELECT query_id, neighbor_id, row_number() OVER
+             |          (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS rk
+             |        FROM cand WHERE pr <= $p) WHERE rk <= $r) s
+             |    JOIN exd e ON e.query_id = s.query_id
+             |      AND e.neighbor_id = s.neighbor_id) WHERE rr <= 5""".stripMargin
+      val refined =
+        if (r == 0) "cast(0 AS bigint)"
+        else
+          s"""(SELECT count(*) FROM (
+             |    SELECT row_number() OVER
+             |      (PARTITION BY query_id ORDER BY adist_micro, neighbor_id) AS rk
+             |    FROM cand WHERE pr <= $p) WHERE rk <= $r)""".stripMargin
+      s"""SELECT cast($p AS bigint) AS nprobe, cast($r AS bigint) AS refine_r,
+         |  (SELECT count(*) FROM cand WHERE pr <= $p) AS n_scanned,
+         |  $refined AS n_refined,
+         |  cast(count(tk.neighbor_id) AS bigint) AS n_hits,
+         |  round(count(tk.neighbor_id) / cast(count(*) AS double), 4) AS recall_at_k
+         |FROM truth t
+         |LEFT JOIN ($top) tk
+         |  ON t.query_id = tk.query_id AND t.neighbor_id = tk.neighbor_id""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |x AS (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v),
+       |comp AS (
+       |  SELECT vec_id, (j-1) // 16 AS sub, (j-1) % 16 AS sd, e[j] AS val FROM x),
+       |cents AS (
+       |  SELECT sub, vec_id % 16 AS cell, sd, round(avg(val), 6) AS c
+       |  FROM comp GROUP BY 1, 2, 3),
+       |dists AS (
+       |  SELECT comp.vec_id, comp.sub, cents.cell,
+       |    round(sum((val - c) * (val - c)), 6) AS d2
+       |  FROM comp JOIN cents ON comp.sub = cents.sub AND comp.sd = cents.sd
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS r
+       |    FROM dists) WHERE r = 1),
+       |icents AS (
+       |  SELECT vec_id % 16 AS icell, j AS cj, round(avg(e[j]), 6) AS c
+       |  FROM x GROUP BY 1, 2),
+       |icnorms AS (SELECT icell, sqrt(sum(c*c)) AS cnorm FROM icents GROUP BY 1),
+       |vnorms AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS norm FROM v),
+       |idots AS (
+       |  SELECT x.vec_id, icents.icell, sum(e[j] * c) AS dot
+       |  FROM x JOIN icents ON x.j = icents.cj GROUP BY 1, 2),
+       |iranked AS (
+       |  SELECT d.vec_id, d.icell,
+       |    row_number() OVER (PARTITION BY d.vec_id
+       |      ORDER BY round(d.dot / (vn.norm * cn.cnorm), 6) DESC, d.icell) AS arank
+       |  FROM idots d JOIN icnorms cn ON d.icell = cn.icell
+       |  JOIN vnorms vn ON d.vec_id = vn.vec_id),
+       |iassigned AS (SELECT vec_id, icell FROM iranked WHERE arank = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS query_id, icell, arank AS pr FROM iranked
+       |  WHERE vec_id < 10 AND arank <= 4),
+       |qdt AS (
+       |  SELECT vec_id AS query_id, sub, cell, d2 FROM dists WHERE vec_id < 10),
+       |persub AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, p.pr, c.sub,
+       |    cast(round(q.d2 * 1000000) AS bigint) AS d2u
+       |  FROM codes c
+       |  JOIN iassigned ia ON ia.vec_id = c.vec_id
+       |  JOIN iprobes p ON p.icell = ia.icell
+       |  JOIN qdt q ON q.query_id = p.query_id AND c.sub = q.sub AND c.cell = q.cell
+       |  WHERE c.vec_id != p.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, pr,
+       |    (((max(CASE WHEN sub = 0 THEN d2u END)
+       |      + max(CASE WHEN sub = 1 THEN d2u END))
+       |      + max(CASE WHEN sub = 2 THEN d2u END))
+       |      + max(CASE WHEN sub = 3 THEN d2u END)) AS adist_micro
+       |  FROM persub GROUP BY 1, 2, 3),
+       |q2 AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+       |exd AS (
+       |  SELECT query_id, v.vec_id AS neighbor_id,
+       |    round(list_dot_product(qe, qe) + list_dot_product(v.e, v.e)
+       |      - 2 * list_dot_product(qe, v.e), 4) AS d2
+       |  FROM q2, v WHERE v.vec_id != query_id),
+       |tr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY d2, neighbor_id) AS rank FROM exd),
+       |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5)
+       |SELECT * FROM (${grid.mkString("\n", "\nUNION ALL\n", "\n")})
+       |ORDER BY nprobe, refine_r""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Hybrid retrieval: dense ANN ⊕ sparse BM25 fused by reciprocal-rank fusion
   // -------------------------------------------------------------------------

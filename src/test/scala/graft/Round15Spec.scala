@@ -40,6 +40,38 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq_tune_grid: cost axes monotone, recall monotone in refine-R, nprobe=1/R=0 ties to ann_ivfpq_recall") {
+    val g = Similarity.ivfPqTuneGrid(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(g.map(t => (t._1, t._2)).toSeq ==
+      (for (p <- Seq(1L, 2L, 4L); r <- Seq(0L, 10L, 25L)) yield (p, r)))
+    // n_scanned depends only on nprobe and never drops as probes widen
+    val scanByP = g.groupBy(_._1).map { case (p, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"n_scanned must be constant across refine levels at nprobe=$p")
+      p -> rows.head._3
+    }
+    assert(scanByP(1L) <= scanByP(2L) && scanByP(2L) <= scanByP(4L))
+    for ((p, r, scanned, refined, _) <- g) {
+      assert(refined <= scanned, s"($p,$r): refined $refined > scanned $scanned")
+      assert(refined <= r * 10, s"($p,$r): refined $refined > R×nQueries")
+      if (r == 0L) assert(refined == 0L)
+    }
+    // exact reranking of an R ≥ k shortlist can only keep or add truth
+    // hits (a truth neighbor in the ADC top-k survives any exact rerank),
+    // so per probe level n_hits is non-decreasing in R
+    for ((p, rows) <- g.groupBy(_._1)) {
+      val byR = rows.sortBy(_._2).map(_._5)
+      assert(byR.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
+        s"n_hits must be non-decreasing in refine-R at nprobe=$p: ${byR.toSeq}")
+    }
+    // the (nprobe=1, R=0) corner IS the ann_ivfpq estimand
+    val ivfpqHits = Similarity.ivfPqRecall(spark, Sf)
+      .agg(sum(col("n_hits"))).head().getLong(0)
+    assert(g.find(t => t._1 == 1L && t._2 == 0L).get._5 == ivfpqHits,
+      s"grid corner != ann_ivfpq_recall total hits ($ivfpqHits)")
+  }
+
   test("ann_hybrid_rrf_eval: pure systems anchor at 1.0 and fusion keeps both signals") {
     val byName = Similarity.hybridRrfEval(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
