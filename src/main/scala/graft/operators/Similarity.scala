@@ -3245,9 +3245,15 @@ object Similarity {
     * the two generators. r_dense/r_sparse carry each system's rank (0 =
     * not in that system's top-[[HybridDepth]]). */
   def hybridRrf(spark: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5): DataFrame = {
-    val dense = denseRanks(spark, d, nQueries, HybridDepth)
-    val sparse = sparseRanks(spark, d, nQueries, HybridDepth)
+      k: Int = 5): DataFrame =
+    fuseRrf(denseRanks(spark, d, nQueries, HybridDepth),
+      sparseRanks(spark, d, nQueries, HybridDepth), k)
+
+  /** The fusion step alone, over any (query_id, doc_id, rd) × (query_id,
+    * doc_id, rs) rank lists — shared by [[hybridRrf]] and [[hybridRrfEval]]
+    * so the eval reuses its checkpointed lists instead of regenerating
+    * both systems. */
+  private def fuseRrf(dense: DataFrame, sparse: DataFrame, k: Int): DataFrame =
     dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_num",
         coalesce(expr(s"${RrfDenom}L div (${RrfK} + rd)"), lit(0L)) +
@@ -3260,7 +3266,6 @@ object Similarity {
         .orderBy(col("rrf_num").desc, col("doc_id"))).cast("int"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   private def sparseRanksSql(nQueries: Int, depth: Int): String =
     s"""wl AS (
@@ -3341,7 +3346,7 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val dense = denseRanks(spark, d, nQueries, HybridDepth).localCheckpoint()
     val sparse = sparseRanks(spark, d, nQueries, HybridDepth).localCheckpoint()
-    val hybrid = hybridRrf(spark, d, nQueries, k)
+    val hybrid = fuseRrf(dense, sparse, k)
       .select(col("query_id"), col("doc_id"))
     val dTop = dense.filter(col("rd") <= k).select(col("query_id"), col("doc_id"))
     val sTop = sparse.filter(col("rs") <= k).select(col("query_id"), col("doc_id"))

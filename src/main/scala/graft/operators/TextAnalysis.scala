@@ -1849,11 +1849,11 @@ object TextAnalysis {
     * train, beside BPE: ONE full EM iteration over a seed vocabulary.
     * Seed = every single character + the top-[[UnigramSeedNgrams]]
     * bigrams/trigrams by corpus count; piece log-probs are integer
-    * MILLI-lns (`floor(ln·1000 + 0.5)`, the zipf/jsDivergence
-    * convention — quantized BEFORE any summation, so the whole DP is
-    * exact long arithmetic). E-step: VITERBI-segment every vocab word
+    * MICRO-lns from the integer-exact [[ilnqU]] quantizer (r15 —
+    * quantized BEFORE any summation, so the whole DP is exact long
+    * arithmetic with no float op at all). E-step: VITERBI-segment every vocab word
     * under those log-probs; M-step: re-estimate from the segmentation
-    * counts (`lp_milli = lnq(e_count) − lnq(Σe)`).
+    * counts (`lp_micro = ilnq(e_count) − ilnq(Σe)`).
     *
     * The Viterbi recurrence is a CODEGEN'D FOLD, not a join or UDF:
     * max piece length 3 means dp[i] depends only on dp[i−1..i−3], so the
@@ -1899,10 +1899,12 @@ object TextAnalysis {
     * — the property the driver gate actually needs — is EXACT integer
     * arithmetic end to end, so Spark, DuckDB and the plain-Scala spec twin
     * ([[ilnqRef]]) can never diverge by a libm/vectorization ulp the way a
-    * float `ln` can across hosts (the `text_unigram_curve` r12/r13 driver
-    * hash mismatches). Used by the curve row; the single-round `unigramEm`/
-    * `unigramPrune` rows keep the legacy milli-ln float quantize (green at
-    * the driver for 13 rounds). */
+    * float `ln` in principle can across hosts. r15: the WHOLE unigram
+    * family (`unigramEm`/`unigramPrune`/`unigramApply` and the curve)
+    * rides this quantizer — zero float ops anywhere in the trainer path.
+    * (The r12-r14 curve reds that motivated it turned out to be the
+    * oracle's uncast HUGEINT output column, not libm — see SURVEY §6 —
+    * but integer-exact remains strictly safer and is now uniform.) */
   private def ilnqU(c: Column): Column = {
     val x = c.cast("long")
     val b = length(bin(x)) - lit(1)
@@ -2009,20 +2011,24 @@ object TextAnalysis {
       .select(col("freq"), explode(col("ps")).as("p"))
   }
 
-  /** [[unigramEm]] over an explicit docs frame (spec hook). */
+  /** [[unigramEm]] over an explicit docs frame (spec hook). r15: the whole
+    * unigram family now rides the integer-exact [[ilnqU]] quantizer (micro
+    * lns), retiring the last float `ln` from the trainer path — uniformity
+    * with [[unigramCurve]], ported with the oracle and Round11Spec twins in
+    * the same change. */
   def unigramEmOver(docs: DataFrame): DataFrame = {
     val words = unigramWordsOf(docs)
     val seeds = unigramSeedsOf(words)
     val tot = seeds.agg(sum(col("cnt")).as("t"))
     val lp = seeds.crossJoin(broadcast(tot))
-      .select(col("p"), (lnqU(col("cnt")) - lnqU(col("t"))).as("lp"))
+      .select(col("p"), (ilnqU(col("cnt")) - ilnqU(col("t"))).as("lp"))
     val ecnt = vitPieceUses(words, unigramLpMap(lp))
       .groupBy(col("p")).agg(sum(col("freq")).as("e_count"))
     val etot = ecnt.agg(sum(col("e_count")).as("et"))
     seeds.join(ecnt, "p").crossJoin(broadcast(etot))
       .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
         col("cnt").as("seed_count"), col("e_count"),
-        (lnqU(col("e_count")) - lnqU(col("et"))).as("lp_milli"))
+        (ilnqU(col("e_count")) - ilnqU(col("et"))).as("lp_micro"))
       .orderBy(col("e_count").desc, col("piece"))
   }
 
@@ -2054,7 +2060,7 @@ object TextAnalysis {
     val seeds = unigramSeedsOf(words)
     val tot = seeds.agg(sum(col("cnt")).as("t"))
     val lp1 = seeds.crossJoin(broadcast(tot))
-      .select(col("p"), (lnqU(col("cnt")) - lnqU(col("t"))).as("lp"))
+      .select(col("p"), (ilnqU(col("cnt")) - ilnqU(col("t"))).as("lp"))
     val e1 = vitPieceUses(words, unigramLpMap(lp1))
       .groupBy(col("p")).agg(sum(col("freq")).as("e1"))
     val seedsE = seeds.join(e1, Seq("p"), "left")
@@ -2066,14 +2072,14 @@ object TextAnalysis {
     val tot2 = kept.agg(sum(greatest(col("e1"), lit(1L))).as("t2"))
     val lp2 = kept.crossJoin(broadcast(tot2))
       .select(col("p"),
-        (lnqU(greatest(col("e1"), lit(1L))) - lnqU(col("t2"))).as("lp"))
+        (ilnqU(greatest(col("e1"), lit(1L))) - ilnqU(col("t2"))).as("lp"))
     val e2 = vitPieceUses(words, unigramLpMap(lp2))
       .groupBy(col("p")).agg(sum(col("freq")).as("e2_count"))
     kept
-      .join(lp2.withColumnRenamed("lp", "lp2_milli"), "p")
+      .join(lp2.withColumnRenamed("lp", "lp2_micro"), "p")
       .join(e2, "p")
       .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
-        col("e1").as("e1_count"), col("e2_count"), col("lp2_milli"))
+        col("e1").as("e1_count"), col("e2_count"), col("lp2_micro"))
       .orderBy(col("e2_count").desc, col("piece"))
   }
 
@@ -2132,11 +2138,11 @@ object TextAnalysis {
        |  WHERE r <= $UnigramSeedNgrams),
        |seeds AS (SELECT p, cnt FROM g1 UNION ALL
        |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |$ilnTabSql,
        |tot AS (SELECT sum(cnt) AS t FROM seeds),
        |lp1 AS (
-       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
-       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
-       |  FROM seeds, tot),
+       |  SELECT p, ${ilnqSql("cnt")} - ${ilnqSql("t")} AS lp
+       |  FROM seeds, tot, ilntab),
        |${dpBt(1, "lp1")},
        |e1 AS (
        |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e1
@@ -2150,16 +2156,14 @@ object TextAnalysis {
        |kept AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
        |tot2 AS (SELECT sum(greatest(e1, 1)) AS t2 FROM kept),
        |lp2 AS (
-       |  SELECT p,
-       |    cast(floor(ln(cast(greatest(e1, 1) AS double)) * 1000 + 0.5) AS bigint)
-       |    - cast(floor(ln(cast(t2 AS double)) * 1000 + 0.5) AS bigint) AS lp
-       |  FROM kept, tot2),
+       |  SELECT p, ${ilnqSql("greatest(e1, 1)")} - ${ilnqSql("t2")} AS lp
+       |  FROM kept, tot2, ilntab),
        |${dpBt(2, "lp2")},
        |e2 AS (
        |  SELECT piece AS p, cast(sum(freq) AS bigint) AS e2_count
        |  FROM bt2 WHERE piece IS NOT NULL GROUP BY 1)
        |SELECT k.p AS piece, cast(length(k.p) AS bigint) AS piece_len,
-       |  cast(k.e1 AS bigint) AS e1_count, e2.e2_count, l.lp AS lp2_milli
+       |  cast(k.e1 AS bigint) AS e1_count, e2.e2_count, l.lp AS lp2_micro
        |FROM kept k JOIN lp2 l ON l.p = k.p JOIN e2 ON e2.p = k.p
        |ORDER BY e2.e2_count DESC, k.p""".stripMargin
   }
@@ -2365,11 +2369,9 @@ object TextAnalysis {
     def topK(g: DataFrame): DataFrame =
       g.orderBy(col("cnt").desc, col("p")).limit(UnigramSeedNgrams)
     val seeds = grams(1).unionAll(topK(grams(2))).unionAll(topK(grams(3)))
-    def lnq(c: Column): Column =
-      floor(log(c.cast("double")) * 1000 + lit(0.5)).cast("long")
     val tot = seeds.agg(sum(col("cnt")).as("t"))
     val lp = seeds.crossJoin(broadcast(tot))
-      .select(col("p"), (lnq(col("cnt")) - lnq(col("t"))).as("lp"))
+      .select(col("p"), (ilnqU(col("cnt")) - ilnqU(col("t"))).as("lp"))
     val lpMap = lp.groupBy()
       .agg(map_from_entries(collect_list(struct(col("p"), col("lp")))).as("lpm"))
     val NEG = lit(UnigramNeg)
@@ -2432,11 +2434,11 @@ object TextAnalysis {
        |  WHERE r <= $UnigramSeedNgrams),
        |seeds AS (SELECT p, cnt FROM g1 UNION ALL
        |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |$ilnTabSql,
        |tot AS (SELECT sum(cnt) AS t FROM seeds),
        |lp AS (
-       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
-       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
-       |  FROM seeds, tot),
+       |  SELECT p, ${ilnqSql("cnt")} - ${ilnqSql("t")} AS lp
+       |  FROM seeds, tot, ilntab),
        |dp AS (
        |  SELECT w, len(w) AS L, 0 AS i,
        |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
@@ -2495,11 +2497,11 @@ object TextAnalysis {
        |  WHERE r <= $UnigramSeedNgrams),
        |seeds AS (SELECT p, cnt FROM g1 UNION ALL
        |  SELECT p, cnt FROM s2 UNION ALL SELECT p, cnt FROM s3),
+       |$ilnTabSql,
        |tot AS (SELECT sum(cnt) AS t FROM seeds),
        |lp AS (
-       |  SELECT p, cast(floor(ln(cast(cnt AS double)) * 1000 + 0.5) AS bigint)
-       |    - cast(floor(ln(cast(t AS double)) * 1000 + 0.5) AS bigint) AS lp
-       |  FROM seeds, tot),
+       |  SELECT p, ${ilnqSql("cnt")} - ${ilnqSql("t")} AS lp
+       |  FROM seeds, tot, ilntab),
        |dp AS (
        |  SELECT w, freq, len(w) AS L, 0 AS i,
        |    cast(0 AS bigint) AS d1, cast($UnigramNeg AS bigint) AS d2,
@@ -2534,10 +2536,8 @@ object TextAnalysis {
        |etot AS (SELECT sum(e_count) AS et FROM ecnt)
        |SELECT s.p AS piece, cast(length(s.p) AS bigint) AS piece_len,
        |  cast(s.cnt AS bigint) AS seed_count, e.e_count,
-       |  cast(floor(ln(cast(e.e_count AS double)) * 1000 + 0.5) AS bigint)
-       |    - cast(floor(ln(cast(et.et AS double)) * 1000 + 0.5) AS bigint)
-       |    AS lp_milli
-       |FROM seeds s JOIN ecnt e ON e.p = s.p, etot et
+       |  ${ilnqSql("e.e_count")} - ${ilnqSql("et.et")} AS lp_micro
+       |FROM seeds s JOIN ecnt e ON e.p = s.p, etot et, ilntab
        |ORDER BY e.e_count DESC, s.p""".stripMargin
 
   /** Zipf head size for [[zipfSlope]]: the fit runs over the top

@@ -177,7 +177,7 @@ class Round11Spec extends SparkSpec {
     def topK(g: Map[String, Long]): Seq[(String, Long)] =
       g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(TextAnalysis.UnigramSeedNgrams)
     val seeds = grams(1).toSeq ++ topK(grams(2)) ++ topK(grams(3))
-    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    def lnq(x: Long): Long = TextAnalysis.ilnqRef(x)
     val t = seeds.map(_._2).sum
     val lp = seeds.map { case (p0, c) => p0 -> (lnq(c) - lnq(t)) }.toMap
     val NEG = TextAnalysis.UnigramNeg
@@ -257,7 +257,7 @@ class Round11Spec extends SparkSpec {
     def topK(g: Map[String, Long]): Seq[(String, Long)] =
       g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(TextAnalysis.UnigramSeedNgrams)
     val seeds = grams(1).toSeq ++ topK(grams(2)) ++ topK(grams(3))
-    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    def lnq(x: Long): Long = TextAnalysis.ilnqRef(x)
     val t = seeds.map(_._2).sum
     val lp = seeds.map { case (p0, c) => p0 -> (lnq(c) - lnq(t)) }.toMap
     val NEG = TextAnalysis.UnigramNeg
@@ -310,7 +310,7 @@ class Round11Spec extends SparkSpec {
       g.toSeq.sortBy { case (p0, c) => (-c, p0) }.take(k)
     val seeds = grams(1).toSeq ++ topK(grams(2), TextAnalysis.UnigramSeedNgrams) ++
       topK(grams(3), TextAnalysis.UnigramSeedNgrams)
-    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1000 + 0.5).toLong
+    def lnq(x: Long): Long = TextAnalysis.ilnqRef(x)
     val NEG = TextAnalysis.UnigramNeg
     def segment(lp: Map[String, Long], w: String): Seq[String] = {
       val L = w.length
