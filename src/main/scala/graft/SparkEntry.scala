@@ -166,6 +166,8 @@ object SparkEntry {
     "ann_ivf_nprobe_curve" -> ((s, d) => Similarity.ivfNprobeCurve(s, d)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "ann_ivfpq_tune_grid" -> ((s, d) => Similarity.ivfPqTuneGrid(s, d)),
+    "ann_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q_pagerank" -> ((s, d) => Joins.pagerank(s, d)),
     "ann_hybrid_rrf_eval" -> ((s, d) => Similarity.hybridRrfEval(s, d)),
     "ann_pq_search" -> ((s, d) => Similarity.pqSearchTopK(s, d)),
     "ann_refine" -> ((s, d) => Similarity.refineTopK(s, d)),
@@ -626,6 +628,8 @@ object SparkEntry {
     "ann_ivf_nprobe_curve" -> Similarity.ivfNprobeCurveOracle,
     "ann_hybrid_rrf" -> Similarity.hybridRrfOracle,
     "ann_ivfpq_tune_grid" -> Similarity.ivfPqTuneGridOracle,
+    "ann_hard_negatives" -> Similarity.hardNegativesOracle,
+    "q_pagerank" -> Joins.pagerankOracle,
     "ann_hybrid_rrf_eval" -> Similarity.hybridRrfEvalOracle,
     "ann_pq_search" -> Similarity.pqSearchTopKOracle,
     "ann_refine" -> Similarity.refineTopKOracle,

@@ -287,4 +287,98 @@ object Joins {
       |    greatest((SELECT sum(deg * (deg - 1) // 2) FROM degc), 1)
       |    AS bigint) AS gcc_bp
       |FROM t""".stripMargin
+
+  /** PageRank iterations for [[pagerank]] — fixed so both engines replay
+    * the identical run. */
+  val PagerankIters = 3
+
+  /** Integer rank scale: ranks are parts-per-10¹² of the stationary mass. */
+  val PagerankScale = 1000000000000L
+
+  /** Integer-exact PageRank (`q_pagerank`) over the customer↔supplier
+    * trade graph — the canonical ITERATIVE graph op at corpus scale,
+    * complementing the one-shot census rows (`q_triangle_count`) and the
+    * model-sized chain (`ev_markov_stationary`, whose matrix is
+    * |event types|²; THIS node set grows with the data). Nodes are every
+    * customer/supplier appearing in a distinct (o_custkey, l_suppkey)
+    * trade pair (key-disambiguated as 2k / 2k+1); edges run both ways, so
+    * the graph has no dangling nodes and degree = outdegree. Arithmetic
+    * is EXACT int64 end to end — r₀ = S div N with S = [[PagerankScale]],
+    * each step r'(v) = (15·r₀) div 100 + (85·Σ_{u→v} r(u) div deg(u))
+    * div 100 — a deterministic integer estimand both engines replay
+    * bit-identically (sums stay ≤ S, far from overflow).
+    *
+    * 100 TB shape: each of the [[PagerankIters]] steps is ONE shuffled
+    * join (edge list ⋈ rank vector on src — both hash-partitioned on the
+    * same key, so AQE reuses the edge side's exchange across iterations)
+    * plus a dst-keyed partial agg; the edge list with degrees is
+    * localCheckpoint-pinned once. Nothing is ever collected to the
+    * driver; the final top-20 rides orderBy+limit (TakeOrdered, bounded
+    * per-partition heaps). The Bianchini et al. (TOIT'05) convergence
+    * bound makes a fixed small iteration count the standard large-graph
+    * deployment mode. */
+  def pagerank(spark: SparkSession, d: String, topN: Int = 20): DataFrame = {
+    val e0 = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    val edges = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionAll(e0.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    // every division is Spark SQL `div` (exact int64), never `/` (double):
+    // a double quotient cast back to long can land one ULP across an
+    // integer boundary and diverge from DuckDB's exact `//`
+    val base = deg.agg(count(lit(1)).as("n"))
+      .select(expr(s"${PagerankScale}L div n").as("b"))
+    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(base))
+      .select(col("node"), col("b").as("r"))
+    val rFinal = (1 to PagerankIters).foldLeft(r0) { (ranks, _) =>
+      edgesDeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .crossJoin(broadcast(base))
+        .select(col("dst").as("node"),
+          expr("(15L * b) div 100 + (85L * m) div 100").as("r"))
+    }
+    rFinal.orderBy(col("r").desc, col("node")).limit(topN)
+      .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("r").desc, col("node"))).cast("int"))
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("entity_id"),
+        col("r").as("rank_u"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val pagerankOracle: String = {
+    def step(k: Int): String =
+      s"""r$k AS (
+         |  SELECT e.dst AS node,
+         |    cast((15 * b) // 100 + (85 * sum(r.r // e.deg)) // 100
+         |      AS bigint) AS r
+         |  FROM ed e JOIN r${k - 1} r ON r.node = e.src, base
+         |  GROUP BY e.dst, b)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+       |  UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       |base AS (
+       |  SELECT $PagerankScale // count(*) AS b FROM deg),
+       |r0 AS (SELECT src AS node, b AS r FROM deg, base),
+       |${(1 to PagerankIters).map(step).mkString(",\n")},
+       |top AS (
+       |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+       |  FROM r$PagerankIters)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  cast(node // 2 AS bigint) AS entity_id, r AS rank_u,
+       |  cast(rk AS int) AS rank
+       |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin
+  }
 }

@@ -3150,6 +3150,63 @@ object Similarity {
        |ORDER BY nprobe, refine_r""".stripMargin
   }
 
+  /** Hard-negative mining (`ann_hard_negatives`) — the contrastive-training
+    * data step embedding pipelines run between retrieval and training: for
+    * each query vector, the top-k most similar corpus vectors whose LABEL
+    * differs from the query's (similar-but-wrong = the gradient-rich
+    * negatives; same-label neighbors are presumed positives and excluded).
+    * Also reports each negative's same-label rank margin — how many true
+    * positives outrank it — since a pipeline typically filters to negatives
+    * that beat at least one positive ("in-batch hard"). Same brute-force
+    * shape as [[bruteforceTopK]] (broadcast queries, ONE corpus pass, no
+    * corpus-side exchange before the per-query WindowGroupLimit top-k); at
+    * 100 TB the candidate generator swaps for the IVF ladder and this
+    * stays the final exact re-rank over its shortlist. */
+  def hardNegatives(spark: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val v = normed(spark, d)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("label_q"),
+        col("e").as("qe"), col("norm").as("qnorm"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label_q"), col("vec_id").as("neighbor_id"),
+        col("label").as("label_n"),
+        round(dot(col("qe"), col("e")) / (col("qnorm") * col("norm")), 4).as("cos"))
+      .withColumn("r_all", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+    scored.filter(col("label_n") =!= col("label_q"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("label_q").cast("long").as("label_q"),
+        col("label_n").cast("long").as("label_n"), col("cos"),
+        (col("r_all") - col("rank")).cast("long").as("n_pos_above"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS label_q, e AS qe
+      |      FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, label_q, v.vec_id AS neighbor_id,
+      |    v.label AS label_n,
+      |    round(list_cosine_similarity(qe, v.e), 4) AS cos
+      |  FROM q, v WHERE v.vec_id != query_id),
+      |ra AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos DESC, neighbor_id) AS r_all FROM s),
+      |neg AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM ra WHERE label_n != label_q)
+      |SELECT query_id, neighbor_id, cast(label_q AS bigint) AS label_q,
+      |  cast(label_n AS bigint) AS label_n, cos,
+      |  cast(r_all - rank AS bigint) AS n_pos_above,
+      |  cast(rank AS int) AS rank
+      |FROM neg WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------------------
   // Hybrid retrieval: dense ANN ⊕ sparse BM25 fused by reciprocal-rank fusion
   // -------------------------------------------------------------------------

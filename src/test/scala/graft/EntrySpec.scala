@@ -22,7 +22,7 @@ class EntrySpec extends AnyFunSuite {
   test("inventory size matches the documented counts (SURVEY §8 / README)") {
     // all-oracle inventory; bump ALL THREE places together:
     // this pin, SURVEY.md §8, README.md verification section.
-    assert(SparkEntry.queries.size == 256,
+    assert(SparkEntry.queries.size == 258,
       s"queries.size=${SparkEntry.queries.size} — update SURVEY.md §8 + README.md, then this pin")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Joins, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-15 semantic pins for the hybrid retrieval fusion rows. */
@@ -70,6 +70,55 @@ class Round15Spec extends SparkSpec {
       .agg(sum(col("n_hits"))).head().getLong(0)
     assert(g.find(t => t._1 == 1L && t._2 == 0L).get._5 == ivfpqHits,
       s"grid corner != ann_ivfpq_recall total hits ($ivfpqHits)")
+  }
+
+  test("q_pagerank: bit-identical to a plain-Scala integer power iteration at sf0.001") {
+    val got = Joins.pagerank(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // reference: same edge build, same exact-int64 recurrence
+    val e0 = Tables.orders(spark, Sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, Sf).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = e0 ++ e0.map { case (c, s) => (s, c) }
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.length.toLong }
+    val n = deg.size.toLong
+    val b = Joins.PagerankScale / n
+    var r = deg.keys.map(_ -> b).toMap
+    for (_ <- 1 to Joins.PagerankIters) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = in.map { case (v, m) => v -> ((15L * b) / 100 + (85L * m) / 100) }
+    }
+    val want = r.toSeq.sortBy { case (node, ru) => (-ru, node) }.take(20)
+      .zipWithIndex.map { case ((node, ru), i) =>
+        (if (node % 2 == 0) "customer" else "supplier", node / 2, ru, i + 1)
+      }
+    assert(got == want, s"pagerank divergence:\n got=${got.take(5)}\nwant=${want.take(5)}")
+    // sanity: integer mass stays within the damping identity's bounds
+    assert(got.head._3 > b, "a hub must exceed the uniform rank")
+  }
+
+  test("ann_hard_negatives: negatives only, ranked, margin consistent with the unfiltered ranking") {
+    val rows = Similarity.hardNegatives(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    for ((_, _, lq, ln, _, nPos, rk) <- rows) {
+      assert(lq != ln, "a hard negative must carry a different label")
+      assert(rk >= 1 && rk <= 5)
+      assert(nPos >= 0, "same-label-above margin cannot be negative")
+    }
+    // a query's rank-1 negative can never beat the query's global top-1
+    // WITH ties allowed (the top-1 may itself be the negative)
+    val top1 = Similarity.bruteforceTopK(spark, Sf).collect()
+      .filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_._7 == 1).foreach { case (q, _, _, _, cos, _, _) =>
+      assert(cos <= top1(q), s"query $q: negative cos $cos beats global top-1 ${top1(q)}")
+    }
   }
 
   test("ann_hybrid_rrf_eval: pure systems anchor at 1.0 and fusion keeps both signals") {
