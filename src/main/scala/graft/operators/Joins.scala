@@ -322,8 +322,12 @@ object Joins {
       .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    // pin the edge list FIRST: deg, base, r0 and the per-iteration joins
+    // all branch off it, and unpinned each branch would re-run the
+    // orders⋈lineitem trade-pair build (plan-audited ~10 parquet rescans)
     val edges = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .unionAll(e0.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
     // every division is Spark SQL `div` (exact int64), never `/` (double):
