@@ -264,6 +264,87 @@ object RollingHash {
   }
 }
 
+/** 60/31-bit md5-prefix hash of a string (or binary) column — the native
+  * twin of the `conv(substring(md5(s), 1, n), 16, 10)` column composition in
+  * [[Kernels]].
+  *
+  * The declarative form is correct but pays, PER ROW: a 32-char hex
+  * UTF8String allocation out of Spark's `Md5` (commons-codec `md5Hex`), a
+  * substring copy, and `conv`'s base-16 string parse through
+  * `NumberConverter`. On the stride-1 ExactSubstr family that composition
+  * runs once per CHARACTER of the corpus and dominated the bench profile.
+  * This expression digests the UTF-8 bytes once and assembles the prefix
+  * value with two shifts — bit-for-bit the same longs (the first 15 / next
+  * 15 / first 8 hex digits are exactly the top nibbles of the digest), so
+  * every downstream equality class, winnow minimum, and band key is
+  * unchanged and the DuckDB oracle still reproduces it from `md5()` hex.
+  *
+  * `mode` selects which prefix: 60 = hex digits 1-15 (hash60), 61 = digits
+  * 16-30 (hash60b), 31 = digits 1-8 mod 2^31-1 (hash31).
+  */
+case class Md5Prefix(child: Expression, mode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string or binary, got ${t.simpleString}")
+  }
+
+  private def isBinary = child.dataType == org.apache.spark.sql.types.BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isBinary) Md5Prefix.compute(input.asInstanceOf[Array[Byte]], mode)
+    else Md5Prefix.computeUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isBinary)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix.compute($c, $mode)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix.computeUtf8($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Prefix {
+  final val P = 2147483647L // 2^31-1, the Kernels.hash31 modulus
+
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def computeUtf8(s: org.apache.spark.unsafe.types.UTF8String, mode: Int): Long =
+    compute(s.getBytes, mode)
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * hi = digest bytes 0-7 big-endian (hex digits 1-16), lo = bytes 8-15
+    * (digits 17-32); the three prefixes are pure shifts off those. */
+  def compute(bytes: Array[Byte], mode: Int): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var hi = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (d(i) & 0xFFL); i += 1 }
+    mode match {
+      case 60 => hi >>> 4 // hex digits 1-15
+      case 61 => // hex digits 16-30: low nibble of hi ++ top 56 bits of lo
+        var lo = 0L
+        i = 8
+        while (i < 16) { lo = (lo << 8) | (d(i) & 0xFFL); i += 1 }
+        ((hi & 0xFL) << 56) | (lo >>> 8)
+      case 31 => (hi >>> 32) % P // hex digits 1-8, mod 2^31-1
+      case m => throw new IllegalArgumentException(s"md5_prefix mode $m")
+    }
+  }
+}
+
 /** Registration of graft's native SQL functions.
   *
   * Deployments attach them via
@@ -276,6 +357,7 @@ object GraftFunctions {
   val RollingHashName = "graft_rolling_hash"
   val LshBucketName = "graft_lsh_bucket"
   val NearestCellName = "graft_nearest_cell"
+  val Md5PrefixName = "graft_md5_prefix"
 
   /** One builder per function, shared by BOTH registration paths
     * (GraftExtensions injection and ensureRegistered) — a divergent builder
@@ -318,6 +400,11 @@ object GraftFunctions {
             case b: Boolean => b
           })
       else NearestCell(exprs.head, exprs(1))
+  /** 2nd arg: prefix mode (60 / 61 / 31) — foldable int literal. */
+  val md5PrefixBuilder: Seq[Expression] => Expression =
+    exprs => Md5Prefix(exprs.head,
+      foldableArg[Int](Md5PrefixName, s"$Md5PrefixName(s, mode: int)",
+        exprs, 1) { case n: Number => n.intValue() })
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -339,6 +426,11 @@ object GraftFunctions {
       registry.registerFunction(FunctionIdentifier(NearestCellName),
         new ExpressionInfo(classOf[NearestCell].getName, NearestCellName),
         nearestCellBuilder)
+    }
+    if (!registry.functionExists(FunctionIdentifier(Md5PrefixName))) {
+      registry.registerFunction(FunctionIdentifier(Md5PrefixName),
+        new ExpressionInfo(classOf[Md5Prefix].getName, Md5PrefixName),
+        md5PrefixBuilder)
     }
   }
 }

@@ -345,14 +345,19 @@ object Joins {
         .select(col("dst").as("node"),
           expr("(15L * b) div 100 + (85L * m) div 100").as("r"))
     }
+    // rank the ≤topN surviving rows WITHOUT an unpartitioned Window (the
+    // PlanSpec single-reducer guard): fold the limit-bounded set into one
+    // array, sort by the row_number key (r desc via negation, node asc),
+    // and posexplode — position+1 IS the rank, over topN rows of state
     rFinal.orderBy(col("r").desc, col("node")).limit(topN)
-      .withColumn("rank", row_number().over(Window.partitionBy(lit(1))
-        .orderBy(col("r").desc, col("node"))).cast("int"))
+      .agg(collect_list(struct((-col("r")).as("nr"), col("node").as("n"))).as("xs"))
+      .select(posexplode(array_sort(col("xs"))).as(Seq("p", "x")))
       .select(
-        when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+        when(pmod(col("x.n"), lit(2)) === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
-        expr("node div 2").as("entity_id"),
-        col("r").as("rank_u"), col("rank"))
+        expr("x.n div 2").as("entity_id"),
+        (-col("x.nr")).as("rank_u"),
+        (col("p") + 1).cast("int").as("rank"))
       .orderBy(col("rank"))
   }
 

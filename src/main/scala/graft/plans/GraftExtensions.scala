@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, LshBucket, NearestCell, RollingHash}
+import graft.functions.{DotProduct, GraftFunctions, LshBucket, Md5Prefix, NearestCell, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.NearestCellName),
       new ExpressionInfo(classOf[NearestCell].getName, GraftFunctions.NearestCellName),
       GraftFunctions.nearestCellBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.Md5PrefixName),
+      new ExpressionInfo(classOf[Md5Prefix].getName, GraftFunctions.Md5PrefixName),
+      GraftFunctions.md5PrefixBuilder))
   }
 }
