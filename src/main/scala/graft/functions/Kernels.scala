@@ -33,18 +33,26 @@ object Kernels {
   /** Whitespace tokens. Single-space split, matching DuckDB string_split. */
   def tokens(text: Column): Column = split(text, " ")
 
+  // The three md5-prefix hashes ride the native [[graft.functions.Md5Prefix]]
+  // expression (r15): same longs bit-for-bit as the previous
+  // `conv(substring(md5(s), 1, n), 16, 10)` composition (the first 15 / next
+  // 15 / first 8 hex digits ARE the top nibbles of the digest bytes), but
+  // without the per-row 32-char hex allocation, substring copy, and conv
+  // base-16 reparse — on the stride-1 window families that composition ran
+  // once per corpus CHARACTER. Oracle SQL fragments below are unchanged.
+
   /** 31-bit shingle hash: first 8 hex digits of md5, mod P. */
   def hash31(s: Column): Column =
-    pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(P))
+    call_function(GraftFunctions.Md5PrefixName, s, lit(31))
 
   /** 60-bit token hash: first 15 hex digits of md5. */
   def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    call_function(GraftFunctions.Md5PrefixName, s, lit(60))
 
   /** Second independent 60-bit hash: md5 hex digits 16-30 — the other half
     * of the same digest, so a k=2 Bloom filter costs ONE md5 per key. */
   def hash60b(s: Column): Column =
-    conv(substring(md5(s), 16, 15), 16, 10).cast("long")
+    call_function(GraftFunctions.Md5PrefixName, s, lit(61))
 
   /** Word n-gram shingles of a token array (n=3). Empty for short docs. */
   def shingles3(toks: Column): Column =

@@ -21,6 +21,30 @@ class KernelsSpec extends SparkSpec {
     assert(h == java.lang.Long.parseLong("900150983cd24fb", 16) && h > 0)
   }
 
+  test("native md5-prefix hashes equal the conv(substring(md5)) composition bit-for-bit") {
+    // the r15 hot-path rewrite: hash31/hash60/hash60b now ride the native
+    // Md5Prefix expression; every equality class, winnow minimum and band
+    // key downstream depends on these longs, so pin them to the original
+    // declarative composition over adversarial inputs (empty, long,
+    // multi-byte UTF-8, whitespace) and 500 pseudo-random strings
+    val rng = new scala.util.Random(42)
+    val strs = Seq("", "a", " ", "héllo wörld ✓ 漢字", "x" * 500) ++
+      (1 to 500).map(_ => rng.alphanumeric.take(rng.nextInt(60) + 1).mkString)
+    val df = strs.toDF("s")
+    val rows = df.select(
+      hash31(col("s")).as("n31"),
+      hash60(col("s")).as("n60"),
+      hash60b(col("s")).as("n60b"),
+      pmod(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"), lit(P)).as("o31"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("o60"),
+      conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long").as("o60b")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3), s"hash31 diverged: $r")
+      assert(r.getLong(1) == r.getLong(4), s"hash60 diverged: $r")
+      assert(r.getLong(2) == r.getLong(5), s"hash60b diverged: $r")
+    }
+  }
+
   test("shingles3 builds word 3-grams; short docs yield none") {
     val out = Seq("a b c d", "a b").toDF("t")
       .select(shingles3(tokens(col("t"))).as("sh")).collect().map(_.getSeq[String](0))
