@@ -933,7 +933,12 @@ object Pipeline {
     * window) plus two one-row broadcast totals — model-sized end to end
     * after the scorer's corpus pass. */
   def annealSchedule(spark: SparkSession, d: String): DataFrame = {
+    // pin the |langs|×|tiers| bucket table (r15): unpinned, each of the four
+    // branches below (two totals, two phase projections) replayed the WHOLE
+    // ccnetBuckets bigram-LM scoring pipeline — 96 corpus scans for a
+    // two-phase projection over a handful of rows
     val tiers = ccnetBuckets(spark, d).select(col("lang"), col("tier"), col("n_docs"))
+      .localCheckpoint()
     val t1 = tiers.groupBy().agg(sum(col("n_docs")).as("tot"))
     val p1 = tiers.crossJoin(broadcast(t1))
       .select(lit(1L).as("phase"), col("lang"), col("tier"), col("n_docs"),

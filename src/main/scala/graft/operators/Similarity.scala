@@ -3256,14 +3256,21 @@ object Similarity {
       .filter(col("r") <= HybridQueryTerms)
       .select(col("query_id"), col("token"))
     val qtokens = qterms.select(col("token")).distinct()
-    // full-corpus df restricted to the bounded query-term vocabulary
-    val dfm = tok.join(broadcast(qtokens), "token")
-      .select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val tf = tok.join(broadcast(qterms), "token")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"), col("dl"), col("token"))
+    // ONE corpus-token pass for both df and tf (r15): the (doc, token)
+    // occurrence counts restricted to the query vocabulary determine both —
+    // df(token) = rows per token (the frame is distinct on (doc, token) by
+    // construction), tf(query, doc, token) = the count itself, replayed per
+    // matching query term. Previously df and tf each re-scanned and
+    // re-exploded the whole corpus. The pinned frame is bounded by the
+    // postings of ≤ nQueries·T tokens, not by the corpus.
+    val base = tok.join(broadcast(qtokens), "token")
+      .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfm = base.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = base.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("dl"), col("token"), col("tf"))
     val k1 = 1.2; val b = 0.75
     val scored = tf.join(broadcast(dfm), "token").join(broadcast(stats))
       .withColumn("w",

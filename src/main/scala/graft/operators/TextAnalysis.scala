@@ -1561,9 +1561,13 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // pin the per-step state (r15): unpinned, step k's pair count replays
+    // the ENTIRE step 1..k-1 chain (the plan rescanned the corpus parquet
+    // 62 times for a 5-step trainer). Pinned, each step is exactly one
+    // vocab-bounded pass; vocab is |vocab|-sized, best is one row.
     var vocab = words.select(
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
-      col("freq"))
+      col("freq")).localCheckpoint()
     var bests = List.empty[DataFrame]
     for (k <- 1 to steps) {
       val stats = vocab
@@ -1577,6 +1581,7 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
       val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1)
         .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"))
+        .localCheckpoint() // one row; read by the output union AND the merge
       bests :+= best
       vocab = vocab
         .crossJoin(broadcast(best.select(col("pair").as("bp"))))
@@ -1585,7 +1590,7 @@ object TextAnalysis {
             |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
             |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
             .stripMargin).as("s"),
-          col("freq"))
+          col("freq")).localCheckpoint()
     }
     bests.reduce(_ unionAll _).orderBy(col("step"))
   }
@@ -1639,12 +1644,15 @@ object TextAnalysis {
   def bpeApply(spark: SparkSession, d: String, steps: Int = BpeTrainSteps): DataFrame = {
     val toks = Tables.documents(spark, d)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
+    // same per-step pinning as [[bpeTrainOver]] (r15): the unpinned apply
+    // replayed the step chain per round plus the final join-back — 66
+    // corpus scans. srcCounts is |vocab|·|sources|-bounded.
     val srcCounts = toks.groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("freq"))
+      .agg(count(lit(1)).as("freq")).localCheckpoint()
     val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
     var vocab = words.select(col("w"),
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
-      col("freq"))
+      col("freq")).localCheckpoint()
     for (_ <- 1 to steps) {
       val stats = vocab
         .select(col("freq"), split(trim(col("s")), "  ").as("l"))
@@ -1663,7 +1671,7 @@ object TextAnalysis {
             |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
             |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
             .stripMargin).as("s"),
-          col("freq"))
+          col("freq")).localCheckpoint()
     }
     val perWord = vocab.select(col("w"),
       size(split(trim(col("s")), "  ")).cast("long").as("n_sym"))
@@ -2017,13 +2025,19 @@ object TextAnalysis {
     * with [[unigramCurve]], ported with the oracle and Round11Spec twins in
     * the same change. */
   def unigramEmOver(docs: DataFrame): DataFrame = {
-    val words = unigramWordsOf(docs)
-    val seeds = unigramSeedsOf(words)
+    // pin the vocab-sized shared frames (r15): unpinned, every one of the
+    // branches below replays its whole upstream subtree — the em plan
+    // rescanned the documents parquet 34 times (the prune twin 202) for
+    // what is ONE corpus pass + model-sized work. words/seeds/ecnt are all
+    // |vocab|-bounded, the family's standing localCheckpoint contract.
+    val words = unigramWordsOf(docs).localCheckpoint()
+    val seeds = unigramSeedsOf(words).localCheckpoint()
     val tot = seeds.agg(sum(col("cnt")).as("t"))
     val lp = seeds.crossJoin(broadcast(tot))
       .select(col("p"), (ilnqU(col("cnt")) - ilnqU(col("t"))).as("lp"))
     val ecnt = vitPieceUses(words, unigramLpMap(lp))
       .groupBy(col("p")).agg(sum(col("freq")).as("e_count"))
+      .localCheckpoint() // read twice: the total and the final join
     val etot = ecnt.agg(sum(col("e_count")).as("et"))
     seeds.join(ecnt, "p").crossJoin(broadcast(etot))
       .select(col("p").as("piece"), length(col("p")).cast("long").as("piece_len"),
@@ -2056,8 +2070,13 @@ object TextAnalysis {
     * the default). */
   def unigramPruneOver(docs: DataFrame,
       keepN: Int = UnigramKeepNgrams): DataFrame = {
-    val words = unigramWordsOf(docs)
-    val seeds = unigramSeedsOf(words)
+    // pin the vocab-sized shared frames (r15): the unpinned prune plan
+    // replayed words/seeds/the ROUND-1 VITERBI PASS once per downstream
+    // branch — 202 parquet scans of the corpus for a two-Viterbi-pass
+    // algorithm. Pinned, exactly two vit passes execute (e1, e2); every
+    // pinned frame is |vocab|-bounded.
+    val words = unigramWordsOf(docs).localCheckpoint()
+    val seeds = unigramSeedsOf(words).localCheckpoint()
     val tot = seeds.agg(sum(col("cnt")).as("t"))
     val lp1 = seeds.crossJoin(broadcast(tot))
       .select(col("p"), (ilnqU(col("cnt")) - ilnqU(col("t"))).as("lp"))
@@ -2065,10 +2084,11 @@ object TextAnalysis {
       .groupBy(col("p")).agg(sum(col("freq")).as("e1"))
     val seedsE = seeds.join(e1, Seq("p"), "left")
       .select(col("p"), coalesce(col("e1"), lit(0L)).as("e1"))
+      .localCheckpoint() // branches: chars, the top-K cut, the final join
     val chars = seedsE.filter(length(col("p")) === 1)
     val multi = seedsE.filter(length(col("p")) > 1 && col("e1") > 0)
       .orderBy(col("e1").desc, col("p")).limit(keepN)
-    val kept = chars.unionAll(multi)
+    val kept = chars.unionAll(multi).localCheckpoint()
     val tot2 = kept.agg(sum(greatest(col("e1"), lit(1L))).as("t2"))
     val lp2 = kept.crossJoin(broadcast(tot2))
       .select(col("p"),
@@ -2355,11 +2375,17 @@ object TextAnalysis {
 
   /** [[unigramApply]] over an explicit (source, text) frame (spec hook). */
   def unigramApplyOver(docs: DataFrame): DataFrame = {
+    // pin the two shared frames (r15): unpinned, the seed grams (3 branches)
+    // and the final join-back each replayed the corpus tokenization — 16
+    // parquet scans for a one-corpus-pass apply. srcCounts is
+    // |vocab|·|sources|-bounded, words |vocab|-bounded.
     val srcCounts = docs
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+      .localCheckpoint()
     def grams(n: Int): DataFrame = words
       .filter(length(col("w")) >= n)
       .select(col("w"), col("freq"),
