@@ -1116,8 +1116,14 @@ object Tpch {
     * (distributed partial top-k). All-integer lift — bit-exact oracle. */
   def marketBasket(spark: SparkSession, d: String, k: Int = 20,
       maxBasket: Int = MaxBasketItems): DataFrame = {
+    // pin the distinct (order, part) projection (r15): four consumers
+    // (ceiling pass, order total, per-part counts, both pair-join sides)
+    // replayed the scan+distinct — 20 parquet scans. The ceiling join
+    // itself stays UNPINNED so the basket-cap filter remains in the
+    // executed plan (PlanSpec's cap guard).
     val li0 = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     // per-order item ceiling (the MaxShingleDf/MaxKnnBucket family
     // convention): the pair explosion is Σ C(items,2) per order — bounded
     // at ≤7 on TPC-H but a latent |basket|² on arbitrary data, so baskets
@@ -1129,12 +1135,7 @@ object Tpch {
     // results are bit-identical to the uncapped form.
     val keep = li0.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= maxBasket).select(col("l_orderkey"))
-    // pin the capped basket frame (r15): four consumers (order total,
-    // per-part counts, both pair-join sides) each replayed the
-    // scan+distinct+cap-join — 20 parquet scans; pinned, the distinct
-    // (order, part) projection is computed once (the winnowPairs
-    // materialize-once convention for multiply-read corpus frames)
-    val li = li0.join(keep, "l_orderkey").localCheckpoint()
+    val li = li0.join(keep, "l_orderkey")
     val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
     val pairs = li.as("a")
