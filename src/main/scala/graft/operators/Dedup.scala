@@ -925,7 +925,10 @@ object Dedup {
         .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
         .unionAll(minsS.select(col("doc_a"), col("m").as("doc_b")))
         .distinct().localCheckpoint()
-      converged = ss.except(e).isEmpty && e.except(ss).isEmpty
+      // set equality of two DISTINCT frames = equal cardinality + one-way
+      // containment — one anti-join instead of two (both frames are just-
+      // checkpointed, so the counts are cheap partition sums)
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
       e = ss
       iter += 1
     }

@@ -328,7 +328,10 @@ object Joins {
     val edges = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .unionAll(e0.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       .localCheckpoint()
+    // deg is read three times (edgesDeg build, node count, r0) — pinned so
+    // the degree aggregate over the edge list runs once
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
     // every division is Spark SQL `div` (exact int64), never `/` (double):
     // a double quotient cast back to long can land one ULP across an
