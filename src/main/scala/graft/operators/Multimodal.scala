@@ -266,10 +266,14 @@ object Multimodal {
     * df-cap prevents). [[phashBandStats]] publishes what the cap dropped;
     * at the synthetic corpus's md5-uniform band values it drops nothing. */
   private def phashBands(spark: SparkSession, d: String): DataFrame = {
+    // r15: the digest rides the native md5-prefix kernel (same long as the
+    // previous conv(substring(md5(...))) chain — see graft.functions.
+    // Md5Prefix), and the band index is pinned: phashDedup reads it three
+    // times (occupancy pass + both self-join sides) and phashRecall twice
+    // more — unpinned, each read replayed the md5 pass over the corpus
     val base = Tables.documents(spark, d)
       .select(col("doc_id"),
-        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("phash"))
+        graft.functions.Kernels.hash60(col("text")).as("phash"))
     val planted = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         expr("phash ^ shiftleft(1L, cast(doc_id % 60 AS int))").as("phash"))
@@ -278,6 +282,7 @@ object Multimodal {
         explode(sequence(lit(0), lit(3))).as("b"))
       .select(col("doc_id"), col("phash"), col("b"),
         expr("(phash div shiftleft(1L, cast(b * 15 AS int))) % 32768").as("bv"))
+      .localCheckpoint()
   }
 
   def phashDedup(spark: SparkSession, d: String, maxHam: Int = 3): DataFrame = {
@@ -327,6 +332,7 @@ object Multimodal {
       pairMod: Int = 8): DataFrame = {
     import graft.functions.Kernels.hash31
     val corpus = phashBands(spark, d).select(col("doc_id"), col("phash")).distinct()
+      .localCheckpoint() // both truth sides read it
     val left = corpus
       .filter(pmod(hash31(col("doc_id").cast("string")), lit(pairMod.toLong)) === 0L)
     val right = corpus.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"))

@@ -895,9 +895,13 @@ object Pipeline {
     * tier (ties share fate in both engines). Integer share accounting. */
   def ccnetBuckets(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned (r15): the value-range-bounded histogram feeds the per-lang
+    // totals AND the cumulative walk — unpinned, each replayed the whole
+    // bigram-LM scoring pass
     val hist = TextAnalysis.bigramDocScores(spark, d)
       .groupBy(col("lang"), col("avg_logprob").as("score"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val totals = hist.groupBy(col("lang")).agg(sum(col("n")).as("n_total"))
     val w = Window.partitionBy(col("lang")).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

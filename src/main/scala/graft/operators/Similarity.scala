@@ -1835,11 +1835,16 @@ object Similarity {
               (x, c) => (x - c) * (x - c)),
             lit(0.0), (acc, x) => acc + x), 6).as("d2"))
         .localCheckpoint()
-      val inertia = assigned
-        .agg(sum(round(col("d2") * 1000000.0).cast("long"))).collect()(0).getLong(0)
-      val nChanged = assigned.as("a")
+      // ONE driver read per step for both curve stats (r15): the 1:1 join
+      // with the previous assignment preserves every row, so the inertia
+      // sum is unchanged and the churn count rides the same job
+      val statsRow = assigned.as("a")
         .join(prevAssign.as("p"), "vec_id")
-        .filter(col("a.cell") =!= col("p.cell")).count()
+        .agg(sum(round(col("d2") * 1000000.0).cast("long")).as("inertia"),
+          sum(when(col("a.cell") =!= col("p.cell"), 1L).otherwise(0L)).as("nch"))
+        .collect()(0)
+      val inertia = statsRow.getLong(0)
+      val nChanged = statsRow.getLong(1)
       val newc = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))

@@ -418,15 +418,20 @@ object TextAnalysis {
   def pmiBigrams(spark: SparkSession, d: String, minCount: Int = 5): DataFrame = {
     val toks = Tables.documents(spark, d).select(tokens(col("text")).as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
-    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val utot = uni.groupBy().agg(count(lit(1)).as("nu"))
+    // totals derive from the count tables (Σc ≡ the stream count), so the
+    // token/bigram streams are each read ONCE — the unpinned form replayed
+    // the corpus tokenization per consumer (r15); uf is read twice (total +
+    // join side), pinned at |vocab| rows
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val utot = uf.groupBy().agg(sum(col("c")).as("nu"))
     val bg = toks.filter(size(col("t")) >= 2)
       .select(explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
     val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    val btot = bg.groupBy().agg(count(lit(1)).as("nb"))
+      .localCheckpoint()
+    val btot = bf.groupBy().agg(sum(col("c_xy")).as("nb"))
     // unigram-frequency sides are the full vocabulary — shuffled, never
     // broadcast; the two 1-row totals stay broadcasts
     bf.filter(col("c_xy") >= minCount)
@@ -475,13 +480,18 @@ object TextAnalysis {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val uni = docs.select(explode(col("t")).as("w"))
-    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // pinned (r15): uf feeds the vocab total and the scoring join, bg feeds
+    // the bigram model AND the scoring join — unpinned, each consumer
+    // replayed the corpus tokenization (the ccnet/anneal rows compounded
+    // this, scanning documents 24/96 times)
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c1")).localCheckpoint()
     val vocab = uf.groupBy().agg(count(lit(1)).as("v"))
     val bg = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(arrays_zip(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
       .select(col("doc_id"), col("lang"), col("p.0").as("w1"), col("p.1").as("w2"))
+      .localCheckpoint()
     val bf = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
     bg.join(bf.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(uf.select(col("w").as("w1"), col("c1")).hint("shuffle_hash"), "w1")
@@ -521,7 +531,9 @@ object TextAnalysis {
       thresholds: Seq[Int] = Seq(2, 10, 100)): DataFrame = {
     val uni = Tables.documents(spark, d)
       .select(explode(tokens(col("text"))).as("w"))
-    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // pinned (r15): uf feeds the totals and the threshold cross join —
+    // unpinned, each replayed the corpus tokenization
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
     val tot = uf.groupBy().agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_terms"))
     val thr = spark.range(thresholds.size)
       .select(element_at(array(thresholds.map(t => lit(t.toLong)): _*),
@@ -1300,10 +1312,14 @@ object TextAnalysis {
     * model-sized, never corpus-sized. */
   def jsDivergence(spark: SparkSession, d: String, nBuckets: Int = 64): DataFrame = {
     import graft.functions.Kernels.hash31
+    // pinned (r15): the |sources|×64 model feeds three consumers (totals,
+    // left, right) and the directed table both self-join sides — unpinned,
+    // each replayed the corpus tokenize+hash pass (20 scans in the plan)
     val m = Tables.documents(spark, d)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .select(col("source"), pmod(hash31(col("w")), lit(nBuckets.toLong)).as("b"))
       .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val n = m.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val left = m.join(n, "source")
       .select(col("source").as("sa"), col("b"), col("c").as("ca"), col("n").as("na"))
@@ -1320,6 +1336,7 @@ object TextAnalysis {
           + col("cb") * col("na"))) * 1e6 + lit(0.5)).cast("long"))
       .groupBy(col("sa"), col("sb"))
       .agg(sum(col("ca") * col("li")).as("dsum"), max(col("na")).as("na"))
+      .localCheckpoint() // model-sized; both sides of the symmetric join
     directed.as("f")
       .join(directed.as("r"),
         col("f.sa") === col("r.sb") && col("f.sb") === col("r.sa") &&
