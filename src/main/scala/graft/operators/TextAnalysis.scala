@@ -2938,11 +2938,17 @@ object TextAnalysis {
 
   /** [[wordpieceApply]] over an explicit (source, text) frame (spec hook). */
   def wordpieceApplyOver(docs: DataFrame, steps: Int = WordPieceSteps): DataFrame = {
+    // pinned (r15): srcCounts feeds the word rollup AND the final
+    // join-back, words feeds the trainer and the MaxMatch pass — unpinned,
+    // each consumer replayed the corpus tokenization (the unigram/bpe
+    // apply twins got the same fix)
     val srcCounts = docs
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+      .localCheckpoint()
     val (bests, _) = wordpieceMerges(words.filter(length(col("w")) >= 2), steps)
     // merge-product map (≤ steps rows, each the fused pair): the shipped
     // model, one row after the collect_list aggregate — broadcast like
