@@ -780,11 +780,11 @@ object TextAnalysis {
   /** The [[substrDup]] kernel over any (doc_id, source, text) relation —
     * public so the winnow-recall spec can plant passages. */
   def substrDupOn(docs: DataFrame): DataFrame = {
-    // pin the distinct window-digest index (r15): substrShareReport reads
-    // it twice (df aggregate + the join back), and unpinned each read
-    // replayed the full stride-1 md5 pass — the family's dominant cost.
-    // The pinned frame is the paper's suffix-array-sized index, the
-    // documented materialization of this operator.
+    // NOT pinned (r15 finding): materializing the position universe
+    // (suffix-array-sized) blew the 8 GB local driver at sf1 — the two
+    // consumers recompute the stride-1 pass instead, which the native
+    // md5-prefix kernel made cheap; at real scale the index would be an
+    // on-disk artifact, not executor storage.
     val win = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"), col("source"),
@@ -793,7 +793,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         hash60(expr("substring(text, i, 40)")).as("h"))
       .distinct()
-      .localCheckpoint()
     substrShareReport(win)
   }
 
@@ -841,8 +840,6 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
-    // pinned for the same two-consumer reason as [[substrDupOn]]'s win —
-    // here each replay would also redo the winnow window pass
     val fps = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"), col("source"),
@@ -855,7 +852,6 @@ object TextAnalysis {
       .filter(col("wn") === w)
       .select(col("doc_id"), col("source"), col("m").as("h"))
       .distinct()
-      .localCheckpoint()
     substrShareReport(fps)
   }
 
@@ -945,10 +941,6 @@ object TextAnalysis {
     // the corpus-sized position frame carries ONLY (doc_id, i, digest) —
     // doc metadata rejoins per AFFECTED doc after the aggregation, so the
     // two big shuffles (digest df, shared-position join) move 20 bytes/row
-    // pin the position-digest index (r15): sharedH and the shared-position
-    // join BOTH consume it, and unpinned each consumer replayed the full
-    // stride-1 md5 pass — the operator's dominant cost ran twice. The pin
-    // is the paper's suffix-array-sized index materialized once.
     val win = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"),
@@ -956,7 +948,6 @@ object TextAnalysis {
         col("text"))
       .select(col("doc_id"), col("i"),
         hash60(expr("substring(text, i, 40)")).as("h"))
-      .localCheckpoint()
     // digests shared across >= 2 distinct docs (the audit's df >= 2 rule)
     val sharedH = win.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
@@ -1099,11 +1090,6 @@ object TextAnalysis {
     * public so specs can plant cross-document passages at any alignment. */
   def substrKeepOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // pin the position-digest index (r15): without it the stride-1 md5
-    // pass replayed once per consumer (sharedH + the shared join), and the
-    // sh frame below replayed per ITS consumers (anchors + flagged) — the
-    // keep variant paid the dominant pass up to 4×. win is the paper's
-    // suffix-array-sized index; sh is the (smaller) shared-position slice.
     val win = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"),
@@ -1111,7 +1097,6 @@ object TextAnalysis {
         col("text"))
       .select(col("doc_id"), col("i").cast("long").as("i"),
         hash60(expr("substring(text, i, 40)")).as("h"))
-      .localCheckpoint()
     val sharedH = win.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select(col("h"))
@@ -1121,10 +1106,6 @@ object TextAnalysis {
     // shuffle stats and OOMing while deserializing the LongToUnsafeRowMap
     // (HashedRelation.scala:949); forbidding broadcast keeps all three
     // hash-on-h operators on ONE reused exchange with per-partition builds.
-    // sh is NOT pinned: its shuffle_hash join must stay in the executed
-    // plan (PlanSpec's no-broadcast family guard watches exactly this join
-    // for AQE broadcast conversion); re-deriving it per consumer joins the
-    // pinned win index, never the corpus
     val sh = win.join(sharedH.hint("shuffle_hash"), "h")
     // the global per-digest anchor: min (doc_id, i) as one bigint key
     val anchors = sh.groupBy(col("h"))
@@ -1217,8 +1198,6 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
-    // pinned (r15): sharedFp and the join below both read the fingerprint
-    // frame; unpinned, the winnow pass (stride-1 md5 + sliding min) ran twice
     val fps = docs
       .filter(length(col("text")) >= 40)
       .select(col("doc_id"),
@@ -1231,7 +1210,6 @@ object TextAnalysis {
       .filter(col("wn") === w)
       .select(col("doc_id"), col("m").as("fp"))
       .distinct()
-      .localCheckpoint()
     val sharedFp = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2).select(col("fp"))
     // same no-broadcast rule: sharedFp is corpus-derived (one row per
