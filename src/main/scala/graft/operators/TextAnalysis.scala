@@ -801,11 +801,15 @@ object TextAnalysis {
     * per-source rollup is the audit schema both the stride-1 and the
     * winnowed variants publish, so their numbers compare row-for-row. */
   private def substrShareReport(win: DataFrame): DataFrame = {
-    val df = win.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-    // df is one row per DISTINCT digest — corpus-derived, so it must never
-    // be an AQE broadcast build side (the family-wide no-broadcast rule)
-    val perDoc = win.join(df.hint("shuffle_hash"), "h")
+    import org.apache.spark.sql.expressions.Window
+    // `win` is distinct on (doc_id, h), so rows-per-digest IS the distinct
+    // doc frequency: one count window partitioned by h replaces the
+    // r14 distinct→df-aggregate→shuffle_hash-join chain — two corpus-sized
+    // exchanges and a join build drop out of the plan (3 exchanges → 2),
+    // and no corpus-derived frame can become a broadcast build side
+    // because there is no join left at all
+    val perDoc = win
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))

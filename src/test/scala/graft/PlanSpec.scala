@@ -118,20 +118,28 @@ class PlanSpec extends SparkSpec {
     // conversion happens — must contain no broadcast join at all. At
     // sf0.001 every side is tiny enough that AQE WOULD broadcast absent
     // the shuffle_hash hints, so this test fails the moment a hint is lost.
+    // r15: the dup report variants replaced their distinct→df→join chain
+    // with a count window over the digest (no join remains to convert), so
+    // the ShuffledHashJoin pin applies to the apply/keep variants whose
+    // anchor/metadata joins still exist; the no-broadcast rule covers all six
     val docs = graft.Tables.documents(spark, Sf)
-    for ((name, df) <- Seq(
-      "text_substr_dup" -> TextAnalysis.substrDupOn(docs),
-      "text_substr_apply" -> TextAnalysis.substrApplyOn(docs),
-      "text_substr_keep" -> TextAnalysis.substrKeepOn(docs),
-      "text_substr_dup_winnow" -> TextAnalysis.substrDupWinnowOn(docs),
-      "text_substr_apply_winnow" -> TextAnalysis.substrApplyWinnowOn(docs),
-      "text_substr_keep_winnow" -> TextAnalysis.substrKeepWinnowOn(docs))) {
+    for ((name, df, needsShj) <- Seq(
+      ("text_substr_dup", TextAnalysis.substrDupOn(docs), false),
+      ("text_substr_apply", TextAnalysis.substrApplyOn(docs), true),
+      ("text_substr_keep", TextAnalysis.substrKeepOn(docs), true),
+      ("text_substr_dup_winnow", TextAnalysis.substrDupWinnowOn(docs), false),
+      ("text_substr_apply_winnow", TextAnalysis.substrApplyWinnowOn(docs), true),
+      ("text_substr_keep_winnow", TextAnalysis.substrKeepWinnowOn(docs), true))) {
       df.collect() // finalize AQE — the broadcast conversion is a runtime re-plan
       val s = physical(df).toString
       assert(!s.contains("BroadcastHashJoin") && !s.contains("BroadcastNestedLoopJoin"),
         s"$name executed plan broadcasts a corpus-derived build side:\n$s")
-      assert(s.contains("ShuffledHashJoin"),
-        s"$name should join digest tables via ShuffledHashJoin:\n$s")
+      if (needsShj)
+        assert(s.contains("ShuffledHashJoin"),
+          s"$name should join digest tables via ShuffledHashJoin:\n$s")
+      else
+        assert(!s.contains("Join"),
+          s"$name should carry no join at all (df rides a count window):\n$s")
     }
   }
 
