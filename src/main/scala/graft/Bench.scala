@@ -43,6 +43,19 @@ package graft
   *     the flag marks measurement hazards, not code changes. (r13/r14
   *     both shipped driver artifacts with 3-10× stall-inflated rows that
   *     took judge forensics to identify; now the artifact labels itself.)
+  *   - End-of-sweep rescue (r16): the r15 sweep showed the mid-sweep guard
+  *     can miss a whole stall window (both reps land inside it and the
+  *     follow-up control probes after it ends — ~10 rows inflated 2-7×,
+  *     zero labels). So after the sweep finishes, every non-failed row
+  *     whose reading still exceeds the prior threshold is re-measured ONCE,
+  *     bracketed by control probes taken immediately before AND after. If
+  *     both bracketing controls are healthy (≤ RESCUE_K × the sweep's min
+  *     control), the clean rep replaces the reading via the usual min; a
+  *     clean-but-still-slow reading is a genuine regression and stays
+  *     unlabeled. If either bracket control is inflated the row is labeled
+  *     `suspect`. Timings remain real full executions through the noop
+  *     sink, min over reps — the rescue only adds reps, never invents
+  *     numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -144,9 +157,10 @@ object Bench {
     var sinceControl = 0
     val suspects = scala.collection.mutable.LinkedHashSet.empty[String]
     probeControl()
-    val results = toRun.map { case (name, fn) =>
-      prior.get(name) match {
-        case Some(s) => name -> s // resumed: keep prior timing, don't re-log
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    toRun.foreach { case (name, fn) =>
+      results(name) = prior.get(name) match {
+        case Some(s) => s // resumed: keep prior timing, don't re-log
         case None =>
           if (sinceControl >= controlEvery) { probeControl(); sinceControl = 0 }
           sinceControl += 1
@@ -172,10 +186,44 @@ object Bench {
           val err = if (failed.contains(name)) ""","failed":true""" else ""
           val sus = if (suspects.contains(name)) ""","suspect":true""" else ""
           appendLine(s"""{"q":"$name","sec":${fmt3(best)},"t":${fmt3(elapsed)}$err$sus}""")
-          name -> best
+          best
       }
     }
     probeControl()
+
+    // End-of-sweep rescue pass (see the header): re-measure every non-failed
+    // row whose reading still exceeds the prior-based threshold, bracketed
+    // by control probes. Accept the extra rep (usual min) only when BOTH
+    // bracketing controls are healthy; otherwise label the row suspect.
+    val rescueK = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESCUE_K", "2").toDouble
+    val needRescue = results.collect {
+      case (name, s)
+          if !failed.contains(name) &&
+            priorBench.get(name).exists(p => s > math.max(priorK * p, p + 2.0)) =>
+        name
+    }.toSeq
+    needRescue.foreach { name =>
+      toRun.get(name).foreach { fn =>
+        probeControl(); val c1 = controls.last
+        val re = runOnce(fn, name)
+        probeControl(); val c2 = controls.last
+        if (failed.contains(name)) {
+          // the rescue rep itself threw (sweep rep succeeded): keep the sweep
+          // timing, drop the spurious failure mark, flag the row
+          failed -= name
+          suspects += name
+        } else {
+          val cmin = controls.min
+          val healthy = c1 <= rescueK * cmin && c2 <= rescueK * cmin
+          if (healthy) {
+            results(name) = math.min(results(name), re)
+            suspects -= name // clean reading: regression or not, it's real
+          } else suspects += name
+          val sus = if (suspects.contains(name)) ""","suspect":true""" else ""
+          appendLine(s"""{"q":"$name","sec":${fmt3(results(name))},"t":${fmt3(elapsed)},"rescue":true$sus}""")
+        }
+      }
+    }
 
     // a failed query has no timing: its wall clock (time-to-throw) must not
     // enter the headline total or the queries map — r12's sf1 artifact

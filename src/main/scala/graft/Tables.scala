@@ -31,6 +31,26 @@ object Tables {
     else df
   }
 
+  /** Spread a frame across the session's parallelism when its scan planned
+    * fewer splits than cores. The testdata ships each table as ONE parquet
+    * file with ONE row group — an unsplittable scan (a split must contain a
+    * row-group midpoint), so every stage up to the first exchange runs on a
+    * single core. Operators whose first stage does 10-100× per-byte
+    * derivation work (stride-1 digests, tokenize+shingle, per-token
+    * explodes) gate their input through this so the derivation uses the
+    * whole machine; the repartition hashes on a deterministic key (retry-
+    * safe, guide §2.5) and is a NO-OP at scale, where the scan already has
+    * ≥ parallelism splits — the corpus payload is never shuffled when the
+    * input layout is already parallel. */
+  def spreadByKey(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
+  /** [[documents]] spread across cores for derivation-heavy consumers. */
+  def documentsSpread(spark: SparkSession, d: String): DataFrame =
+    spreadByKey(documents(spark, d), col("doc_id"))
+
   def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")

@@ -40,6 +40,13 @@ object Kernels {
   // without the per-row 32-char hex allocation, substring copy, and conv
   // base-16 reparse — on the stride-1 window families that composition ran
   // once per corpus CHARACTER. Oracle SQL fragments below are unchanged.
+  //
+  // REGISTRATION CONTRACT: these resolve by name, so the session must have
+  // run [[GraftFunctions.ensureRegistered]] first. Every operator satisfies
+  // it by loading tables through graft.Tables (which registers on first
+  // touch), and spark.sql.extensions=graft.plans.GraftExtensions covers
+  // sessions built by GraftSession; a vanilla SparkSession composing these
+  // kernels over its own frames must call ensureRegistered itself.
 
   /** 31-bit shingle hash: first 8 hex digits of md5, mod P. */
   def hash31(s: Column): Column =

@@ -847,6 +847,9 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       // pointer doubling: my label's current label (label table self-join)
       val jump = labels.select(col("doc_id").as("jdoc"), col("label").as("jlabel"))
+      // LAZY pin (r16): the superstep's one aggregate job below both
+      // materializes the checkpoint AND reads the convergence bit — one
+      // driver job per superstep instead of two (eager pin + isEmpty scan)
       val next = labels
         .join(prop, labels("doc_id") === prop("pid"), "left")
         .join(jump, labels("label") === col("jdoc"), "left")
@@ -857,9 +860,10 @@ object Dedup {
           col("label").as("oldlabel"))
         .select(col("doc_id"), col("newlabel").as("label"),
           (col("newlabel") < col("oldlabel")).as("changed"))
-        .localCheckpoint()
-      // scans the just-checkpointed partitions (no shuffle, no recompute)
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      val changedRow = next
+        .agg(sum(when(col("changed"), 1L).otherwise(0L))).collect()(0)
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
@@ -899,11 +903,26 @@ object Dedup {
     * single star edge, roots label themselves, isolated vertices are
     * absent. */
   def starComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // ONE driver job per round (r16; was 4 — eager pin, two counts, except):
+    // every round's edge pin is LAZY and materializes inside a single
+    // aggregate job that also reads (cardinality, order-independent
+    // hash-xor — bit_xor never overflows, unlike a hash SUM under ANSI).
+    // Both frames are distinct() sets, so a differing signature PROVES set
+    // inequality — no except job on non-final rounds; signature equality is
+    // confirmed exactly with the one except job, paid only at the
+    // convergent round (or on an astronomically unlikely hash-xor tie,
+    // where the loop just continues — never a wrong convergence).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_a, doc_b))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var e = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_a"),
         least(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct().localCheckpoint()
-    var converged = e.isEmpty
+      .distinct().localCheckpoint(eager = false)
+    var eSig = sig(e)
+    var converged = eSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val sym = e.unionAll(
@@ -924,12 +943,11 @@ object Dedup {
         .filter(col("doc_b") =!= col("m"))
         .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
         .unionAll(minsS.select(col("doc_a"), col("m").as("doc_b")))
-        .distinct().localCheckpoint()
-      // set equality of two DISTINCT frames = equal cardinality + one-way
-      // containment — one anti-join instead of two (both frames are just-
-      // checkpointed, so the counts are cheap partition sums)
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+        .distinct().localCheckpoint(eager = false)
+      val sSig = sig(ss)
+      converged = sSig == eSig && ss.except(e).isEmpty
       e = ss
+      eSig = sSig
       iter += 1
     }
     require(converged, s"starComponents did not converge in $maxIter rounds")

@@ -1840,8 +1840,11 @@ object Similarity {
       // sum is unchanged and the churn count rides the same job
       val statsRow = assigned.as("a")
         .join(prevAssign.as("p"), "vec_id")
-        .agg(sum(round(col("d2") * 1000000.0).cast("long")).as("inertia"),
-          sum(when(col("a.cell") =!= col("p.cell"), 1L).otherwise(0L)).as("nch"))
+        .agg(
+          coalesce(sum(round(col("d2") * 1000000.0).cast("long")), lit(0L))
+            .as("inertia"),
+          coalesce(sum(when(col("a.cell") =!= col("p.cell"), 1L)
+            .otherwise(0L)), lit(0L)).as("nch"))
         .collect()(0)
       val inertia = statsRow.getLong(0)
       val nChanged = statsRow.getLong(1)
@@ -3021,39 +3024,62 @@ object Similarity {
       .localCheckpoint()
     val probeLevels = Seq(1, 2, probesMax).distinct.filter(_ <= probesMax)
     val refineLevels = Seq(0, 2 * k, refineMax).distinct.filter(_ <= refineMax)
-    probeLevels.flatMap { p =>
-      val slice = cand.filter(col("pr") <= p)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("adist_micro"), col("neighbor_id"))))
-      val scanned = slice.groupBy().agg(count(lit(1)).as("n_scanned"))
-      refineLevels.map { r =>
-        val (top, refined) =
-          if (r == 0)
-            (slice.filter(col("rk") <= k)
-              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-              slice.limit(0).groupBy().agg(coalesce(count(lit(1)), lit(0L)).as("n_refined")))
-          else {
-            val sl = slice.filter(col("rk") <= r)
-            (sl.join(exd, Seq("query_id", "neighbor_id"))
-              .withColumn("rr", row_number().over(
-                Window.partitionBy(col("query_id"))
-                  .orderBy(col("d2"), col("neighbor_id"))))
-              .filter(col("rr") <= k)
-              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-              sl.groupBy().agg(count(lit(1)).as("n_refined")))
-          }
-        truth.join(top, Seq("query_id", "neighbor_id"), "left")
-          .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
-          .select(lit(p.toLong).as("nprobe"), lit(r.toLong).as("refine_r"),
-            col("n_hits"),
-            round(col("n_hits") / col("n_truth").cast("double"), 4).as("recall_at_k"))
-          .crossJoin(broadcast(scanned))
-          .crossJoin(broadcast(refined))
-          .select(col("nprobe"), col("refine_r"), col("n_scanned"),
-            col("n_refined"), col("n_hits"), col("recall_at_k"))
-      }
-    }.reduce(_.unionAll(_)).orderBy(col("nprobe"), col("refine_r"))
+    // ONE exploded-grid pass (r16; was |grid| = 9 unioned branches — 9
+    // windows, 9 truth joins, 18 broadcast exchanges, all over the same
+    // model-sized pinned frames): each candidate is replicated per probe
+    // level (3×, model-sized — the candidate frame is already bounded by
+    // nQueries × probesMax × cell occupancy), ADC-ranked once per
+    // (query, nprobe) partition, then replicated per refine level and
+    // exact-ranked once per (query, nprobe, refine_r) partition. Ranking
+    // keys and tie-breaks are identical to the per-branch form, so every
+    // grid cell's hit set — and the output rows — are unchanged.
+    val byP0 = cand.select(col("query_id"), col("neighbor_id"),
+        col("adist_micro"),
+        explode(array(probeLevels.map(p => lit(p.toLong)): _*)).as("nprobe"),
+        col("pr"))
+      .filter(col("pr") <= col("nprobe"))
+    val byP = byP0.withColumn("rk", row_number().over(
+      Window.partitionBy(col("query_id"), col("nprobe"))
+        .orderBy(col("adist_micro"), col("neighbor_id"))))
+    // r = 0 keeps the ADC top-k (hit iff rk ≤ k, nothing refined); r > 0
+    // keeps the refine pool rk ≤ r and re-ranks it by exact distance
+    val byPR = byP.select(col("query_id"), col("neighbor_id"), col("nprobe"),
+        col("rk"),
+        explode(array(refineLevels.map(r => lit(r.toLong)): _*)).as("refine_r"))
+      .filter(col("rk") <=
+        when(col("refine_r") === 0L, lit(k.toLong)).otherwise(col("refine_r")))
+    val top = byPR.join(exd, Seq("query_id", "neighbor_id"))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"), col("refine_r"))
+          .orderBy(col("d2"), col("neighbor_id"))))
+      .filter(when(col("refine_r") === 0L, col("rk") <= k)
+        .otherwise(col("rr") <= k))
+      .select(col("query_id"), col("neighbor_id"), col("nprobe"),
+        col("refine_r"))
+    val scanned = byP0.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val refined = byPR.filter(col("refine_r") > 0L)
+      .groupBy(col("nprobe"), col("refine_r"))
+      .agg(count(lit(1)).as("n_refined"))
+    val hits = truth.join(top, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe"), col("refine_r")).agg(count(lit(1)).as("n_hits"))
+    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val gridDf = spark.range(1)
+      .select(explode(array(probeLevels.map(p => lit(p.toLong)): _*)).as("nprobe"))
+      .select(col("nprobe"),
+        explode(array(refineLevels.map(r => lit(r.toLong)): _*)).as("refine_r"))
+    gridDf
+      .join(broadcast(scanned), Seq("nprobe"), "left")
+      .join(broadcast(refined), Seq("nprobe", "refine_r"), "left")
+      .join(broadcast(hits), Seq("nprobe", "refine_r"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("nprobe"), col("refine_r"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        coalesce(col("n_refined"), lit(0L)).as("n_refined"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_truth").cast("double"), 4)
+          .as("recall_at_k"))
+      .orderBy(col("nprobe"), col("refine_r"))
   }
 
   val ivfPqTuneGridOracle: String = {

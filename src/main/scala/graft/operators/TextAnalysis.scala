@@ -775,7 +775,7 @@ object TextAnalysis {
     * never per occurrence, so a viral passage cannot hot-spot a
     * reducer. Output is \|sources\| rows at any corpus size. */
   def substrDup(spark: SparkSession, d: String): DataFrame =
-    substrDupOn(Tables.documents(spark, d))
+    substrDupOn(Tables.documentsSpread(spark, d))
 
   /** The [[substrDup]] kernel over any (doc_id, source, text) relation —
     * public so the winnow-recall spec can plant passages. */
@@ -799,7 +799,12 @@ object TextAnalysis {
   /** The shared-passage report over a (doc_id, source, h) window/
     * fingerprint relation: df ≥ 2 marks a cross-document passage; the
     * per-source rollup is the audit schema both the stride-1 and the
-    * winnowed variants publish, so their numbers compare row-for-row. */
+    * winnowed variants publish, so their numbers compare row-for-row.
+    *
+    * PRECONDITION: `win` must be distinct on (doc_id, h) with `source`
+    * functionally determined by doc_id — the count window below equals
+    * countDistinct(doc_id) per digest only under that contract (both
+    * callers guarantee it via their .distinct() over doc-keyed rows). */
   private def substrShareReport(win: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `win` is distinct on (doc_id, h), so rows-per-digest IS the distinct
@@ -838,7 +843,7 @@ object TextAnalysis {
     * winnow window and drop from the report (they cannot contain a
     * ≥47-char shared run). */
   def substrDupWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
-    substrDupWinnowOn(Tables.documents(spark, d), w)
+    substrDupWinnowOn(Tables.documentsSpread(spark, d), w)
 
   def substrDupWinnowOn(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -936,7 +941,7 @@ object TextAnalysis {
     * [[substrApplyWinnow]] prefilter first so only candidate docs pay the
     * stride-1 pass. */
   def substrApply(spark: SparkSession, d: String): DataFrame =
-    substrApplyOn(Tables.documents(spark, d))
+    substrApplyOn(Tables.documentsSpread(spark, d))
 
   /** The [[substrApply]] kernel over any (doc_id, source, text) relation —
     * public so specs can plant cross-document passages at any alignment. */
@@ -1020,7 +1025,7 @@ object TextAnalysis {
     * rule; the spec pins planted-passage equality with the exact form).
     * Same output contract as [[substrApply]]. */
   def substrApplyWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
-    substrApplyWinnowOn(Tables.documents(spark, d), w)
+    substrApplyWinnowOn(Tables.documentsSpread(spark, d), w)
 
   def substrApplyWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
     substrApplyOn(docs.join(winnowCandidates(docs, w).hint("shuffle_hash"),
@@ -1088,7 +1093,7 @@ object TextAnalysis {
     * whose occurrences are all anchors survives whole (kept_bp = 10000),
     * which is how "exactly one copy survives" reads in the output. */
   def substrKeep(spark: SparkSession, d: String): DataFrame =
-    substrKeepOn(Tables.documents(spark, d))
+    substrKeepOn(Tables.documentsSpread(spark, d))
 
   /** The [[substrKeep]] kernel over any (doc_id, source, text) relation —
     * public so specs can plant cross-document passages at any alignment. */
@@ -1189,7 +1194,7 @@ object TextAnalysis {
     * candidate subset, so both sides of the loss obey the winnowing
     * guarantee); only candidate docs pay the stride-1 election pass. */
   def substrKeepWinnow(spark: SparkSession, d: String, w: Int = 8): DataFrame =
-    substrKeepWinnowOn(Tables.documents(spark, d), w)
+    substrKeepWinnowOn(Tables.documentsSpread(spark, d), w)
 
   def substrKeepWinnowOn(docs: DataFrame, w: Int = 8): DataFrame =
     substrKeepOn(docs.join(winnowCandidates(docs, w).hint("shuffle_hash"),
@@ -2775,30 +2780,41 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // ONE driver job per merge round (r16; was 3 — argmax collect, eager
+    // re-checkpoint, symbols_after collect): the vocab pin is LAZY (it
+    // materializes inside the round's single aggregate job, not as its own
+    // job), and that job returns the round's symbols_after AND the NEXT
+    // round's argmax together (both are model-sized aggregates over the
+    // same just-pinned vocab; the 0/1-row argmax rides a left join).
+    def bestOf(vocab: DataFrame): DataFrame = wordpieceScored(vocab)
+      .orderBy(col("score_milli").desc, col("pair")).limit(1)
     var vocab = words.select(
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
       col("freq")).localCheckpoint()
+    var best: Option[(String, Long, Long)] = {
+      val r = bestOf(vocab).collect()
+      if (r.isEmpty) None
+      else Some((r(0).getString(0), r(0).getLong(1), r(0).getLong(2)))
+    }
     val curve = Seq.newBuilder[(Long, String, Long, Long, Long)]
     var k = 1
-    var exhausted = false
-    while (k <= steps && !exhausted) {
-      val best = wordpieceScored(vocab)
-        .orderBy(col("score_milli").desc, col("pair")).limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word fully merged
-      else {
-        val pair = best(0).getString(0)
-        val (cnt, score) = (best(0).getLong(1), best(0).getLong(2))
-        val sp = pair.indexOf(' ')
-        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-        vocab = vocab.select(
-          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
-          col("freq")).localCheckpoint()
-        val symAfter = vocab
-          .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq")))
-          .collect()(0).getLong(0)
-        curve += ((k.toLong, pair, cnt, score, symAfter))
-        k += 1
-      }
+    while (k <= steps && best.nonEmpty) {
+      val (pair, cnt, score) = best.get
+      val sp = pair.indexOf(' ')
+      val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+      vocab = vocab.select(
+        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+        col("freq")).localCheckpoint(eager = false)
+      val row = vocab
+        .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq"))
+          .as("symbols_after"))
+        .join(bestOf(vocab), lit(true), "left")
+        .collect()(0)
+      curve += ((k.toLong, pair, cnt, score, row.getLong(0)))
+      best =
+        if (row.isNullAt(1)) None
+        else Some((row.getString(1), row.getLong(2), row.getLong(3)))
+      k += 1
     }
     curve.result()
       .toDF("step", "pair", "pair_count", "score_milli", "symbols_after")
