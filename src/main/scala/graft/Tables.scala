@@ -51,6 +51,23 @@ object Tables {
   def documentsSpread(spark: SparkSession, d: String): DataFrame =
     spreadByKey(documents(spark, d), col("doc_id"))
 
+  /** Pin a multiply-consumed CORPUS-SIZED frame (shingle/band inverted
+    * indexes). Mode rides `spark.graft.pin.mode`:
+    *   - `local` (default): `localCheckpoint` — fastest, truncates lineage,
+    *     but checkpointed partitions are NOT recomputable on executor loss;
+    *     the right trade on a single-JVM bench.
+    *   - `persist`: DISK_ONLY persist — keeps lineage, so a lost executor
+    *     recomputes its partitions instead of failing the query; the
+    *     cluster/100 TB setting for indexes too large to lose. Same
+    *     single-materialization semantics, same results.
+    * Model-sized pins (vocabs, codebooks, one-row argmaxes) stay on plain
+    * localCheckpoint — losing one costs a model-sized recompute. */
+  def pinCorpus(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.pin.mode").getOrElse("local") match {
+      case "persist" => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _ => df.localCheckpoint()
+    }
+
   def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")

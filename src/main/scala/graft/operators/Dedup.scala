@@ -116,7 +116,7 @@ object Dedup {
   /** Originals + a near-dup of every doc: two extra tokens appended
     * (Jaccard vs original ≈ (n-2)/n on word-3-gram shingles). */
   private def docsWithNearDups(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"), col("lang"))
+    val docs = Tables.documentsSpread(spark, d).select(col("doc_id"), col("text"), col("lang"))
     docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" zz yy")).as("text"), col("lang")))
   }
@@ -147,7 +147,7 @@ object Dedup {
     * footer) so a planted dup's every shingle still appears in its full
     * doc and containment stays exactly 1.0 after the hot shingle drops. */
   private def containmentDocs(spark: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(spark, d).select(col("doc_id"),
+    val base = Tables.documentsSpread(spark, d).select(col("doc_id"),
       concat(lit("boiler plate footer "), col("text")).as("text"))
     base.unionAll(base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -297,7 +297,7 @@ object Dedup {
     // they are the guard surface PlanSpec pins (and what the judge audits).
     // Re-running the cap join per consumer reads the pinned index, not the
     // corpus.
-    val sh = shingleRows(docs, carry).localCheckpoint()
+    val sh = Tables.pinCorpus(shingleRows(docs, carry))
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     // keep is the corpus's distinct-shingle list — corpus-growing, never
@@ -329,9 +329,8 @@ object Dedup {
     // pinned (r15): sh feeds the df aggregate and the affected-docs join;
     // dfs feeds both one-row report sides — unpinned, the shingle pass
     // replayed per consumer (exchange reuse did not fire across branches)
-    val sh = shingleRows(docs).localCheckpoint()
-    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+    val sh = Tables.pinCorpus(shingleRows(docs))
+    val dfs = Tables.pinCorpus(sh.groupBy(col("s")).agg(count(lit(1)).as("df")))
     val shingleSide = dfs.agg(
       count(lit(1)).as("n_shingles"),
       sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
@@ -444,7 +443,7 @@ object Dedup {
     // pinned (r15): minhashLshOn reads the shingle relation four times
     // (signature build + the three jaccardConfirm consumers); unpinned,
     // each read replayed the tokenize+distinct corpus pass
-    minhashLshOn(shingleRows(docsWithNearDups(spark, d)).localCheckpoint(), minJac)
+    minhashLshOn(Tables.pinCorpus(shingleRows(docsWithNearDups(spark, d))), minJac)
 
   /** The LSH band index rows (doc_id, band, band_sig) — shared by
     * [[minhashLshOn]]'s capped candidate join and
@@ -484,7 +483,7 @@ object Dedup {
     // pinned (r15): the band index feeds the occupancy df pass and the cap
     // join; unpinned, the 32-permutation signature aggregate ran per read
     // (and once more per self-join side through `capped`)
-    val bands = minhashBands(sh).localCheckpoint()
+    val bands = Tables.pinCorpus(minhashBands(sh))
     // MaxBandDf occupancy ceiling — the same guard as the simhash chunk
     // and pHash band joins: an exact-dup family shares every band sig, so
     // an uncapped bucket costs |family|² candidates (max observed df at
@@ -1472,7 +1471,7 @@ object Dedup {
     // pinned (r15): sh feeds the truth self-join (2 sides + sizes) AND the
     // whole minhash pipeline — unpinned, the recall eval replayed the
     // tokenize+distinct pass ~7× (48 parquet scans in the plan)
-    val sh = shingleRows(docs).localCheckpoint()
+    val sh = Tables.pinCorpus(shingleRows(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("s")).hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"), "s")
@@ -1718,7 +1717,7 @@ object Dedup {
     * (per-doc removal contract). */
   private def lineStream(spark: SparkSession, d: String,
       minOcc: Int): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+    val docs = Tables.documentsSpread(spark, d).select(col("doc_id"), col("source"),
       when(col("doc_id") % 3 === 0, concat(lit(BoilerLine + " "), col("text")))
         .otherwise(col("text")).as("text"))
     val lines = docs

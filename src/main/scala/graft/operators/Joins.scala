@@ -221,8 +221,10 @@ object Joins {
     // localCheckpoint pins ONE materialization of the support-cut edge
     // set: the degree agg plus five capped-graph consumers would otherwise
     // each re-run the fact-table self-join that builds it, and the
-    // support-2 cut makes the pinned set dimension-sized
-    val eAll = e0.localCheckpoint()
+    // support-2 cut makes the pinned set dimension-sized. LAZY (r16): the
+    // pin materializes inside the first consumer's job instead of as its
+    // own driver job — same single materialization, one less job.
+    val eAll = e0.localCheckpoint(eager = false)
     val deg = eAll.select(explode(array(col("pa"), col("pb"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val hubs = deg.filter(col("deg") > maxDeg)
@@ -232,7 +234,7 @@ object Joins {
     val e = eAll
       .join(hubs.select(col("v").as("ha")), col("pa") === col("ha"), "left_anti")
       .join(hubs.select(col("v").as("hb")), col("pb") === col("hb"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.pa") === col("e2.pa") &&
         col("e1.pb") < col("e2.pb"))

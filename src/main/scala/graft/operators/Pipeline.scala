@@ -1449,8 +1449,11 @@ object Pipeline {
     val w = Tables.documents(spark, d)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("t"))
+      // first 8 md5 hex digits == the top 32 bits of the 60-bit prefix, so
+      // the bucket rides the native md5prefix kernel (r16; was the per-token
+      // conv(substring(md5)) hex-string chain — the r15 straggler sweep)
       .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+        (shiftright(graft.functions.Kernels.hash60(col("t")), 28)
           % ClassifierBuckets).as("bucket"))
       .select(col("doc_id"), col("source"),
         ((col("bucket") * lit(2654435761L)) % 2048).as("w"))

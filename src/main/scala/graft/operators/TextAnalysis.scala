@@ -113,7 +113,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val scores = LangMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
     val Seq(en, de, fr, es) = scores.map(_._2)
-    Tables.documents(spark, d).select(
+    Tables.documentsSpread(spark, d).select(
       (Seq(col("doc_id")) ++ scores.map { case (l, c) => c.as(s"s_$l") } :+
         when(en >= de && en >= fr && en >= es && en > 0, "en")
           .when(de >= fr && de >= es && de > 0, "de")
@@ -218,7 +218,7 @@ object TextAnalysis {
   def winnowing(spark: SparkSession, d: String, k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val base = Tables.documents(spark, d).select(col("doc_id"), norm.as("t"))
+    val base = Tables.documentsSpread(spark, d).select(col("doc_id"), norm.as("t"))
     // distributed form (see [[kgramHashes]]): explode gram positions, hash
     // in a codegen'd Project, sliding min via a per-doc SQL window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -298,7 +298,7 @@ object TextAnalysis {
     * shuffled, token-co-partitioned with tf; idf is a generic real so
     * round(…,6) compares safely. */
   def tfidf(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.documentsSpread(spark, d)
     // doc_id is the table key: a plain count (partial-agg, no by-key
     // shuffle) equals the oracle's count(DISTINCT doc_id)
     val nDocs = docs.groupBy().agg(count(lit(1)).as("n"))
@@ -673,7 +673,7 @@ object TextAnalysis {
     * integer floor division, so there is no float anywhere. One explode +
     * two partial aggs. */
   def ttr(spark: SparkSession, d: String): DataFrame = {
-    val perDoc = Tables.documents(spark, d)
+    val perDoc = Tables.documentsSpread(spark, d)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("source"))
       .agg(countDistinct(col("w")).as("n_types"), count(lit(1)).as("n_tokens"))
@@ -1588,42 +1588,51 @@ object TextAnalysis {
 
   /** [[bpeTrain]] over an explicit docs frame (spec hook). */
   def bpeTrainOver(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // pin the per-step state (r15): unpinned, step k's pair count replays
-    // the ENTIRE step 1..k-1 chain (the plan rescanned the corpus parquet
-    // 62 times for a 5-step trainer). Pinned, each step is exactly one
-    // vocab-bounded pass; vocab is |vocab|-sized, best is one row.
+    // ONE driver job per step (r16; was two eager pins — the one-row best
+    // plus the merged vocab). The one-row argmax IS the model artifact, so
+    // it reads to the driver (the curve twins' bounded model-artifact-read
+    // convention) and the merge applies as a literal replace; each step's
+    // vocab pin is LAZY and materializes inside the next step's argmax job.
+    // Pinned state is still |vocab|-bounded and lineage depth stays 1 —
+    // unpinned, step k's pair count replayed the whole 1..k-1 chain
+    // (62 corpus rescans for the 5-step trainer, the r15 finding).
+    def bestOf(vocab: DataFrame): DataFrame = vocab
+      .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+      .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
+      .select(col("freq"), col("l"),
+        explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+      .select(col("freq"),
+        concat(element_at(col("l"), col("i")), lit(" "),
+          element_at(col("l"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
     var vocab = words.select(
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
       col("freq")).localCheckpoint()
-    var bests = List.empty[DataFrame]
-    for (k <- 1 to steps) {
-      val stats = vocab
-        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
-        .filter(size(col("l")) >= 2) // Spark sequence(1,0) would descend
-        .select(col("freq"), col("l"),
-          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
-        .select(col("freq"),
-          concat(element_at(col("l"), col("i")), lit(" "),
-            element_at(col("l"), col("i") + 1)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1)
-        .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"))
-        .localCheckpoint() // one row; read by the output union AND the merge
-      bests :+= best
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(expr(
-          """replace(s,
-            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
-            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
-            .stripMargin).as("s"),
-          col("freq")).localCheckpoint()
+    val bests = Seq.newBuilder[(Long, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val r = bestOf(vocab).collect()
+      if (r.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (pair, cnt) = (r(0).getString(0), r(0).getLong(1))
+        bests += ((k.toLong, pair, cnt))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        vocab = vocab.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("freq")).localCheckpoint(eager = false)
+        k += 1
+      }
     }
-    bests.reduce(_ unionAll _).orderBy(col("step"))
+    bests.result().toDF("step", "pair", "pair_count").orderBy(col("step"))
   }
 
   val bpeTrainOracle: String = {
@@ -1681,28 +1690,41 @@ object TextAnalysis {
     val srcCounts = toks.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("freq")).localCheckpoint()
     val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+    // ONE driver job per step (r16; was an eager pin per step with the
+    // argmax broadcast inside it) — same driver-collected literal-merge
+    // convention as [[bpeTrainOver]]; the LAST vocab's lazy pin
+    // materializes inside the final per-source rollup job itself.
+    def bestOf(vocab: DataFrame): DataFrame = vocab
+      .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("freq"), col("l"),
+        explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+      .select(col("freq"),
+        concat(element_at(col("l"), col("i")), lit(" "),
+          element_at(col("l"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
     var vocab = words.select(col("w"),
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
       col("freq")).localCheckpoint()
-    for (_ <- 1 to steps) {
-      val stats = vocab
-        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("freq"), col("l"),
-          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
-        .select(col("freq"),
-          concat(element_at(col("l"), col("i")), lit(" "),
-            element_at(col("l"), col("i") + 1)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1)
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(col("w"), expr(
-          """replace(s,
-            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
-            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
-            .stripMargin).as("s"),
-          col("freq")).localCheckpoint()
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val r = bestOf(vocab).collect()
+      if (r.isEmpty) {
+        // every word fully merged: the unrolled form (and the oracle's
+        // `FROM vocab, best` cross join) propagates an EMPTY vocab
+        exhausted = true
+        vocab = vocab.limit(0)
+      } else {
+        val pair = r(0).getString(0)
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        vocab = vocab.select(col("w"),
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("freq")).localCheckpoint(eager = false)
+        k += 1
+      }
     }
     val perWord = vocab.select(col("w"),
       size(split(trim(col("s")), "  ")).cast("long").as("n_sym"))
@@ -1793,38 +1815,47 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // ONE driver job per merge round (r16; was 3 — argmax collect, eager
+    // re-checkpoint, symbols_after collect): the per-round vocab pin is
+    // LAZY and materializes inside the round's single aggregate job, which
+    // returns the round's symbols_after AND the next round's argmax
+    // together (the 0/1-row argmax rides a left join).
+    def bestOf(vocab: DataFrame): DataFrame = vocab
+      .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("freq"), col("l"),
+        explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+      .select(col("freq"),
+        concat(element_at(col("l"), col("i")), lit(" "),
+          element_at(col("l"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
     var vocab = words.select(
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
       col("freq")).localCheckpoint()
+    var best: Option[(String, Long)] = {
+      val r = bestOf(vocab).collect()
+      if (r.isEmpty) None else Some((r(0).getString(0), r(0).getLong(1)))
+    }
     val curve = Seq.newBuilder[(Long, String, Long, Long)]
     var k = 1
-    var exhausted = false
-    while (k <= steps && !exhausted) {
-      val stats = vocab
-        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("freq"), col("l"),
-          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
-        .select(col("freq"),
-          concat(element_at(col("l"), col("i")), lit(" "),
-            element_at(col("l"), col("i") + 1)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      val best = stats.orderBy(col("pair_count").desc, col("pair")).limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word fully merged
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val sp = pair.indexOf(' ')
-        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-        vocab = vocab.select(
-          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
-          col("freq")).localCheckpoint()
-        val symAfter = vocab
-          .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq")))
-          .collect()(0).getLong(0)
-        curve += ((k.toLong, pair, cnt, symAfter))
-        k += 1
-      }
+    while (k <= steps && best.nonEmpty) {
+      val (pair, cnt) = best.get
+      val sp = pair.indexOf(' ')
+      val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+      vocab = vocab.select(
+        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+        col("freq")).localCheckpoint(eager = false)
+      val row = vocab
+        .agg(sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq"))
+          .as("symbols_after"))
+        .join(bestOf(vocab), lit(true), "left")
+        .collect()(0)
+      curve += ((k.toLong, pair, cnt, row.getLong(0)))
+      best =
+        if (row.isNullAt(1)) None
+        else Some((row.getString(1), row.getLong(2)))
+      k += 1
     }
     curve.result().toDF("step", "pair", "pair_count", "symbols_after")
       .orderBy(col("step"))
@@ -2253,7 +2284,7 @@ object TextAnalysis {
     * accepted `text_bpe_curve` pattern). The DuckDB twin replays all
     * rounds as a chain of MATERIALIZED CTEs (recursive-DP per round). */
   def unigramCurve(spark: SparkSession, d: String): DataFrame =
-    unigramCurveOver(Tables.documents(spark, d).select(col("text")))
+    unigramCurveOver(Tables.documentsSpread(spark, d).select(col("text")))
 
   /** [[unigramCurve]] over an explicit docs frame (spec hook). */
   def unigramCurveOver(docs: DataFrame,
@@ -2679,49 +2710,61 @@ object TextAnalysis {
 
   /** [[wordpieceTrain]] over an explicit docs frame (spec hook). */
   def wordpieceTrainOver(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val (bests, _) = wordpieceMerges(words, steps)
-    bests.reduce(_ unionAll _).orderBy(col("step"))
+    wordpieceMerges(words, steps)._1
+      .toDF("step", "pair", "pair_count", "score_milli").orderBy(col("step"))
   }
 
   /** The WordPiece merge loop shared by [[wordpieceTrain]] and
-    * [[wordpieceApply]]: returns (per-step best frames, final vocab).
-    * Training words are the len≥2 vocabulary — single-char words carry no
-    * pair, and (unlike BPE, where they are score-inert) WordPiece's
-    * denominator counts symbols, so the trainer pins its corpus contract
-    * explicitly: both the pair AND symbol statistics come from the len≥2
-    * vocabulary, mirrored in the oracle. */
+    * [[wordpieceApply]]: returns (per-step best rows
+    * (step, pair, pair_count, score_milli) — the trained model, collected
+    * to the driver like every bounded model artifact — and the final
+    * vocab). Training words are the len≥2 vocabulary — single-char words
+    * carry no pair, and (unlike BPE, where they are score-inert)
+    * WordPiece's denominator counts symbols, so the trainer pins its
+    * corpus contract explicitly: both the pair AND symbol statistics come
+    * from the len≥2 vocabulary, mirrored in the oracle. */
   private def wordpieceMerges(words: DataFrame,
-      steps: Int): (List[DataFrame], DataFrame) = {
-    // localCheckpoint per round (the text_bpe_curve discipline): unlike
-    // BPE's 2-reference rounds (where in-plan exchange reuse holds the
-    // chain flat), WordPiece reads each round's vocab THREE times (pair
-    // stats, symbol stats, next vocab) — unpinned, the 5-round lineage
-    // re-executes ~3^5× (measured 50 s at sf0.001; pinned: ~2 s)
+      steps: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
+    // ONE driver job per round (r16; was two eager pins — the one-row best
+    // and the merged vocab). localCheckpoint per round stays essential
+    // (the text_bpe_curve discipline): unlike BPE's 2-reference rounds,
+    // WordPiece reads each round's vocab THREE times (pair stats, symbol
+    // stats, next vocab) — unpinned, the 5-round lineage re-executes ~3^5×
+    // (measured 50 s at sf0.001; pinned: ~2 s). The per-round pin is LAZY:
+    // it materializes inside the next round's argmax job.
     var vocab = words.select(
       concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
       col("freq")).localCheckpoint()
-    var bests = List.empty[DataFrame]
-    for (k <- 1 to steps) {
-      val best = wordpieceScored(vocab)
-        .orderBy(col("score_milli").desc, col("pair")).limit(1)
-        .select(lit(k.toLong).as("step"), col("pair"), col("pair_count"),
-          col("score_milli"))
-        .localCheckpoint() // one row; feeds both the emit union and the merge
-      bests :+= best
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(expr(
-          """replace(s,
-            |  ' ' || split_part(bp, ' ', 1) || '  ' || split_part(bp, ' ', 2) || ' ',
-            |  ' ' || split_part(bp, ' ', 1) || split_part(bp, ' ', 2) || ' ')"""
-            .stripMargin).as("s"),
-          col("freq")).localCheckpoint()
+    val bests = Seq.newBuilder[(Long, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val r = wordpieceScored(vocab)
+        .orderBy(col("score_milli").desc, col("pair")).limit(1).collect()
+      if (r.isEmpty) {
+        // every word fully merged: the unrolled form propagated an EMPTY
+        // vocab (cross join with the empty argmax) — preserved
+        exhausted = true
+        vocab = vocab.limit(0)
+      } else {
+        val (pair, cnt, score) =
+          (r(0).getString(0), r(0).getLong(1), r(0).getLong(2))
+        bests += ((k.toLong, pair, cnt, score))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        vocab = vocab.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("freq")).localCheckpoint(eager = false)
+        k += 1
+      }
     }
-    (bests, vocab)
+    (bests.result(), vocab)
   }
 
   /** Likelihood-scored pair table over a double-space symbol vocab: pair
@@ -2739,16 +2782,22 @@ object TextAnalysis {
         concat(element_at(col("l"), col("i")), lit(" "),
           element_at(col("l"), col("i") + 1)).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-    val symStats = lists
+    // symbol counts ride ONE one-row broadcast map (r16; was two broadcast
+    // hash joins per scoring pass — the a-side and b-side lookups): the
+    // symbol table is model-sized by construction, and a map lookup per
+    // pair replaces both join builds
+    val symMap = lists
       .select(col("freq"), explode(col("l")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("sym"), col("cnt"))))
+        .as("sm"))
     pairStats
-      .withColumn("a", expr("split_part(pair, ' ', 1)"))
-      .withColumn("b", expr("split_part(pair, ' ', 2)"))
-      .join(broadcast(symStats.select(col("sym").as("a"), col("cnt").as("ca"))), "a")
-      .join(broadcast(symStats.select(col("sym").as("b"), col("cnt").as("cb"))), "b")
+      .crossJoin(broadcast(symMap))
       .select(col("pair"), col("pair_count"),
-        (lnqU(col("pair_count")) - lnqU(col("ca")) - lnqU(col("cb")))
+        (lnqU(col("pair_count"))
+          - lnqU(element_at(col("sm"), expr("split_part(pair, ' ', 1)")))
+          - lnqU(element_at(col("sm"), expr("split_part(pair, ' ', 2)"))))
           .as("score_milli"))
   }
 
@@ -2948,25 +2997,19 @@ object TextAnalysis {
     val words = srcCounts.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
       .localCheckpoint()
     val (bests, _) = wordpieceMerges(words.filter(length(col("w")) >= 2), steps)
-    // merge-product map (≤ steps rows, each the fused pair): the shipped
-    // model, one row after the collect_list aggregate — broadcast like
-    // every codebook in the library
-    val prods = bests.reduce(_ unionAll _)
-      .select(expr("replace(pair, ' ', '')").as("p")).distinct()
-      .localCheckpoint() // ≤ steps rows; read twice (map + length bound)
-    val mp = prods.groupBy()
-      .agg(map_from_entries(collect_list(struct(col("p"), lit(1)))).as("mp"))
+    // merge-product map (≤ steps entries, each the fused pair): the merges
+    // are already driver rows (the shipped model), so the piece map embeds
+    // as a LITERAL map — no pin, no one-row aggregate, no broadcast jobs
+    val prods = bests.map(_._2.replace(" ", "")).distinct
     // the MaxMatch probe bound comes from the ACTUAL trained products, not
     // steps+1: a merge can fuse two multi-char products ('ab'+'ab' → 'abab'
     // at step 2), so vocabulary pieces reach up to 2^steps chars — probing
     // only 2..steps+1 would silently skip longer pieces that ARE in the
-    // shipped map (a model-sized collect, like every codebook publish)
-    val maxLen = prods.agg(max(length(col("p")))).collect()(0) match {
-      case r if r.isNullAt(0) => 2
-      case r => math.max(2, r.getInt(0))
-    }
+    // shipped map
+    val maxLen = if (prods.isEmpty) 2 else math.max(2, prods.map(_.length).max)
+    val mpLit = typedLit(prods.map(p => p -> 1).toMap)
     val perWord = words
-      .crossJoin(broadcast(mp))
+      .withColumn("mp", mpLit)
       .withColumn("n_pieces", aggregate(
         sequence(lit(1), length(col("w"))),
         struct(lit(1).as("pos"), lit(0L).as("cnt")),

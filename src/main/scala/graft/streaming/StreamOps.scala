@@ -1227,7 +1227,8 @@ object StreamOps {
       // (bucket · 2654435761) mod 2048 weight; band = (10·Σw) div (2048·n)
       .withColumn("clf_s", aggregate(
         transform(tokens(col("text")),
-          w => (conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+          // top 32 bits of the 60-bit md5 prefix == the first 8 hex digits
+          w => (shiftright(graft.functions.Kernels.hash60(w), 28)
             % graft.operators.Pipeline.ClassifierBuckets) * 2654435761L % 2048L),
         lit(0L), (acc, x) => acc + x))
       .select(col("doc_id"), col("source"), col("text"),
