@@ -930,11 +930,14 @@ object Dedup {
         .select(col("doc_a").as("u"),
           least(col("mn"), col("doc_a")).as("m"))
       // large-star: (v, m(u)) for each v ∈ Γ(u), v > u — m ≤ u < v keeps
-      // the canonical orientation for free
+      // the canonical orientation for free. NOT distinct'd (r16): minsS is
+      // a min-aggregate (duplicate-blind) and ss's trailing distinct
+      // canonicalizes the round's output, so the mid-round dedup exchange
+      // bought nothing — removing it drops one exchange per round while
+      // the round's edge SET (and hence every label) is unchanged.
       val ls = sym.join(mins, sym("doc_a") === mins("u"))
         .filter(col("doc_b") > sym("doc_a"))
         .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
-        .distinct()
       // small-star over the canonical (already-oriented) edges: per u the
       // smaller-neighborhood minimum adopts every neighbor and u itself
       val minsS = ls.groupBy(col("doc_a")).agg(min(col("doc_b")).as("m"))
@@ -1207,7 +1210,7 @@ object Dedup {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
-    Tables.documents(spark, d)
+    Tables.documentsSpread(spark, d)
       .select(col("doc_id"), norm.as("t"))
       .filter(length(col("t")) >= 8)
       .select(col("doc_id"), col("t"),
@@ -1717,7 +1720,7 @@ object Dedup {
     * (per-doc removal contract). */
   private def lineStream(spark: SparkSession, d: String,
       minOcc: Int): (DataFrame, DataFrame) = {
-    val docs = Tables.documentsSpread(spark, d).select(col("doc_id"), col("source"),
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
       when(col("doc_id") % 3 === 0, concat(lit(BoilerLine + " "), col("text")))
         .otherwise(col("text")).as("text"))
     val lines = docs

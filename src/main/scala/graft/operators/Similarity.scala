@@ -1607,7 +1607,9 @@ object Similarity {
     cents += seed.getSeq[Double](1)
     var m = v
       .withColumn("mind2", d2(col("e"), seed.getSeq[Double](1)))
-      .localCheckpoint()
+      // LAZY pins (r16): each iteration's pin materializes inside its own
+      // farthest-point collect — one driver job per center instead of two
+      .localCheckpoint(eager = false)
     for (k2 <- 2 to k) {
       val far = m.orderBy(col("mind2").desc, col("vec_id")).limit(1).collect()(0)
       out += ((k2.toLong, far.getLong(0),
@@ -1616,7 +1618,7 @@ object Similarity {
       m = m
         .withColumn("mind2",
           least(col("mind2"), d2(col("e"), far.getSeq[Double](1))))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     (out.result(), cents.result())
   }
@@ -1834,7 +1836,10 @@ object Similarity {
               element_at(col("cents"), (col("cell") + 1).cast("int")),
               (x, c) => (x - c) * (x - c)),
             lit(0.0), (acc, x) => acc + x), 6).as("d2"))
-        .localCheckpoint()
+        // LAZY pin (r16): materializes inside the stats collect below —
+        // one driver job per Lloyd step instead of three (assign pin,
+        // stats read, centroid re-pin)
+        .localCheckpoint(eager = false)
       // ONE driver read per step for both curve stats (r15): the 1:1 join
       // with the previous assignment preserves every row, so the inertia
       // sum is unchanged and the churn count rides the same job
@@ -1854,7 +1859,7 @@ object Similarity {
         .agg(round(avg(col("x")), 6).as("nc"))
       centsLong = centsLong.join(newc, Seq("cell", "dim"), "left")
         .select(col("cell"), col("dim"), coalesce(col("nc"), col("c")).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materializes in the next cm build
       prevAssign = assigned.select(col("vec_id"), col("cell"))
       curve += ((k.toLong, nChanged, inertia))
       stable = nChanged == 0L
