@@ -930,14 +930,14 @@ object Dedup {
         .select(col("doc_a").as("u"),
           least(col("mn"), col("doc_a")).as("m"))
       // large-star: (v, m(u)) for each v ∈ Γ(u), v > u — m ≤ u < v keeps
-      // the canonical orientation for free. NOT distinct'd (r16): minsS is
-      // a min-aggregate (duplicate-blind) and ss's trailing distinct
-      // canonicalizes the round's output, so the mid-round dedup exchange
-      // bought nothing — removing it drops one exchange per round while
-      // the round's edge SET (and hence every label) is unchanged.
+      // the canonical orientation for free. The mid-round distinct STAYS
+      // (r16 A/B at sf1, same window: 18.8 s with vs 21.7 s without — the
+      // duplicate rows it removes inflate the ls⋈minsS join and the final
+      // distinct more than the dedup exchange costs).
       val ls = sym.join(mins, sym("doc_a") === mins("u"))
         .filter(col("doc_b") > sym("doc_a"))
         .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .distinct()
       // small-star over the canonical (already-oriented) edges: per u the
       // smaller-neighborhood minimum adopts every neighbor and u itself
       val minsS = ls.groupBy(col("doc_a")).agg(min(col("doc_b")).as("m"))

@@ -221,10 +221,12 @@ object Joins {
     // localCheckpoint pins ONE materialization of the support-cut edge
     // set: the degree agg plus five capped-graph consumers would otherwise
     // each re-run the fact-table self-join that builds it, and the
-    // support-2 cut makes the pinned set dimension-sized. LAZY (r16): the
-    // pin materializes inside the first consumer's job instead of as its
-    // own driver job — same single materialization, one less job.
-    val eAll = e0.localCheckpoint(eager = false)
+    // support-2 cut makes the pinned set dimension-sized. EAGER on purpose
+    // (r16 finding): the census consumes eAll/e from several CONCURRENT
+    // stages of one job — lazily pinned, the racing stages each recompute
+    // the fact-table self-join before the cache lands (sf1 A/B: 7.7->10.8 s
+    // lazy; eager restores it).
+    val eAll = e0.localCheckpoint()
     val deg = eAll.select(explode(array(col("pa"), col("pb"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val hubs = deg.filter(col("deg") > maxDeg)
@@ -234,7 +236,7 @@ object Joins {
     val e = eAll
       .join(hubs.select(col("v").as("ha")), col("pa") === col("ha"), "left_anti")
       .join(hubs.select(col("v").as("hb")), col("pb") === col("hb"), "left_anti")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.pa") === col("e2.pa") &&
         col("e1.pb") < col("e2.pb"))
